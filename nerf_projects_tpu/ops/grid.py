@@ -1,0 +1,176 @@
+"""Sparse-voxel-grid sampling and volume rendering (jnp reference path).
+
+This is the XLA twin of the reference's cuvol CUDA kernels
+(svox2/svox2/csrc/render_lerp_kernel_cuvol.cu:30-120 forward,
+svox2_kernel.cu:10-267 sampling), matching their numerics:
+  * trilinear interpolation through the `links` indirection, empty cells
+    (link < 0) contribute zeros;
+  * uniform march in grid space with `step_size` voxel steps; world-unit
+    conversion via delta_scale = 1/|grid-space dir|;
+  * SH-decoded color with the +0.5 bias clamped at 0 from below
+    (render_util.cuh:104);
+  * alpha = 1 - exp(-sigma * step_world); transmittance by exclusive
+    cumulative sum of log-transmittance; sigma_thresh / stop_thresh
+    early-termination expressed as masks (TPU-friendly static shapes —
+    SURVEY.md §7 hard part 1).
+
+Everything is differentiable by construction: the gathers transpose to
+scatter-adds under AD, which is exactly the atomicAdd structure of the
+reference backward kernel. A fused Pallas kernel with custom VJP plugs in
+behind the same interface (ops/pallas/).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nerf_projects_tpu.core.rays import Rays
+from nerf_projects_tpu.models.sparse_grid import SparseGrid
+from nerf_projects_tpu.ops.sh import eval_sh_bases
+
+
+class GridRenderOptions(NamedTuple):
+    """Mirror of the reference RenderOptions (svox2.py:17-80)."""
+
+    step_size: float = 0.5          # in voxel units
+    sigma_thresh: float = 1e-8      # skip samples below this density
+    stop_thresh: float = 1e-7       # stop when transmittance below this
+    near_clip: float = 0.0
+    background_brightness: float = 1.0  # 1 = white, 0 = black
+    max_steps: Optional[int] = None  # static march length; default = diag
+
+
+def _gather_corner(data: jnp.ndarray, links: jnp.ndarray, idx):
+    """Fetch data rows for integer grid corners; empty links -> 0.
+
+    idx: ix, iy, iz int arrays [...]; data [cap, C]; links [X, Y, Z].
+    """
+    ix, iy, iz = idx
+    link = links[ix, iy, iz]  # [...]
+    safe = jnp.maximum(link, 0)
+    vals = data[safe]  # [..., C]
+    return jnp.where((link >= 0)[..., None], vals, 0.0)
+
+
+def trilerp(grid: SparseGrid, data: jnp.ndarray, gpts: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear interpolation of compact `data` at grid coords [..., 3].
+
+    Matches the reference python fallback sample path (svox2.py:598-653):
+    floor clamped to [0, reso-2], corners fetched through links.
+    """
+    reso = jnp.asarray(grid.reso)
+    l = jnp.clip(jnp.floor(gpts).astype(jnp.int32), 0, reso - 2)
+    w = gpts - l.astype(gpts.dtype)
+    w = jnp.clip(w, 0.0, 1.0)
+    ix, iy, iz = l[..., 0], l[..., 1], l[..., 2]
+    wx, wy, wz = w[..., 0:1], w[..., 1:2], w[..., 2:3]
+
+    links = grid.links
+    c000 = _gather_corner(data, links, (ix, iy, iz))
+    c001 = _gather_corner(data, links, (ix, iy, iz + 1))
+    c010 = _gather_corner(data, links, (ix, iy + 1, iz))
+    c011 = _gather_corner(data, links, (ix, iy + 1, iz + 1))
+    c100 = _gather_corner(data, links, (ix + 1, iy, iz))
+    c101 = _gather_corner(data, links, (ix + 1, iy, iz + 1))
+    c110 = _gather_corner(data, links, (ix + 1, iy + 1, iz))
+    c111 = _gather_corner(data, links, (ix + 1, iy + 1, iz + 1))
+
+    c00 = c000 * (1 - wz) + c001 * wz
+    c01 = c010 * (1 - wz) + c011 * wz
+    c10 = c100 * (1 - wz) + c101 * wz
+    c11 = c110 * (1 - wz) + c111 * wz
+    c0 = c00 * (1 - wy) + c01 * wy
+    c1 = c10 * (1 - wy) + c11 * wy
+    return c0 * (1 - wx) + c1 * wx
+
+
+def sample_grid(grid: SparseGrid, pts: jnp.ndarray, *, want_colors: bool = True):
+    """(density, sh) at world points [..., 3] — reference `SparseGrid.sample`."""
+    gpts = grid.world_to_grid(pts)
+    density = trilerp(grid, grid.density_data, gpts)
+    colors = trilerp(grid, grid.sh_data, gpts) if want_colors else None
+    return density, colors
+
+
+def default_max_steps(grid: SparseGrid, step_size: float) -> int:
+    import numpy as np
+
+    diag = float(np.linalg.norm(np.asarray(grid.reso, np.float64)))
+    return int(np.ceil(diag / step_size)) + 1
+
+
+def volume_render_grid(
+    grid: SparseGrid,
+    rays: Rays,
+    opts: GridRenderOptions = GridRenderOptions(),
+    *,
+    return_depth: bool = False,
+):
+    """Render [R] rays against the grid. Returns dict(rgb [R,3], ...).
+
+    Fixed `max_steps` march with masked accumulation — the TPU replacement
+    for the reference's data-dependent while loop + early termination.
+    """
+    reso = jnp.asarray(grid.reso, jnp.float32)
+    scale = reso * 0.5 / jnp.asarray(grid.radius)
+    origins_g = grid.world_to_grid(rays.origins)  # [R, 3]
+    dirs_g = rays.directions * scale  # [R, 3] grid units per world t
+
+    # World length per unit t along the ray (for sigma integration).
+    world_len = jnp.linalg.norm(rays.directions, axis=-1)  # [R]
+    gnorm = jnp.linalg.norm(dirs_g, axis=-1)  # grid units per t
+    # t advance per step of `step_size` voxels:
+    dt = opts.step_size / jnp.maximum(gnorm, 1e-12)  # [R]
+    # World distance covered per step:
+    step_world = dt * world_len  # [R]
+
+    # Ray/AABB intersection in grid space against the sample-safe box
+    # [0, reso-1] (render_util.cuh ray_find_bounds).
+    inv_d = 1.0 / jnp.where(jnp.abs(dirs_g) < 1e-12, 1e-12, dirs_g)
+    t_lo = (0.0 - origins_g) * inv_d
+    t_hi = (reso - 1.0 - origins_g) * inv_d
+    t0 = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
+    t1 = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
+    t0 = jnp.maximum(t0, opts.near_clip / jnp.maximum(world_len, 1e-12))
+    hit = t1 > t0
+
+    max_steps = opts.max_steps or default_max_steps(grid, opts.step_size)
+    step_idx = jnp.arange(max_steps, dtype=jnp.float32)
+    t = t0[:, None] + step_idx[None, :] * dt[:, None]  # [R, S]
+    in_bounds = (t < t1[:, None]) & hit[:, None]
+
+    gpts = origins_g[:, None, :] + t[..., None] * dirs_g[:, None, :]
+    density = trilerp(grid, grid.density_data, gpts)[..., 0]  # [R, S]
+    density = jnp.where(in_bounds, density, 0.0)
+    density = jnp.where(density > opts.sigma_thresh, density, 0.0)
+
+    sh_coeffs = trilerp(grid, grid.sh_data, gpts)  # [R, S, 3*B]
+    basis = eval_sh_bases(grid.basis_dim, rays.viewdirs)  # [R, B]
+    coeffs = sh_coeffs.reshape(sh_coeffs.shape[:-1] + (3, grid.basis_dim))
+    rgb_raw = jnp.einsum("rscb,rb->rsc", coeffs, basis)
+    rgb = jnp.maximum(rgb_raw + 0.5, 0.0)  # +0.5 bias clamp (cuvol:104)
+
+    # Compositing with early termination as a transmittance mask.
+    tau = density * step_world[:, None]  # optical depth per step
+    log_T = jnp.concatenate(
+        [jnp.zeros_like(tau[:, :1]), jnp.cumsum(tau[:, :-1], axis=-1)],
+        axis=-1,
+    )
+    T = jnp.exp(-log_T)
+    alpha = 1.0 - jnp.exp(-tau)
+    # stop_thresh: zero out contributions after transmittance drops below
+    # threshold (the reference breaks out of the loop there).
+    active = T > opts.stop_thresh
+    weights = jnp.where(active, T * alpha, 0.0)
+
+    out_rgb = jnp.einsum("rs,rsc->rc", weights, rgb)
+    acc = jnp.sum(weights, axis=-1)
+    out_rgb = out_rgb + (1.0 - acc[:, None]) * opts.background_brightness
+
+    result = {"rgb": out_rgb, "acc": acc, "weights": weights}
+    if return_depth:
+        depth_t = jnp.sum(weights * t, axis=-1)
+        result["depth"] = depth_t * world_len
+    return result
