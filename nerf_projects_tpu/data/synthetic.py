@@ -98,7 +98,17 @@ def make_dataset(
     K = np.array(
         [[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], dtype=np.float32
     )
-    poses = spherical_pose_path(n_views, phi=-30.0, radius=radius)
+    # Spread cameras over the sphere (varying elevation), not a single
+    # ring — single-ring capture lets NeRF fake geometry with view-aligned
+    # fog, which breaks octree extraction.
+    from nerf_projects_tpu.core.rays import pose_spherical
+
+    rng = np.random.default_rng(seed)
+    thetas = np.linspace(-180.0, 180.0, n_views + 1)[:-1]
+    phis = rng.uniform(-75.0, 15.0, n_views)
+    poses = np.stack(
+        [pose_spherical(t, p, radius) for t, p in zip(thetas, phis)], axis=0
+    )
     render = jax.jit(
         lambda r: render_scene(scene, r, near=near, far=far)
     )

@@ -1,0 +1,282 @@
+"""End-to-end PlenOctree pipeline tests: train -> extract -> finetune ->
+compress -> eval (the full_pipeline.sh flow, hermetic + tiny)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_projects_tpu.core.rays import camera_rays
+from nerf_projects_tpu.data.synthetic import make_dataset, ray_batches
+from nerf_projects_tpu.models.nerf_sh import NeRFSHModel
+from nerf_projects_tpu.models.octree import PlenOctree
+from nerf_projects_tpu.obs.metrics import mse2psnr
+from nerf_projects_tpu.ops.octree_render import (
+    OctreeRenderOptions,
+    volume_render_octree,
+)
+from nerf_projects_tpu.pipeline.compression import (
+    compress_octree,
+    load_compressed_octree,
+    median_cut,
+)
+from nerf_projects_tpu.pipeline.extraction import (
+    auto_scale,
+    extract_octree,
+    grid_weight_render,
+    make_sh_projection_eval_fn,
+)
+from nerf_projects_tpu.pipeline.optimization import OctreeFinetuner
+from nerf_projects_tpu.train.nerf_sh_trainer import NeRFSHTrainer
+
+
+@pytest.fixture(scope="module")
+def trained_sh_model():
+    """A small NeRF-SH trained on the synthetic scene (shared by tests).
+    Sparsity loss on — without it NeRF fakes geometry with view-aligned
+    fog and extraction (correctly) bakes garbage."""
+    ds = make_dataset(n_views=12, image_size=32)
+    model = NeRFSHModel(
+        num_coarse_samples=32,
+        num_fine_samples=0,
+        sh_deg=1,
+        net_depth=4,
+        net_width=96,
+        max_deg_point=6,
+        near=ds["near"],
+        far=ds["far"],
+        white_bkgd=True,
+    )
+    trainer = NeRFSHTrainer(
+        model,
+        lr_init=5e-3,
+        lr_final=1e-3,
+        max_steps=400,
+        lr_delay_steps=0,
+        sparsity_weight=0.01,
+        sparsity_npoints=1024,
+        sparsity_radius=2.0,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batches = ray_batches(jax.random.PRNGKey(1), ds, 512)
+    for _ in range(300):
+        rays, target = next(batches)
+        state, stats = trainer.train_step(state, rays, target)
+    assert float(stats["psnr"]) > 18
+    return model, state.params, ds
+
+
+def _eval_fn(model, params):
+    @jax.jit
+    def f(pts):
+        return model.apply(params, pts, method=model.eval_points_raw)
+
+    return f
+
+
+def _analytic_eval_fn(scene, sh_deg=0):
+    """eval_fn that bakes the analytic sphere scene: deg-0 SH coeffs whose
+    sigmoid-decode reproduces the scene color exactly."""
+    from nerf_projects_tpu.data.synthetic import scene_fields
+    from nerf_projects_tpu.ops.sh import SH_C0
+
+    def f(pts):
+        rgb, sigma = scene_fields(scene, pts)
+        rgb = jnp.clip(rgb, 1e-4, 1 - 1e-4)
+        coeffs = jnp.log(rgb / (1 - rgb)) / SH_C0  # sigmoid^-1 / C0
+        return coeffs, sigma[:, None]
+
+    return jax.jit(f)
+
+
+def _model_cube_march(model, params, rays_flat, tree, steps=400):
+    """Composite the raw model restricted to the tree's cube with the same
+    fixed-step march — the 'ideal extraction' image the tree should match."""
+    o = np.asarray(rays_flat.origins)
+    d = np.asarray(rays_flat.directions)
+    inv, off = tree.invradius, tree.offset
+    ot, dt_ = o * inv + off, d * inv
+    inv_d = 1.0 / np.where(np.abs(dt_) < 1e-12, 1e-12, dt_)
+    tlo, thi = (0 - ot) * inv_d, (1 - ot) * inv_d
+    t0 = np.maximum(np.max(np.minimum(tlo, thi), -1), 0)
+    t1 = np.maximum(np.min(np.maximum(tlo, thi), -1), t0)
+    ts = t0[:, None] + (t1 - t0)[:, None] * (np.arange(steps) + 0.5) / steps
+    dt_world = ((t1 - t0) / steps)[:, None] * np.linalg.norm(
+        d, axis=-1, keepdims=True
+    )
+    pw = (o[:, None, :] + ts[..., None] * d[:, None, :]).astype(np.float32)
+    eval_fn = _eval_fn(model, params)
+    P = pw.reshape(-1, 3)
+    coeffs, sigma = eval_fn(jnp.asarray(P))
+    R = o.shape[0]
+    sig = np.maximum(np.asarray(sigma)[:, 0], 0).reshape(R, steps)
+    basis_dim = np.asarray(coeffs).shape[-1] // 3
+    co = np.asarray(coeffs).reshape(R, steps, 3, basis_dim)
+    from nerf_projects_tpu.ops.sh import eval_sh_bases
+
+    basis = np.asarray(eval_sh_bases(basis_dim, rays_flat.viewdirs))
+    dec = np.einsum("rscb,rb->rsc", co, basis)
+    rgb = 1.0 / (1.0 + np.exp(-dec))
+    tau = sig * dt_world
+    T = np.exp(
+        -np.concatenate([np.zeros((R, 1)), np.cumsum(tau[:, :-1], 1)], 1)
+    )
+    w = T * (1 - np.exp(-tau))
+    img = (w[..., None] * rgb).sum(1) + (1 - w.sum(1))[:, None]
+    return img
+
+
+class TestExtraction:
+    def test_auto_scale_shrinks_to_scene(self, trained_sh_model):
+        model, params, ds = trained_sh_model
+        center, radius = auto_scale(
+            _eval_fn(model, params), (0, 0, 0), (1.5, 1.5, 1.5),
+            init_grid_depth=5, chunk=8192,
+        )
+        # synthetic spheres live within ~|x| <= 1
+        assert max(radius) < 1.5
+        assert max(abs(c) for c in center) < 0.6
+
+    def test_extract_analytic_scene_quality(self):
+        """Baking the analytic field must reproduce its renders (end-to-end
+        quality check independent of NeRF training pathologies)."""
+        ds = make_dataset(n_views=2, image_size=32)
+        tree = extract_octree(
+            _analytic_eval_fn(ds["scene"]),
+            center=(0, 0, 0),
+            radius=1.2,
+            data_dim=4,  # deg-0 SH
+            init_grid_depth=5,
+            alpha_thresh=0.005,
+            samples_per_cell=8,
+            chunk=16384,
+        )
+        assert tree.n_nodes > 9
+        img = _render_tree_image(tree, ds, 0)
+        mse = float(jnp.mean((img - ds["images"][0]) ** 2))
+        psnr = float(mse2psnr(mse))
+        assert psnr > 18, psnr
+
+    def test_extract_matches_model_in_cube(self, trained_sh_model):
+        """The tree render must match the model composited inside the same
+        cube (faithful extraction, whatever the model learned)."""
+        model, params, ds = trained_sh_model
+        tree = extract_octree(
+            _eval_fn(model, params),
+            center=(0, 0, 0),
+            radius=1.2,
+            data_dim=3 * 4 + 1,  # sh_deg 1
+            init_grid_depth=5,
+            alpha_thresh=0.01,
+            samples_per_cell=4,
+            chunk=16384,
+        )
+        assert tree.n_nodes > 9  # actually refined
+        H = W = 32
+        from nerf_projects_tpu.core.rays import camera_rays
+
+        rays = camera_rays(H, W, ds["intrinsics"], jnp.asarray(ds["poses"][0]))
+        flat = jax.tree_util.tree_map(lambda x: x.reshape(-1, 3), rays)
+        ideal = _model_cube_march(model, params, flat, tree)
+        img = np.asarray(_render_tree_image(tree, ds, 0)).reshape(-1, 3)
+        mse = float(np.mean((img - ideal) ** 2))
+        psnr = -10 * np.log10(mse)
+        assert psnr > 20, psnr
+
+    def test_grid_weight_render_marks_occupied(self):
+        reso = 32
+        sig = np.zeros((reso, reso, reso), np.float32)
+        sig[14:18, 14:18, 14:18] = 500.0  # solid block at center
+        K = np.array([[30.0, 0, 16], [0, 30.0, 16], [0, 0, 1]])
+        c2w = np.eye(4)
+        c2w[2, 3] = -2.5  # camera at z=-2.5 looking down -z... use +z block
+        # camera looks along -z; place it at +z
+        c2w = np.eye(4)
+        c2w[:3, :3] = np.diag([1, 1, 1])
+        c2w[2, 3] = 2.5
+        w = grid_weight_render(sig, c2w, K, 32, 32, step_size=5e-3)
+        assert w.max() > 0.5  # block got hit with high weight
+        # empty corner cells never beat the block
+        assert w[0, 0, 0] < 1e-3
+
+
+def _render_tree_image(tree, ds, view, step=2e-3):
+    H, W = ds["images"].shape[1:3]
+    rays = camera_rays(H, W, ds["intrinsics"], jnp.asarray(ds["poses"][view]))
+    flat = jax.tree_util.tree_map(lambda x: x.reshape(-1, 3), rays)
+    out = jax.jit(
+        lambda r: volume_render_octree(
+            tree, r, OctreeRenderOptions(step_size=step)
+        )["rgb"]
+    )(flat)
+    return out.reshape(H, W, 3)
+
+
+class TestFinetune:
+    def test_finetune_improves_psnr(self, trained_sh_model):
+        from nerf_projects_tpu.data.base import SceneData
+
+        model, params, ds = trained_sh_model
+        tree = extract_octree(
+            _eval_fn(model, params),
+            center=(0, 0, 0),
+            radius=1.2,
+            data_dim=13,
+            init_grid_depth=4,
+            samples_per_cell=4,
+            chunk=16384,
+        )
+        scene = SceneData(
+            images=np.asarray(ds["images"]),
+            poses=np.asarray(ds["poses"]),
+            intrinsics=ds["intrinsics"],
+            near=ds["near"],
+            far=ds["far"],
+        )
+        ft = OctreeFinetuner(
+            OctreeRenderOptions(step_size=4e-3),
+            optimizer="sgd",
+            lr=2e3,
+            chunk=4096,
+        )
+        before = ft.eval_psnr(tree, scene)
+        tree2 = ft.finetune(tree, scene, n_epochs=2)
+        after = ft.eval_psnr(tree2, scene)
+        assert after > before, (before, after)
+
+
+class TestCompression:
+    def test_median_cut_exact_for_few_colors(self):
+        rng = np.random.default_rng(0)
+        palette_true = rng.uniform(size=(4, 3)).astype(np.float32)
+        ids_true = rng.integers(0, 4, 1000)
+        vec = palette_true[ids_true]
+        palette, ids = median_cut(vec, 64)
+        recon = palette.astype(np.float32)[ids]
+        np.testing.assert_allclose(recon, vec, atol=1e-3)
+
+    def test_median_cut_respects_budget(self):
+        rng = np.random.default_rng(1)
+        vec = rng.standard_normal((500, 3)).astype(np.float32)
+        palette, ids = median_cut(vec, 16)
+        assert len(palette) <= 16
+        assert ids.max() < len(palette)
+
+    def test_compress_roundtrip_renders_close(self, trained_sh_model, tmp_path):
+        model, params, ds = trained_sh_model
+        tree = extract_octree(
+            _eval_fn(model, params),
+            center=(0, 0, 0),
+            radius=1.2,
+            data_dim=13,
+            init_grid_depth=4,
+            samples_per_cell=4,
+            chunk=16384,
+        )
+        path = str(tmp_path / "tree_c.npz")
+        stats = compress_octree(tree, path, n_colors=256, sigma_thresh=0.5)
+        assert stats["compression_ratio"] > 1.0
+        tree2 = load_compressed_octree(path)
+        a = _render_tree_image(tree, ds, 0, step=4e-3)
+        b = _render_tree_image(tree2, ds, 0, step=4e-3)
+        err = float(jnp.abs(a - b).mean())
+        assert err < 0.05, err
