@@ -32,6 +32,8 @@ class OctreeRenderOptions(NamedTuple):
     background_brightness: float = 1.0
     max_steps: Optional[int] = None
     sh_deg: Optional[int] = None    # None = infer from data_dim
+    color_mode: str = "sigmoid"     # "sigmoid" (PlenOctree) | "bias"
+                                    # (+0.5 clamp, svox2/Plenoxels export)
 
 
 def infer_sh_deg(data_dim: int) -> int:
@@ -92,7 +94,13 @@ def volume_render_octree(
         sigma = jax.nn.relu(vals[:, -1])
         sigma = jnp.where(valid & (sigma > opts.sigma_thresh), sigma, 0.0)
         coeffs = vals[:, : 3 * basis_dim].reshape(-1, 3, basis_dim)
-        rgb = jax.nn.sigmoid(jnp.einsum("rcb,rb->rc", coeffs, basis))
+        decoded = jnp.einsum("rcb,rb->rc", coeffs, basis)
+        if opts.color_mode == "sigmoid":
+            rgb = jax.nn.sigmoid(decoded)
+        elif opts.color_mode == "bias":
+            rgb = jnp.maximum(decoded + 0.5, 0.0)
+        else:
+            raise ValueError(f"unknown color_mode {opts.color_mode!r}")
 
         T = jnp.exp(log_T)
         active = T > opts.stop_thresh

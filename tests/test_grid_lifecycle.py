@@ -1,0 +1,129 @@
+"""Grid lifecycle tests: resample, dilate, skip grid, octree export."""
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_projects_tpu.core.rays import Rays
+from nerf_projects_tpu.models.grid_lifecycle import (
+    compute_skip_grid,
+    dilate_mask,
+    resample,
+    to_octree,
+)
+from nerf_projects_tpu.models.sparse_grid import SparseGrid
+from nerf_projects_tpu.ops.grid import GridRenderOptions, volume_render_grid
+from nerf_projects_tpu.ops.octree_render import (
+    OctreeRenderOptions,
+    volume_render_octree,
+)
+
+
+def _block_grid(reso=16, block=(5, 11), density=200.0, basis_dim=1):
+    """Grid with a solid axis-aligned block and uniform color."""
+    g = SparseGrid.create(reso, basis_dim=basis_dim, init_density=0.0)
+    links = np.asarray(g.links)
+    dens = np.zeros((g.capacity, 1), np.float32)
+    sh = np.zeros((g.capacity, 3 * basis_dim), np.float32)
+    lo, hi = block
+    sel = links[lo:hi, lo:hi, lo:hi].ravel()
+    dens[sel] = density
+    C0 = 0.28209479177387814
+    sh[:, 0] = (0.8 - 0.5) / C0
+    sh[:, basis_dim] = (0.4 - 0.5) / C0
+    sh[:, 2 * basis_dim] = (0.2 - 0.5) / C0
+    return replace(g, density_data=jnp.asarray(dens), sh_data=jnp.asarray(sh))
+
+
+class TestDilate:
+    def test_dilation_grows_by_one(self):
+        m = np.zeros((8, 8, 8), bool)
+        m[4, 4, 4] = True
+        d = dilate_mask(m, 1)
+        assert d.sum() == 27
+        assert d[3:6, 3:6, 3:6].all()
+
+    def test_zero_iterations_noop(self):
+        m = np.zeros((4, 4, 4), bool)
+        m[0, 0, 0] = True
+        np.testing.assert_array_equal(dilate_mask(m, 0), m)
+
+
+class TestSkipGrid:
+    def test_distances(self):
+        links = np.full((8, 8, 8), -1, np.int32)
+        links[4, 4, 4] = 0
+        skip = compute_skip_grid(links)
+        assert skip[4, 4, 4] == 0
+        assert skip[4, 4, 5] == 1
+        assert skip[0, 0, 0] == 4  # chebyshev distance
+
+    def test_full_grid_zero(self):
+        links = np.zeros((4, 4, 4), np.int32)
+        assert compute_skip_grid(links).max() == 0
+
+
+class TestResample:
+    def test_upsample_preserves_render(self):
+        g = _block_grid(16)
+        g2 = resample(g, 32, sigma_thresh=5.0, dilate=2)
+        assert g2.reso == (32, 32, 32)
+        assert g2.capacity < 32**3  # sparsified
+        d = jnp.asarray([[0.0, 0.0, 1.0]])
+        rays = Rays(jnp.asarray([[0.0, 0.0, -3.0]]), d, d)
+        a = volume_render_grid(g, rays, GridRenderOptions())
+        b = volume_render_grid(g2, rays, GridRenderOptions())
+        np.testing.assert_allclose(
+            np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=0.05
+        )
+
+    def test_upsample_keeps_occupied_region(self):
+        g = _block_grid(16, block=(5, 11))
+        g2 = resample(g, 32, sigma_thresh=5.0, dilate=0)
+        links2 = np.asarray(g2.links)
+        # the block [5,11) in 16^3 maps to ~[10,22) in 32^3
+        assert (links2[12:20, 12:20, 12:20] >= 0).all()
+        assert (links2[:4] == -1).all()
+
+    def test_weight_based_masking(self):
+        g = _block_grid(16)
+        K = np.array([[20.0, 0, 8], [0, 20.0, 8], [0, 0, 1]])
+        c2w = np.eye(4)
+        c2w[2, 3] = 3.0  # camera at +z looking -z (OpenGL)
+        cams = [(c2w, K, 16, 16)]
+        g2 = resample(
+            g, 24, cameras=cams, weight_thresh=0.005, dilate=1,
+        )
+        assert g2.capacity > 0
+        assert g2.capacity < 24**3
+
+    def test_max_elements_bound(self):
+        g = _block_grid(16)
+        K = np.array([[20.0, 0, 8], [0, 20.0, 8], [0, 0, 1]])
+        c2w = np.eye(4)
+        c2w[2, 3] = 3.0
+        g2 = resample(
+            g, 24, cameras=[(c2w, K, 16, 16)], weight_thresh=1e-6,
+            dilate=0, max_elements=100,
+        )
+        assert g2.capacity <= 100 * 27  # dilation 0: exactly <=100... plus ties
+        assert g2.capacity >= 1
+
+
+class TestOctreeExport:
+    def test_render_matches_grid(self):
+        g = _block_grid(16)
+        tree = to_octree(g, sigma_thresh=1.0)
+        assert tree.n_nodes > 1
+        d = jnp.asarray([[0.0, 0.0, 1.0]])
+        rays = Rays(jnp.asarray([[0.0, 0.0, -3.0]]), d, d)
+        a = volume_render_grid(g, rays, GridRenderOptions())
+        b = volume_render_octree(
+            tree, rays, OctreeRenderOptions(step_size=2e-3, sigma_thresh=0.0, color_mode="bias")
+        )
+        # svox1 (nearest-neighbor octree) vs trilinear grid: coarse match
+        np.testing.assert_allclose(
+            np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=0.12
+        )

@@ -1,0 +1,121 @@
+"""Observability tests: JSON logger, memory tracker, MCQ/FDR metrics."""
+import json
+import os
+from dataclasses import replace
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_projects_tpu.models.sparse_grid import SparseGrid
+from nerf_projects_tpu.obs.advanced_metrics import (
+    compute_all_advanced_metrics,
+    compute_fdr,
+    compute_mcq,
+)
+from nerf_projects_tpu.obs.json_logger import MetricsLogger
+from nerf_projects_tpu.obs.memory_tracker import MemoryTracker
+
+
+class TestJsonLogger:
+    def test_array_file_valid_json(self, tmp_path):
+        lg = MetricsLogger(str(tmp_path))
+        lg.log_training_step(1, {"loss": 0.5, "psnr": np.float32(20.0)}, 1e-3)
+        lg.log_evaluation_step(2, {"psnr": jnp.asarray(21.0)})
+        lg.log_octree_evaluation(3, {"psnr": 22.0}, {"note": "x"})
+        with open(lg.log_file) as f:
+            entries = json.load(f)
+        assert len(entries) == 3
+        assert entries[0]["phase"] == "training"
+        assert entries[0]["metrics"]["psnr"] == 20.0
+        assert isinstance(entries[1]["metrics"]["psnr"], float)
+        assert entries[2]["phase"] == "octree_evaluation"
+
+    def test_clean_existing(self, tmp_path):
+        lg = MetricsLogger(str(tmp_path))
+        lg.log_metrics(1, "training", {"a": 1})
+        lg2 = MetricsLogger(str(tmp_path), clean_existing=True)
+        assert lg2.read_entries() == []
+
+    def test_append_preserves(self, tmp_path):
+        lg = MetricsLogger(str(tmp_path))
+        lg.log_metrics(1, "training", {"a": 1})
+        lg2 = MetricsLogger(str(tmp_path), clean_existing=False)
+        lg2.log_metrics(2, "training", {"a": 2})
+        assert len(lg2.read_entries()) == 2
+
+
+class TestMemoryTracker:
+    def test_snapshot_and_metrics(self):
+        tr = MemoryTracker()
+        snap = tr.capture_snapshot(5)
+        m = tr.get_memory_metrics(snap)
+        assert m["process_rss_gb"] > 0
+        assert m["system_total_gb"] > 0
+
+    def test_efficiency_indices(self):
+        tr = MemoryTracker()
+        tr.peak_rss_gb = 2.0  # force a known memory value
+        idx = tr.calculate_efficiency_indices(
+            30.0, ssim=0.9, lpips=0.1,
+            storage_size_gb=0.5, compression_ratio=10.0, occupancy_ratio=0.2,
+        )
+        assert idx["memory_efficiency_index"] == pytest.approx(15.0)
+        assert idx["quality_memory_tradeoff"] == pytest.approx(13.5)
+        assert idx["lpips_memory_efficiency"] == pytest.approx(0.45)
+        assert idx["combined_quality_memory_index"] == pytest.approx(
+            30 * 0.9 * 0.9 / 2
+        )
+        assert idx["storage_aware_mei"] == pytest.approx(30 * 1.0 / 0.5)
+        assert idx["voxel_density_efficiency"] == pytest.approx(30 * 0.2 / 0.5)
+
+    def test_model_size_estimate(self):
+        tr = MemoryTracker()
+        params = {"w": jnp.zeros((10, 10)), "b": jnp.zeros((10,))}
+        est = tr.get_model_size_estimate(params)
+        assert est["param_count"] == 110
+        assert est["param_gb"] == pytest.approx(110 * 4 / 1e9)
+
+
+class TestAdvancedMetrics:
+    def test_mcq(self):
+        m = compute_mcq(30.0, 3072.0)
+        assert m["MCQ"] == pytest.approx(0.1)
+        assert m["peak_gpu_gb"] == pytest.approx(3.0)
+
+    def test_fdr_single_blob_no_floaters(self):
+        occ = np.zeros((32, 32, 32), bool)
+        occ[8:24, 8:24, 8:24] = True
+        r = compute_fdr(occupancy=occ, min_object_size=10)
+        assert r["FDR"] == 0.0
+        assert r["num_floaters"] == 0
+        assert r["num_components"] == 1
+
+    def test_fdr_detects_floaters(self):
+        occ = np.zeros((64, 64, 64), bool)
+        occ[8:40, 8:40, 8:40] = True  # main object, 32^3
+        occ[55, 55, 55] = True        # floater voxel
+        occ[60:62, 60:62, 60:62] = True  # another small floater
+        r = compute_fdr(occupancy=occ, min_object_size=100)
+        assert r["num_floaters"] == 2
+        assert r["floater_volume"] == 9
+        assert r["FDR"] == pytest.approx(9 / (32**3 + 9))
+        assert r["main_volume"] == 32**3
+
+    def test_fdr_on_sparse_grid(self):
+        g = SparseGrid.create(16, basis_dim=1, init_density=0.0)
+        links = np.asarray(g.links)
+        dens = np.zeros((g.capacity, 1), np.float32)
+        dens[links[4:12, 4:12, 4:12].ravel()] = 10.0
+        dens[links[15, 15, 15]] = 10.0
+        g = replace(g, density_data=jnp.asarray(dens))
+        r = compute_fdr(g, threshold=1.0, min_object_size=10)
+        assert r["num_floaters"] == 1
+        assert r["total_volume"] == 8**3 + 1
+
+    def test_all_metrics_bundle(self):
+        g = SparseGrid.create(8, basis_dim=1, init_density=1.0)
+        out = compute_all_advanced_metrics(
+            g, psnr=30.0, peak_memory_mb=1024.0, storage_bytes=10**9
+        )
+        assert "MCQ" in out and "FDR" in out and "SMEI" in out
