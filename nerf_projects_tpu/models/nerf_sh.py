@@ -107,6 +107,7 @@ class NeRFSHModel(nn.Module):
     lindisp: bool = False
     rgb_activation: Callable = nn.sigmoid
     sigma_activation: Callable = nn.relu
+    net_activation: Callable = nn.relu
     compute_dtype: Any = jnp.float32
 
     @property
@@ -130,6 +131,7 @@ class NeRFSHModel(nn.Module):
             skip_layer=self.skip_layer,
             num_rgb_channels=self.num_rgb_channels,
             num_sigma_channels=self.num_sigma_channels,
+            net_activation=self.net_activation,
             compute_dtype=self.compute_dtype,
         )
         self.mlp_coarse = mlp()
