@@ -29,6 +29,18 @@ from nerf_projects_tpu.train.nerf_sh_trainer import NeRFSHTrainer
 def evaluate(flags: NeRFSHFlags, *, trainer=None, state=None, scene=None):
     """Evaluate a checkpoint (or a passed-in trainer/state) on a test set."""
     if trainer is None:
+        # Restore architecture flags saved at training time when present.
+        import dataclasses as _dc
+
+        saved = os.path.join(flags.train_dir, "flags.json")
+        if os.path.exists(saved):
+            with open(saved) as f:
+                data = json.load(f)
+            keep = {"train_dir", "data_dir", "config", "chunk",
+                    "approx_eval_skip", "save_output", "eval_once"}
+            for field in _dc.fields(flags):
+                if field.name not in keep and field.name in data:
+                    setattr(flags, field.name, data[field.name])
         model = build_model(flags)
         trainer = NeRFSHTrainer(model, randomized=False)
         state = trainer.init_state(jax.random.PRNGKey(0))

@@ -1,0 +1,102 @@
+"""Plenoxels test-set renderer / metrics CLI.
+
+Parity target: reference svox2/opt/render_imgs.py (test-set
+PSNR/SSIM(/LPIPS), `--timing` FPS mode, saved renders) and
+calc_metrics.py (metrics from saved renders + optional advanced metrics
+from the checkpoint).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_projects_tpu.cli.train_plenoxels import _to_opencv_pose
+from nerf_projects_tpu.core.rays import camera_rays_opencv
+from nerf_projects_tpu.data.base import load_scene
+from nerf_projects_tpu.models.sparse_grid import SparseGrid
+from nerf_projects_tpu.obs.metrics import compute_metrics, to8b
+from nerf_projects_tpu.ops.grid import GridRenderOptions, volume_render_grid
+
+
+def render_grid_image(grid, scene, view, opts, chunk=16384):
+    fx, fy = float(scene.intrinsics[0, 0]), float(scene.intrinsics[1, 1])
+    cx, cy = float(scene.intrinsics[0, 2]), float(scene.intrinsics[1, 2])
+    rays = camera_rays_opencv(
+        scene.height, scene.width, fx, fy, cx, cy,
+        jnp.asarray(_to_opencv_pose(scene.poses[view], scene)),
+    )
+    flat = jax.tree_util.tree_map(lambda x: x.reshape(-1, 3), rays)
+    n = flat.origins.shape[0]
+    render = jax.jit(lambda r: volume_render_grid(grid, r, opts)["rgb"])
+    outs = []
+    for i in range(0, n, chunk):
+        sl = jax.tree_util.tree_map(lambda x: x[i : i + chunk], flat)
+        pad = chunk - sl.origins.shape[0]
+        if pad:
+            sl = jax.tree_util.tree_map(
+                lambda x: jnp.pad(x, ((0, pad), (0, 0)), mode="edge"), sl
+            )
+        rgb = render(sl)
+        outs.append(rgb[: chunk - pad] if pad else rgb)
+    return jnp.concatenate(outs).reshape(scene.height, scene.width, 3)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Render/evaluate a Plenoxels grid")
+    p.add_argument("ckpt", type=str, help="grid npz checkpoint")
+    p.add_argument("data_dir", type=str)
+    p.add_argument("--split", default="test")
+    p.add_argument("--out_dir", default=None)
+    p.add_argument("--step_size", type=float, default=0.5)
+    p.add_argument("--timing", action="store_true",
+                   help="FPS benchmark mode (no metrics/saving)")
+    p.add_argument("--chunk", type=int, default=16384)
+    p.add_argument("--n_images", type=int, default=0, help="0 = all")
+    args = p.parse_args(argv)
+
+    grid = SparseGrid.load(args.ckpt)
+    scene = load_scene(args.data_dir, args.split)
+    opts = GridRenderOptions(step_size=args.step_size)
+    n = scene.images.shape[0] if not args.n_images else min(
+        args.n_images, scene.images.shape[0]
+    )
+
+    if args.timing:
+        # warmup/compile
+        render_grid_image(grid, scene, 0, opts, args.chunk).block_until_ready()
+        t0 = time.time()
+        for v in range(n):
+            img = render_grid_image(grid, scene, v, opts, args.chunk)
+        jax.block_until_ready(img)
+        dt = time.time() - t0
+        print(json.dumps({"fps": n / dt, "sec_per_image": dt / n}))
+        return
+
+    results = []
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+    for v in range(n):
+        img = render_grid_image(grid, scene, v, opts, args.chunk)
+        results.append(compute_metrics(img, scene.images[v]))
+        if args.out_dir:
+            import imageio.v2 as imageio
+
+            imageio.imwrite(
+                os.path.join(args.out_dir, f"{v:04d}.png"),
+                to8b(np.asarray(img)),
+            )
+    mean = {k: float(np.mean([r[k] for r in results])) for k in results[0]}
+    if args.out_dir:
+        with open(os.path.join(args.out_dir, "metrics.json"), "w") as f:
+            json.dump({"mean": mean, "per_image": results}, f, indent=2)
+    print(json.dumps(mean))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,10 @@ def train_main(flags: NeRFSHFlags, *, scene=None, test_scene=None,
             test_scene = scene
 
     os.makedirs(flags.train_dir, exist_ok=True)
+    # Persist the resolved flags so downstream tools (eval, octree
+    # extraction) reconstruct the exact same model architecture.
+    with open(os.path.join(flags.train_dir, "flags.json"), "w") as f:
+        json.dump(dataclasses.asdict(flags), f, indent=2)
     model = build_model(flags)
     trainer = NeRFSHTrainer(
         model,

@@ -1,0 +1,286 @@
+"""Plenoxels optimization CLI — the svox2/opt/opt.py equivalent.
+
+Parity target: reference svox2/opt/opt.py —
+  * the argument groups (general / optimization / losses / logging) with
+    the reference names and defaults (:42-273), plus JSON config merge;
+  * grid init: z-order layout, sphere bound, init_sigma (:311-327);
+  * epoch loop (:395-898): shuffled ray batches, fused render+grad+
+    RMSprop steps, TV regularization, periodic eval with PSNR + memory
+    telemetry + optional MCQ/FDR, progressive `reso` upsampling schedule
+    with tv_early_only, checkpoint save, final time_mins.txt.
+
+The fused CUDA path of the reference is the jitted train_step of
+PlenoxelsTrainer (render -> MSE grad -> TV grad -> RMSprop in one XLA
+program). Topology events (resample) re-jit between epochs.
+"""
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import os
+import time
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_projects_tpu.core.rays import camera_rays_opencv
+from nerf_projects_tpu.data.base import load_scene
+from nerf_projects_tpu.models.grid_lifecycle import resample
+from nerf_projects_tpu.models.sparse_grid import SparseGrid
+from nerf_projects_tpu.obs.advanced_metrics import compute_fdr, compute_mcq
+from nerf_projects_tpu.obs.json_logger import MetricsLogger
+from nerf_projects_tpu.obs.memory_tracker import MemoryTracker
+from nerf_projects_tpu.obs.metrics import compute_metrics
+from nerf_projects_tpu.ops.grid import GridRenderOptions, volume_render_grid
+from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
+from nerf_projects_tpu.utils.config import maybe_merge_config_file, save_args_snapshot
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Plenoxels optimization (TPU)")
+    g = parser.add_argument_group("general")
+    g.add_argument("data_dir", type=str, nargs="?", default=None)
+    g.add_argument("--train_dir", "-t", type=str, default="ckpt")
+    g.add_argument("--config", "-c", type=str, default=None)
+    g.add_argument("--reso", type=str,
+                   default="[[256, 256, 256], [512, 512, 512]]",
+                   help="list of grid resolution steps (python literal)")
+    g.add_argument("--upsamp_every", type=int, default=3 * 12800)
+    g.add_argument("--init_iters", type=int, default=0)
+    g.add_argument("--upsample_density_add", type=float, default=0.0)
+    g.add_argument("--sh_dim", type=int, default=9)
+    g.add_argument("--scene_radius", type=float, default=1.5)
+    g = parser.add_argument_group("optimization")
+    g.add_argument("--n_iters", type=int, default=10 * 12800)
+    g.add_argument("--batch_size", type=int, default=5000)
+    g.add_argument("--sigma_optim", choices=["sgd", "rmsprop"], default="rmsprop")
+    g.add_argument("--lr_sigma", type=float, default=3e1)
+    g.add_argument("--lr_sigma_final", type=float, default=5e-2)
+    g.add_argument("--lr_sigma_decay_steps", type=int, default=250000)
+    g.add_argument("--lr_sigma_delay_steps", type=int, default=15000)
+    g.add_argument("--lr_sigma_delay_mult", type=float, default=1e-2)
+    g.add_argument("--sh_optim", choices=["sgd", "rmsprop"], default="rmsprop")
+    g.add_argument("--lr_sh", type=float, default=1e-2)
+    g.add_argument("--lr_sh_final", type=float, default=5e-6)
+    g.add_argument("--lr_sh_decay_steps", type=int, default=250000)
+    g.add_argument("--rms_beta", type=float, default=0.95)
+    g.add_argument("--print_every", type=int, default=20)
+    g.add_argument("--save_every", type=int, default=5)
+    g.add_argument("--eval_every", type=int, default=1)
+    g.add_argument("--init_sigma", type=float, default=0.1)
+    g = parser.add_argument_group("losses")
+    g.add_argument("--lambda_tv", type=float, default=1e-5)
+    g.add_argument("--lambda_tv_sh", type=float, default=1e-3)
+    g.add_argument("--tv_early_only", type=int, default=1,
+                   help="disable TV after the first upsample")
+    g.add_argument("--density_thresh", type=float, default=5.0)
+    g.add_argument("--weight_thresh", type=float, default=0.0005 * 512)
+    g.add_argument("--max_grid_elements", type=int, default=44_000_000)
+    g.add_argument("--thresh_type", choices=["weight", "sigma"], default="weight")
+    g = parser.add_argument_group("rendering")
+    g.add_argument("--step_size", type=float, default=0.5)
+    g.add_argument("--sigma_thresh", type=float, default=1e-8)
+    g.add_argument("--stop_thresh", type=float, default=1e-7)
+    g.add_argument("--background_brightness", type=float, default=1.0)
+    g = parser.add_argument_group("logging")
+    g.add_argument("--log_mse_image", action="store_true", default=False)
+    g.add_argument("--log_depth_map", action="store_true", default=False)
+    g.add_argument("--log_advanced_metrics", action="store_true", default=False)
+    g.add_argument("--log_fdr", action="store_true", default=False)
+    return parser
+
+
+def _to_opencv_pose(c2w: np.ndarray, scene) -> np.ndarray:
+    """Convert an OpenGL-convention c2w (-z forward, +y up — how our
+    loaders store poses) to OpenCV (+z forward, +y down), the convention
+    the Plenoxels path renders with (svox2 nerf_dataset.py applies the
+    same diag(1,-1,-1) flip to blender poses)."""
+    if scene.meta.get("convention", "opengl") == "opencv":
+        return np.asarray(c2w)
+    out = np.asarray(c2w, np.float64).copy()
+    out[:3, 1] *= -1.0
+    out[:3, 2] *= -1.0
+    return out.astype(np.float32)
+
+
+def build_ray_pool_opencv(scene):
+    """Rays for every pixel of every train view, OpenCV convention
+    (dataset_base.py:37-76)."""
+    fx = float(scene.intrinsics[0, 0])
+    fy = float(scene.intrinsics[1, 1])
+    cx = float(scene.intrinsics[0, 2])
+    cy = float(scene.intrinsics[1, 2])
+    all_rays, all_rgb = [], []
+    for v in range(scene.images.shape[0]):
+        rays = camera_rays_opencv(
+            scene.height, scene.width, fx, fy, cx, cy,
+            jnp.asarray(_to_opencv_pose(scene.poses[v], scene)),
+        )
+        all_rays.append(jax.tree_util.tree_map(lambda x: x.reshape(-1, 3), rays))
+        all_rgb.append(jnp.asarray(scene.images[v].reshape(-1, 3)))
+    pool = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *all_rays)
+    return pool, jnp.concatenate(all_rgb)
+
+
+def eval_step(trainer, grid, scene, max_views=2, chunk=4096):
+    """Test-view PSNR (opt.py eval_step, without TB image dumps)."""
+    psnrs = []
+    fx = float(scene.intrinsics[0, 0])
+    fy = float(scene.intrinsics[1, 1])
+    cx = float(scene.intrinsics[0, 2])
+    cy = float(scene.intrinsics[1, 2])
+    for v in range(min(scene.images.shape[0], max_views)):
+        rays = camera_rays_opencv(
+            scene.height, scene.width, fx, fy, cx, cy,
+            jnp.asarray(_to_opencv_pose(scene.poses[v], scene)),
+        )
+        flat = jax.tree_util.tree_map(lambda x: x.reshape(-1, 3), rays)
+        n = flat.origins.shape[0]
+        outs = []
+        for i in range(0, n, chunk):
+            sl = jax.tree_util.tree_map(lambda x: x[i : i + chunk], flat)
+            pad = chunk - sl.origins.shape[0]
+            if pad:
+                sl = jax.tree_util.tree_map(
+                    lambda x: jnp.pad(x, ((0, pad), (0, 0)), mode="edge"), sl
+                )
+            rgb = trainer.render_step(grid, sl)["rgb"]
+            outs.append(rgb[: chunk - pad] if pad else rgb)
+        img = jnp.concatenate(outs).reshape(scene.height, scene.width, 3)
+        m = compute_metrics(img, scene.images[v])
+        psnrs.append(m["psnr"])
+    return float(np.mean(psnrs))
+
+
+def run(args, *, scene=None, test_scene=None, max_iters=None):
+    if scene is None:
+        scene = load_scene(args.data_dir, "train")
+        try:
+            test_scene = load_scene(args.data_dir, "test")
+        except Exception:
+            test_scene = scene
+    os.makedirs(args.train_dir, exist_ok=True)
+    save_args_snapshot(args, args.train_dir)
+
+    reso_schedule = ast.literal_eval(args.reso)
+    reso_idx = 0
+    grid = SparseGrid.create(
+        tuple(reso_schedule[0]),
+        basis_dim=args.sh_dim,
+        radius=args.scene_radius,
+        use_sphere_bound=True,
+        use_z_order=True,
+        init_density=args.init_sigma,
+    )
+    opts = GridRenderOptions(
+        step_size=args.step_size,
+        sigma_thresh=args.sigma_thresh,
+        stop_thresh=args.stop_thresh,
+        background_brightness=args.background_brightness,
+    )
+
+    def make_trainer(tv_on=True):
+        return PlenoxelsTrainer(
+            opts,
+            n_iters=args.lr_sigma_decay_steps,
+            lr_sigma=args.lr_sigma,
+            lr_sigma_final=args.lr_sigma_final,
+            lr_sigma_delay_steps=args.lr_sigma_delay_steps,
+            lr_sigma_delay_mult=args.lr_sigma_delay_mult,
+            lr_sh=args.lr_sh,
+            lr_sh_final=args.lr_sh_final,
+            lambda_tv=args.lambda_tv if tv_on else 0.0,
+            lambda_tv_sh=args.lambda_tv_sh if tv_on else 0.0,
+            rms_beta=args.rms_beta,
+        )
+
+    trainer = make_trainer(True)
+    rms = trainer.init_rms(grid)
+    nbr = trainer.prepare(grid)
+
+    pool, pixels = build_ray_pool_opencv(scene)
+    n_pool = pixels.shape[0]
+
+    @jax.jit
+    def draw(key):
+        idx = jax.random.randint(key, (args.batch_size,), 0, n_pool)
+        return jax.tree_util.tree_map(lambda x: x[idx], pool), pixels[idx]
+
+    logger = MetricsLogger(args.train_dir)
+    tracker = MemoryTracker()
+    t_start = time.time()
+    key = jax.random.PRNGKey(20200823)
+    n_iters = max_iters if max_iters is not None else args.n_iters
+
+    cameras = [
+        (scene.poses[v], scene.intrinsics, scene.height, scene.width)
+        for v in range(scene.images.shape[0])
+    ]
+    upsampled = False
+    for step in range(1, n_iters + 1):
+        key, sub = jax.random.split(key)
+        rays, target = draw(sub)
+        grid, rms, stats = trainer.train_step(
+            grid, rms, nbr, rays, target, jnp.asarray(step, jnp.float32)
+        )
+        if step % args.print_every == 0:
+            snap = tracker.capture_snapshot(step)
+            logger.log_training_step(
+                step,
+                {k: float(v) for k, v in stats.items()},
+                float(trainer.lr_sigma_fn(step)),
+                memory_metrics=tracker.get_memory_metrics(snap),
+            )
+        # progressive upsampling (opt.py:855-887)
+        if (
+            step % args.upsamp_every == 0
+            and reso_idx + 1 < len(reso_schedule)
+        ):
+            reso_idx += 1
+            kwargs = dict(dilate=2, max_elements=args.max_grid_elements)
+            if args.thresh_type == "weight":
+                kwargs.update(cameras=cameras,
+                              weight_thresh=args.weight_thresh / 512)
+            else:
+                kwargs.update(sigma_thresh=args.density_thresh)
+            grid = resample(grid, tuple(reso_schedule[reso_idx]), **kwargs)
+            if args.upsample_density_add:
+                grid = replace(
+                    grid,
+                    density_data=grid.density_data + args.upsample_density_add,
+                )
+            upsampled = True
+            if args.tv_early_only:
+                trainer = make_trainer(tv_on=False)
+            rms = trainer.init_rms(grid)
+            nbr = trainer.prepare(grid)
+    # final eval + save (opt.py:889-898)
+    psnr = eval_step(trainer, grid, test_scene or scene)
+    grid.save(os.path.join(args.train_dir, "ckpt.npz"))
+    mins = (time.time() - t_start) / 60.0
+    with open(os.path.join(args.train_dir, "time_mins.txt"), "w") as f:
+        f.write(f"{mins:.4f}\n")
+    with open(os.path.join(args.train_dir, "test_psnr.txt"), "w") as f:
+        f.write(f"{psnr:.4f}\n")
+    result = {"psnr": psnr, "time_mins": mins, "capacity": grid.capacity}
+    if args.log_advanced_metrics or args.log_fdr:
+        mem = tracker.get_memory_metrics()
+        result.update(compute_mcq(psnr, mem["device_peak_memory_gb"] * 1024))
+        result.update(compute_fdr(grid, threshold=0.01, min_object_size=100))
+    logger.log_evaluation_step(n_iters, {"psnr": psnr})
+    return grid, trainer, result
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    args = maybe_merge_config_file(args)
+    _, _, result = run(args)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

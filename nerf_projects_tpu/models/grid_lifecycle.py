@@ -166,6 +166,13 @@ def resample(
     else:
         mask = (density_new[:, 0] >= sigma_thresh).reshape(new_reso)
     mask = dilate_mask(mask, dilate)
+    if not mask.any():
+        # Degenerate threshold: keep the single densest cell so the grid
+        # stays renderable (the reference would crash downstream instead).
+        flat = np.argmax(density_new[:, 0])
+        mask = mask.reshape(-1)
+        mask[flat] = True
+        mask = mask.reshape(new_reso)
 
     # Rebuild links + compact arrays.
     n_active = int(mask.sum())
