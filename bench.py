@@ -41,6 +41,7 @@ def main():
         near=2.0,
         far=6.0,
         compute_dtype=jnp.bfloat16,
+        use_fused_mlp=True,
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
 

@@ -227,3 +227,26 @@ def spherical_pose_path(n_poses: int = 40, phi: float = -30.0, radius: float = 4
     """The reference's 40-pose render path (load_blender.py:80-84)."""
     thetas = np.linspace(-180.0, 180.0, n_poses + 1)[:-1]
     return np.stack([pose_spherical(t, phi, radius) for t in thetas], axis=0)
+
+
+def equirect_rays(height: int, width: int, c2w: np.ndarray) -> "Rays":
+    """360° equirectangular rays (reference nerf_sh/nerf/utils.py:591-624).
+
+    Longitude spans [-pi, pi] over width, latitude [-pi/2, pi/2] over
+    height; directions rotated by c2w, origins at the camera center.
+    """
+    c2w = jnp.asarray(c2w)
+    x, y = _pixel_grid(height, width)
+    lon = (x / width - 0.5) * 2.0 * jnp.pi
+    lat = -(y / height - 0.5) * jnp.pi
+    dirs_cam = jnp.stack(
+        [
+            jnp.cos(lat) * jnp.sin(lon),
+            jnp.sin(lat),
+            -jnp.cos(lat) * jnp.cos(lon),
+        ],
+        axis=-1,
+    )
+    directions = dirs_cam @ c2w[:3, :3].T
+    origins = jnp.broadcast_to(c2w[:3, -1], directions.shape)
+    return Rays(origins=origins, directions=directions, viewdirs=directions)

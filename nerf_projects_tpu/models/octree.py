@@ -91,9 +91,27 @@ class PlenOctree:
         """Per-leaf depth and unit-cube lower corner + size.
 
         Returns (cells [L,4], depth [L], corner [L,3], size [L]).
-        Computed by walking the tree top-down on the host.
+        Computed by walking the tree top-down on the host — via the C++
+        native op when available (utils/native.py), else pure Python.
         """
         child = np.asarray(self.child)
+        try:
+            from nerf_projects_tpu.utils import native
+
+            res = native.octree_leaf_geometry(child)
+        except Exception:
+            res = None
+        if res is not None:
+            depth_c, corner_c, size_c, is_leaf = res
+            cells = self.leaf_cells()
+            n, i, j, k = cells.T
+            cell_flat = i * 4 + j * 2 + k
+            return (
+                cells,
+                depth_c[n, cell_flat],
+                corner_c[n, cell_flat],
+                size_c[n, cell_flat],
+            )
         n_nodes = child.shape[0]
         node_depth = np.zeros(n_nodes, np.int32)
         node_corner = np.zeros((n_nodes, 3), np.float64)

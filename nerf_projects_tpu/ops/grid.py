@@ -40,6 +40,7 @@ class GridRenderOptions(NamedTuple):
     near_clip: float = 0.0
     background_brightness: float = 1.0  # 1 = white, 0 = black
     max_steps: Optional[int] = None  # static march length; default = diag
+    backend: str = "cuvol"          # cuvol | nvol | svox1 (svox2.py:48)
 
 
 def _gather_corner(data: jnp.ndarray, links: jnp.ndarray, idx):
@@ -107,11 +108,18 @@ def volume_render_grid(
     opts: GridRenderOptions = GridRenderOptions(),
     *,
     return_depth: bool = False,
+    occupancy=None,
+    active_steps: Optional[int] = None,
 ):
     """Render [R] rays against the grid. Returns dict(rgb [R,3], ...).
 
     Fixed `max_steps` march with masked accumulation — the TPU replacement
     for the reference's data-dependent while loop + early termination.
+
+    occupancy: optional ops.grid_accel.OccupancyGrid; the march interval
+    shrinks per ray to the occupied span (exact — the bitmap is a
+    conservative superset), and `active_steps` (default max_steps) bounds
+    the step budget spent inside it.
     """
     reso = jnp.asarray(grid.reso, jnp.float32)
     scale = reso * 0.5 / jnp.asarray(grid.radius)
@@ -134,19 +142,37 @@ def volume_render_grid(
     t0 = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
     t1 = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
     t0 = jnp.maximum(t0, opts.near_clip / jnp.maximum(world_len, 1e-12))
+
+    if occupancy is not None:
+        from nerf_projects_tpu.ops.grid_accel import active_t_range
+
+        t0, t1 = active_t_range(occupancy, origins_g, dirs_g, t0, t1)
     hit = t1 > t0
 
     max_steps = opts.max_steps or default_max_steps(grid, opts.step_size)
+    if occupancy is not None and active_steps is not None:
+        max_steps = min(max_steps, active_steps)
     step_idx = jnp.arange(max_steps, dtype=jnp.float32)
     t = t0[:, None] + step_idx[None, :] * dt[:, None]  # [R, S]
     in_bounds = (t < t1[:, None]) & hit[:, None]
 
     gpts = origins_g[:, None, :] + t[..., None] * dirs_g[:, None, :]
-    density = trilerp(grid, grid.density_data, gpts)[..., 0]  # [R, S]
+    if opts.backend == "svox1":
+        # nearest-neighbor lookup (PlenOctree-compat backend,
+        # render_svox1_kernel.cu) — round to the nearest sample point.
+        reso_i = jnp.asarray(grid.reso)
+        cell = jnp.clip(jnp.round(gpts).astype(jnp.int32), 0, reso_i - 1)
+        link = grid.links[cell[..., 0], cell[..., 1], cell[..., 2]]
+        safe = jnp.maximum(link, 0)
+        density = jnp.where(link >= 0, grid.density_data[safe][..., 0], 0.0)
+        sh_coeffs = jnp.where(
+            (link >= 0)[..., None], grid.sh_data[safe], 0.0
+        )
+    else:
+        density = trilerp(grid, grid.density_data, gpts)[..., 0]  # [R, S]
+        sh_coeffs = trilerp(grid, grid.sh_data, gpts)  # [R, S, 3*B]
     density = jnp.where(in_bounds, density, 0.0)
     density = jnp.where(density > opts.sigma_thresh, density, 0.0)
-
-    sh_coeffs = trilerp(grid, grid.sh_data, gpts)  # [R, S, 3*B]
     basis = eval_sh_bases(grid.basis_dim, rays.viewdirs)  # [R, B]
     coeffs = sh_coeffs.reshape(sh_coeffs.shape[:-1] + (3, grid.basis_dim))
     rgb_raw = jnp.einsum("rscb,rb->rsc", coeffs, basis)
@@ -154,16 +180,27 @@ def volume_render_grid(
 
     # Compositing with early termination as a transmittance mask.
     tau = density * step_world[:, None]  # optical depth per step
-    log_T = jnp.concatenate(
-        [jnp.zeros_like(tau[:, :1]), jnp.cumsum(tau[:, :-1], axis=-1)],
-        axis=-1,
-    )
-    T = jnp.exp(-log_T)
-    alpha = 1.0 - jnp.exp(-tau)
-    # stop_thresh: zero out contributions after transmittance drops below
-    # threshold (the reference breaks out of the loop there).
-    active = T > opts.stop_thresh
-    weights = jnp.where(active, T * alpha, 0.0)
+    if opts.backend == "nvol":
+        # Neural-Volumes formula (render_lerp_kernel_nvol.cu): ABSOLUTE
+        # transmittance total_alpha = min(cumsum(1 - exp(-tau)), 1);
+        # weight_i = total_alpha_i - total_alpha_{i-1}.
+        a = 1.0 - jnp.exp(-tau)
+        cum = jnp.minimum(jnp.cumsum(a, axis=-1), 1.0)
+        prev = jnp.concatenate(
+            [jnp.zeros_like(cum[:, :1]), cum[:, :-1]], axis=-1
+        )
+        weights = cum - prev
+    else:
+        log_T = jnp.concatenate(
+            [jnp.zeros_like(tau[:, :1]), jnp.cumsum(tau[:, :-1], axis=-1)],
+            axis=-1,
+        )
+        T = jnp.exp(-log_T)
+        alpha = 1.0 - jnp.exp(-tau)
+        # stop_thresh: zero out contributions after transmittance drops
+        # below threshold (the reference breaks out of the loop there).
+        active = T > opts.stop_thresh
+        weights = jnp.where(active, T * alpha, 0.0)
 
     out_rgb = jnp.einsum("rs,rsc->rc", weights, rgb)
     acc = jnp.sum(weights, axis=-1)

@@ -1,0 +1,384 @@
+"""Fully-fused NeRF MLP — Pallas TPU kernel.
+
+Why: profiling the flagship train step (bench.py workload) shows it is
+HBM-bandwidth bound: every MLP layer round-trips [N, 256] activations
+through HBM (~1.6 GB/step forward, ~2x that backward), capping MXU
+utilization near 27%. All of the NeRF MLP's weights total ~1.3 MB in
+bf16 — they fit in VMEM with room to spare. This kernel keeps the whole
+8-layer trunk + heads resident in VMEM and streams only the encoded
+inputs in and the 4-channel raw outputs out, the same design the
+reference's CUDA ecosystem uses for its fastest MLPs and the Pallas
+equivalent of fusing the entire `run_network` (notebook cell 15).
+
+Forward: grid over row tiles; each program runs every layer on its tile.
+Backward (custom VJP): NeRF's MLP inputs carry no gradient (sample
+positions are stop-gradient w.r.t. params), so only WEIGHT gradients are
+needed. The backward kernel recomputes the forward per tile in VMEM
+(activations never hit HBM either way) and accumulates dW/db into
+grid-invariant output blocks — TPU grids execute sequentially, so
+accumulation across programs is race-free.
+
+Architecture fused (models/nerf.py NeRFMLP, use_viewdirs=True, D=8,
+W=256, skip at 4): trunk_0..7 with input concat after trunk_4's relu,
+sigma head, bottleneck, one W/2 view layer, rgb head. Feature dims are
+padded to lane multiples: pts 63->64, views 27->32, heads to 128.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 512  # rows per program
+
+# set True to run kernels in interpreter mode (CPU testing)
+INTERPRET = False
+
+
+class FusedMLPWeights(NamedTuple):
+    """Padded bf16 weights/biases. Names mirror models/nerf.py."""
+
+    w0: jnp.ndarray    # [64, 256]
+    w1: jnp.ndarray    # [256, 256]
+    w2: jnp.ndarray
+    w3: jnp.ndarray
+    w4: jnp.ndarray
+    w5: jnp.ndarray    # [320, 256] (input-first concat)
+    w6: jnp.ndarray
+    w7: jnp.ndarray
+    wsig: jnp.ndarray  # [256, 128] col 0 live
+    wb: jnp.ndarray    # [256, 256]
+    wv: jnp.ndarray    # [288, 128]
+    wrgb: jnp.ndarray  # [128, 128] cols 0..2 live
+    b0: jnp.ndarray    # [1, 256] ...
+    b1: jnp.ndarray
+    b2: jnp.ndarray
+    b3: jnp.ndarray
+    b4: jnp.ndarray
+    b5: jnp.ndarray
+    b6: jnp.ndarray
+    b7: jnp.ndarray
+    bsig: jnp.ndarray  # [1, 128]
+    bb: jnp.ndarray    # [1, 256]
+    bv: jnp.ndarray    # [1, 128]
+    brgb: jnp.ndarray  # [1, 128]
+
+
+_TRUNK = ["trunk_0", "trunk_1", "trunk_2", "trunk_3", "trunk_4",
+          "trunk_5", "trunk_6", "trunk_7"]
+
+
+def _pad_to(x, rows=None, cols=None):
+    r = rows if rows is not None else x.shape[0]
+    c = cols if cols is not None else x.shape[-1]
+    if x.ndim == 1:
+        out = jnp.zeros((c,), x.dtype).at[: x.shape[0]].set(x)
+        return out
+    out = jnp.zeros((r, c), x.dtype)
+    return out.at[: x.shape[0], : x.shape[1]].set(x)
+
+
+def pack_params(flax_params, dtype=jnp.bfloat16) -> FusedMLPWeights:
+    """Flax NeRFMLP params -> padded kernel weights."""
+    p = flax_params["params"] if "params" in flax_params else flax_params
+
+    def kb(name, rpad, cpad):
+        k = jnp.asarray(p[name]["kernel"])
+        b = jnp.asarray(p[name]["bias"])
+        return (
+            _pad_to(k, rpad, cpad).astype(dtype),
+            _pad_to(b[None, :], 1, cpad).astype(dtype),
+        )
+
+    w0, b0 = kb("trunk_0", 64, 256)
+    w1, b1 = kb("trunk_1", 256, 256)
+    w2, b2 = kb("trunk_2", 256, 256)
+    w3, b3 = kb("trunk_3", 256, 256)
+    w4, b4 = kb("trunk_4", 256, 256)
+    # trunk_5 consumes concat([x(63), h(256)]) -> rows [63+256=319];
+    # padded layout: [64 input rows (63 live), 256 h rows] = 320.
+    k5 = jnp.asarray(p["trunk_5"]["kernel"])
+    w5 = jnp.zeros((320, 256), dtype)
+    w5 = w5.at[:63].set(k5[:63].astype(dtype))
+    w5 = w5.at[64:320].set(k5[63:319].astype(dtype))
+    b5 = _pad_to(jnp.asarray(p["trunk_5"]["bias"])[None, :], 1, 256).astype(dtype)
+    w6, b6 = kb("trunk_6", 256, 256)
+    w7, b7 = kb("trunk_7", 256, 256)
+    wsig, bsig = kb("sigma_head", 256, 128)
+    wb, bb = kb("bottleneck", 256, 256)
+    # view_0 consumes concat([bottleneck(256), views(27)]) -> padded
+    # [256 + 32] = 288 rows (views rows 256..282 live).
+    kv = jnp.asarray(p["view_0"]["kernel"])
+    wv = jnp.zeros((288, 128), dtype)
+    wv = wv.at[:256].set(kv[:256].astype(dtype))
+    wv = wv.at[256 : 256 + 27].set(kv[256:283].astype(dtype))
+    bv = _pad_to(jnp.asarray(p["view_0"]["bias"])[None, :], 1, 128).astype(dtype)
+    wrgb, brgb = kb("rgb_head", 128, 128)
+    return FusedMLPWeights(
+        w0, w1, w2, w3, w4, w5, w6, w7, wsig, wb, wv, wrgb,
+        b0, b1, b2, b3, b4, b5, b6, b7, bsig, bb, bv, brgb,
+    )
+
+
+def unpack_grads(g: FusedMLPWeights, flax_params):
+    """Padded weight grads -> flax param-tree grads (fp32)."""
+    p = flax_params["params"] if "params" in flax_params else flax_params
+    out = {}
+
+    def put(name, k, b):
+        shp = p[name]["kernel"].shape
+        out[name] = {
+            "kernel": k[: shp[0], : shp[1]].astype(jnp.float32),
+            "bias": b[0, : shp[1]].astype(jnp.float32),
+        }
+
+    put("trunk_0", g.w0, g.b0)
+    put("trunk_1", g.w1, g.b1)
+    put("trunk_2", g.w2, g.b2)
+    put("trunk_3", g.w3, g.b3)
+    put("trunk_4", g.w4, g.b4)
+    k5 = jnp.concatenate([g.w5[:63], g.w5[64:320]], axis=0)
+    out["trunk_5"] = {
+        "kernel": k5[:, :256].astype(jnp.float32),
+        "bias": g.b5[0, :256].astype(jnp.float32),
+    }
+    put("trunk_6", g.w6, g.b6)
+    put("trunk_7", g.w7, g.b7)
+    put("sigma_head", g.wsig, g.bsig)
+    put("bottleneck", g.wb, g.bb)
+    kv = jnp.concatenate([g.wv[:256], g.wv[256 : 256 + 27]], axis=0)
+    out["view_0"] = {
+        "kernel": kv[:, :128].astype(jnp.float32),
+        "bias": g.bv[0, :128].astype(jnp.float32),
+    }
+    put("rgb_head", g.wrgb, g.brgb)
+    return {"params": out} if "params" in flax_params else out
+
+
+def _mm(a, w):
+    return jnp.dot(
+        a.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+
+
+def _fwd_tile(x, v, W):
+    """Forward for one [T, 64]/[T, 32] tile; returns activations dict."""
+    acts = {}
+    h = jnp.maximum(_mm(x, W.w0) + W.b0.astype(jnp.float32), 0.0)
+    acts["a0"] = h
+    for i, (w, b) in enumerate(
+        [(W.w1, W.b1), (W.w2, W.b2), (W.w3, W.b3), (W.w4, W.b4)], start=1
+    ):
+        h = jnp.maximum(_mm(h, w) + b.astype(jnp.float32), 0.0)
+        acts[f"a{i}"] = h
+    cat = jnp.concatenate([x.astype(jnp.float32), h], axis=-1)  # [T, 320]
+    acts["cat"] = cat
+    h = jnp.maximum(_mm(cat, W.w5) + W.b5.astype(jnp.float32), 0.0)
+    acts["a5"] = h
+    h = jnp.maximum(_mm(h, W.w6) + W.b6.astype(jnp.float32), 0.0)
+    acts["a6"] = h
+    h = jnp.maximum(_mm(h, W.w7) + W.b7.astype(jnp.float32), 0.0)
+    acts["a7"] = h
+    sig = _mm(h, W.wsig) + W.bsig.astype(jnp.float32)       # [T, 128]
+    bneck = _mm(h, W.wb) + W.bb.astype(jnp.float32)          # [T, 256]
+    acts["bneck"] = bneck
+    catv = jnp.concatenate([bneck, v.astype(jnp.float32)], axis=-1)  # [T, 288]
+    acts["catv"] = catv
+    hv = jnp.maximum(_mm(catv, W.wv) + W.bv.astype(jnp.float32), 0.0)
+    acts["hv"] = hv
+    rgb = _mm(hv, W.wrgb) + W.brgb.astype(jnp.float32)       # [T, 128]
+    return rgb, sig, acts
+
+
+def _weights_from_refs(refs):
+    return FusedMLPWeights(*[r[:] for r in refs])
+
+
+def _fwd_kernel(x_ref, v_ref, *refs):
+    w_refs, out_ref = refs[:-1], refs[-1]
+    W = _weights_from_refs(w_refs)
+    rgb, sig, _ = _fwd_tile(x_ref[:], v_ref[:], W)
+    out = jnp.concatenate(
+        [rgb[:, :64], sig[:, :64]], axis=-1
+    )  # [T, 128]; cols 0..2 rgb, col 64 sigma
+    out_ref[:] = out
+
+
+def _bwd_kernel(x_ref, v_ref, *refs):
+    """refs: 24 weight refs, g_ref, then 24 grad-output refs."""
+    w_refs = refs[:24]
+    g_ref = refs[24]
+    gw_refs = refs[25:]
+    W = _weights_from_refs(w_refs)
+    x = x_ref[:]
+    v = v_ref[:]
+    rgb, sig, acts = _fwd_tile(x, v, W)
+
+    g = g_ref[:]  # [T, 128]: cols 0..2 d_rgb, col 64 d_sigma
+    col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    g_rgb = jnp.where(col < 64, g, 0.0)          # [T, 128] (cols 0..2 live)
+    g_sig = jnp.where(col >= 64, g, 0.0)
+    # circular roll by +64 moves col 64 -> col 0 (mod 128)
+    g_sig = pltpu.roll(g_sig, shift=64, axis=1)
+
+    bf = jnp.bfloat16
+
+    def mmT(a, b):  # a[T, I]^T @ b[T, O] -> [I, O] f32
+        return jax.lax.dot_general(
+            a.astype(bf), b.astype(bf),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def mmBT(g_, w):  # g [T, O] @ w^T [O, I] -> [T, I]
+        return jax.lax.dot_general(
+            g_.astype(bf), w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    grads = {}
+    # rgb head
+    grads["wrgb"] = mmT(acts["hv"], g_rgb)
+    grads["brgb"] = jnp.sum(g_rgb, axis=0, keepdims=True)
+    g_hv = mmBT(g_rgb, W.wrgb) * (acts["hv"] > 0)
+    # view layer
+    grads["wv"] = mmT(acts["catv"], g_hv)
+    grads["bv"] = jnp.sum(g_hv, axis=0, keepdims=True)
+    g_catv = mmBT(g_hv, W.wv)                     # [T, 288]
+    g_bneck = g_catv[:, :256]
+    # bottleneck + sigma head (both consume a7)
+    grads["wb"] = mmT(acts["a7"], g_bneck)
+    grads["bb"] = jnp.sum(g_bneck, axis=0, keepdims=True)
+    grads["wsig"] = mmT(acts["a7"], g_sig)
+    grads["bsig"] = jnp.sum(g_sig, axis=0, keepdims=True)
+    g_h = (mmBT(g_bneck, W.wb) + mmBT(g_sig, W.wsig)) * (acts["a7"] > 0)
+    # trunk 7, 6
+    grads["w7"] = mmT(acts["a6"], g_h)
+    grads["b7"] = jnp.sum(g_h, axis=0, keepdims=True)
+    g_h = mmBT(g_h, W.w7) * (acts["a6"] > 0)
+    grads["w6"] = mmT(acts["a5"], g_h)
+    grads["b6"] = jnp.sum(g_h, axis=0, keepdims=True)
+    g_h = mmBT(g_h, W.w6) * (acts["a5"] > 0)
+    # trunk 5 (consumes cat = [x | a4])
+    grads["w5"] = mmT(acts["cat"], g_h)
+    grads["b5"] = jnp.sum(g_h, axis=0, keepdims=True)
+    g_cat = mmBT(g_h, W.w5)                        # [T, 320]
+    g_h = g_cat[:, 64:320] * (acts["a4"] > 0)
+    # trunk 4..1
+    grads["w4"] = mmT(acts["a3"], g_h)
+    grads["b4"] = jnp.sum(g_h, axis=0, keepdims=True)
+    g_h = mmBT(g_h, W.w4) * (acts["a3"] > 0)
+    grads["w3"] = mmT(acts["a2"], g_h)
+    grads["b3"] = jnp.sum(g_h, axis=0, keepdims=True)
+    g_h = mmBT(g_h, W.w3) * (acts["a2"] > 0)
+    grads["w2"] = mmT(acts["a1"], g_h)
+    grads["b2"] = jnp.sum(g_h, axis=0, keepdims=True)
+    g_h = mmBT(g_h, W.w2) * (acts["a1"] > 0)
+    grads["w1"] = mmT(acts["a0"], g_h)
+    grads["b1"] = jnp.sum(g_h, axis=0, keepdims=True)
+    g_h = mmBT(g_h, W.w1) * (acts["a0"] > 0)
+    # trunk 0
+    grads["w0"] = mmT(x.astype(jnp.float32), g_h)
+    grads["b0"] = jnp.sum(g_h, axis=0, keepdims=True)
+
+    order = FusedMLPWeights._fields
+    first = pl.program_id(0) == 0
+    for name, ref in zip(order, gw_refs):
+        val = grads[name]
+
+        @pl.when(first)
+        def _(ref=ref, val=val):
+            ref[:] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _(ref=ref, val=val):
+            ref[:] = ref[:] + val
+
+
+def _full_spec(shape):
+    # weights: whole array each program
+    return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_nerf_mlp(weights: FusedMLPWeights, x: jnp.ndarray, v: jnp.ndarray):
+    """x [N, 64] pts encoding (63 live), v [N, 32] view encoding (27
+    live); N multiple of TILE. Returns raw [N, 128]: cols 0..2 = rgb
+    logits, col 64 = sigma logit."""
+    return _fused_fwd_impl(weights, x, v)
+
+
+def _fused_fwd_impl(weights, x, v):
+    n = x.shape[0]
+    grid = (n // TILE,)
+    w_specs = [_full_spec(w.shape) for w in weights]
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        interpret=INTERPRET,
+    )(x, v, *weights)
+
+
+def _fused_fwd(weights, x, v):
+    return _fused_fwd_impl(weights, x, v), (weights, x, v)
+
+
+def _fused_bwd(res, g):
+    weights, x, v = res
+    n = x.shape[0]
+    grid = (n // TILE,)
+    w_specs = [_full_spec(w.shape) for w in weights]
+    gw_shapes = [
+        jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights
+    ]
+    gw_specs = [_full_spec(w.shape) for w in weights]
+    grads = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *w_specs,
+            pl.BlockSpec((TILE, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(gw_specs),
+        out_shape=tuple(gw_shapes),
+        interpret=INTERPRET,
+    )(x, v, *weights, g)
+    gweights = FusedMLPWeights(*grads)
+    return gweights, jnp.zeros_like(x), jnp.zeros_like(v)
+
+
+fused_nerf_mlp.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# High-level wrapper: encoded points/views -> raw [N, 4] like NeRFMLP
+# ---------------------------------------------------------------------------
+
+def fused_apply(weights: FusedMLPWeights, pts_enc: jnp.ndarray,
+                views_enc: jnp.ndarray) -> jnp.ndarray:
+    """Drop-in for model.apply on [N, 63]/[N, 27] encodings -> [N, 4]."""
+    n = pts_enc.shape[0]
+    pad = (-n) % TILE
+    x = jnp.zeros((n + pad, 64), pts_enc.dtype).at[:n, :63].set(pts_enc)
+    v = jnp.zeros((n + pad, 32), views_enc.dtype).at[:n, :27].set(views_enc)
+    out = fused_nerf_mlp(weights, x, v)
+    rgb = out[:n, 0:3]
+    sigma = out[:n, 64:65]
+    return jnp.concatenate([rgb, sigma], axis=-1)

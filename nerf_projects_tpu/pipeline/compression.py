@@ -35,6 +35,14 @@ def median_cut(
     n = len(vectors)
     if n == 0:
         return np.zeros((1, vectors.shape[1]), np.float16), np.zeros(0, np.uint16)
+    try:
+        from nerf_projects_tpu.utils import native
+
+        res = native.median_cut(np.asarray(vectors, np.float32), n_colors)
+        if res is not None:
+            return res
+    except Exception:
+        pass
     ids = np.zeros(n, np.int64)
     boxes = {0: np.arange(n)}
     next_id = 1

@@ -49,6 +49,7 @@ class NeRFTrainer:
         far: float = 6.0,
         compute_dtype=jnp.float32,
         separate_fine: bool = True,
+        use_fused_mlp: bool = False,
     ):
         self.cfg = cfg
         self.near = near
@@ -60,6 +61,28 @@ class NeRFTrainer:
             use_viewdirs=cfg.use_viewdirs,
             compute_dtype=compute_dtype,
         )
+        # The fully-fused Pallas MLP kernel covers exactly the flagship
+        # architecture (8x256, viewdirs, multires 10/4).
+        self.use_fused_mlp = bool(
+            use_fused_mlp
+            and depth == 8
+            and width == 256
+            and cfg.use_viewdirs
+            and cfg.multires == 10
+            and cfg.multires_views == 4
+        )
+        if self.use_fused_mlp:
+            from nerf_projects_tpu.ops.pallas.fused_mlp import (
+                fused_apply,
+                pack_params,
+            )
+
+            def apply_fn(params, pts_enc, views_enc):
+                return fused_apply(pack_params(params), pts_enc, views_enc)
+
+            self._apply_fn = apply_fn
+        else:
+            self._apply_fn = None
         self.separate_fine = separate_fine and cfg.num_fine_samples > 0
         self.schedule = exponential_decay(lrate, lrate_decay)
         self.tx = optax.adam(
@@ -93,12 +116,16 @@ class NeRFTrainer:
 
     # -- steps ------------------------------------------------------------
 
+    @property
+    def apply_fn(self):
+        return self._apply_fn if self._apply_fn is not None else self.model.apply
+
     def loss_fn(self, params, key, rays: Rays, target: jnp.ndarray):
         out = render_rays(
             key,
             params[0],
             params[1],
-            self.model.apply,
+            self.apply_fn,
             rays,
             self.near,
             self.far,
@@ -132,7 +159,7 @@ class NeRFTrainer:
             None,
             params[0],
             params[1],
-            self.model.apply,
+            self.apply_fn,
             rays,
             self.near,
             self.far,

@@ -38,6 +38,14 @@ def build_neighbor_links(links: np.ndarray) -> np.ndarray:
     topology changes."""
     links = np.asarray(links)
     cap = int(links.max()) + 1
+    try:
+        from nerf_projects_tpu.utils import native
+
+        res = native.build_neighbor_links(links, cap)
+        if res is not None:
+            return res
+    except Exception:
+        pass
     nbr = np.full((cap, 3), -1, np.int32)
     active = np.argwhere(links >= 0)
     rows = links[active[:, 0], active[:, 1], active[:, 2]]

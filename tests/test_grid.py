@@ -248,3 +248,86 @@ class TestPlenoxelsTraining:
         last = float(stats["psnr"])
         assert last > first + 5, (first, last)
         assert last > 20, last
+
+
+class TestOccupancyAccel:
+    def test_accelerated_render_matches_exact(self):
+        from nerf_projects_tpu.ops.grid_accel import build_occupancy
+
+        g = SparseGrid.create(32, basis_dim=1, init_density=0.0)
+        links = np.asarray(g.links)
+        dens = np.zeros((g.capacity, 1), np.float32)
+        sh = np.zeros((g.capacity, 3), np.float32)
+        sel = links[12:20, 12:20, 12:20].ravel()
+        dens[sel] = 80.0
+        C0 = 0.28209479177387814
+        sh[:, 0] = (0.7 - 0.5) / C0
+        from dataclasses import replace
+
+        g = replace(g, density_data=jnp.asarray(dens), sh_data=jnp.asarray(sh))
+        occ = build_occupancy(g, factor=4, sigma_thresh=1.0)
+        assert int(np.asarray(occ.bitmap).sum()) < occ.bitmap.size
+
+        key = jax.random.PRNGKey(0)
+        d = jax.random.normal(key, (64, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        rays = Rays(-3.0 * d, d, d)
+        opts = GridRenderOptions(step_size=0.5)
+        a = volume_render_grid(g, rays, opts)
+        b = volume_render_grid(g, rays, opts, occupancy=occ, active_steps=48)
+        np.testing.assert_allclose(
+            np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["acc"]), np.asarray(b["acc"]), atol=2e-3
+        )
+
+    def test_miss_rays_stay_background(self):
+        from nerf_projects_tpu.ops.grid_accel import build_occupancy
+
+        g = SparseGrid.create(16, basis_dim=1, init_density=0.0)
+        occ = build_occupancy(g, factor=4, sigma_thresh=1.0)
+        d = jnp.asarray([[0.0, 0.0, 1.0]])
+        rays = Rays(jnp.asarray([[0.0, 0.0, -3.0]]), d, d)
+        out = volume_render_grid(
+            g, rays, GridRenderOptions(), occupancy=occ, active_steps=16
+        )
+        np.testing.assert_allclose(np.asarray(out["rgb"]), 1.0, atol=1e-5)
+
+
+class TestBackends:
+    def _grid(self):
+        from dataclasses import replace
+
+        g = SparseGrid.create(16, basis_dim=1, init_density=0.0)
+        links = np.asarray(g.links)
+        dens = np.zeros((g.capacity, 1), np.float32)
+        sh = np.zeros((g.capacity, 3), np.float32)
+        dens[links[6:10, 6:10, 6:10].ravel()] = 300.0
+        C0 = 0.28209479177387814
+        sh[:, 0] = (0.8 - 0.5) / C0
+        return replace(g, density_data=jnp.asarray(dens), sh_data=jnp.asarray(sh))
+
+    def _rays(self):
+        d = jnp.asarray([[0.0, 0.0, 1.0]])
+        return Rays(jnp.asarray([[0.0, 0.0, -3.0]]), d, d)
+
+    def test_nvol_backend(self):
+        g, rays = self._grid(), self._rays()
+        out = volume_render_grid(g, rays, GridRenderOptions(backend="nvol"))
+        rgb = np.asarray(out["rgb"][0])
+        assert rgb[0] > 0.6  # hits the red block
+        np.testing.assert_allclose(float(out["acc"][0]), 1.0, atol=1e-4)
+
+    def test_svox1_backend_close_to_cuvol(self):
+        g, rays = self._grid(), self._rays()
+        a = volume_render_grid(g, rays, GridRenderOptions())
+        b = volume_render_grid(g, rays, GridRenderOptions(backend="svox1"))
+        np.testing.assert_allclose(
+            np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=0.1
+        )
+
+    def test_nvol_weights_sum_to_one_when_opaque(self):
+        g, rays = self._grid(), self._rays()
+        out = volume_render_grid(g, rays, GridRenderOptions(backend="nvol"))
+        assert abs(float(np.asarray(out["weights"]).sum()) - 1.0) < 1e-4

@@ -119,3 +119,46 @@ class TestAdvancedMetrics:
             g, psnr=30.0, peak_memory_mb=1024.0, storage_bytes=10**9
         )
         assert "MCQ" in out and "FDR" in out and "SMEI" in out
+
+
+class TestAnalysis:
+    def _fake_experiment(self, exp_dir):
+        import json as _json
+        import os as _os
+
+        _os.makedirs(exp_dir, exist_ok=True)
+        with open(_os.path.join(exp_dir, "training_log.jsonl"), "w") as f:
+            for i in range(5):
+                f.write(_json.dumps({
+                    "step": (i + 1) * 100, "loss": 0.1 / (i + 1),
+                    "psnr": 20 + i, "rays_per_sec": 1000.0 + i,
+                }) + "\n")
+        ts = _os.path.join(exp_dir, "testset_000500")
+        _os.makedirs(ts, exist_ok=True)
+        with open(_os.path.join(ts, "metrics.json"), "w") as f:
+            _json.dump({"mean": {"psnr": 24.5, "ssim": 0.8}}, f)
+        from nerf_projects_tpu.obs.json_logger import MetricsLogger
+
+        lg = MetricsLogger(exp_dir, clean_existing=False)
+        lg.log_training_step(100, {"loss": 0.1, "psnr": 20}, 1e-3,
+                             memory_metrics={"device_memory_gb": 1.0,
+                                             "process_rss_gb": 2.0})
+
+    def test_curves_and_summary(self, tmp_path):
+        from nerf_projects_tpu.obs.analysis import (
+            analyze_all_experiments,
+            experiment_summary,
+            plot_training_curves,
+        )
+
+        exp = str(tmp_path / "exp_a")
+        self._fake_experiment(exp)
+        png = plot_training_curves(exp)
+        assert png and os.path.exists(png)
+        row = experiment_summary(exp)
+        assert row["final_train_psnr"] == 24
+        assert row["test_psnr"] == 24.5
+        self._fake_experiment(str(tmp_path / "exp_b"))
+        rows = analyze_all_experiments(str(tmp_path))
+        assert len(rows) == 2
+        assert os.path.exists(tmp_path / "comparison.json")
