@@ -34,7 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512  # rows per program
+TILE = 512       # rows per program (backward: VMEM-bound at 512)
+FWD_TILE = 1024  # forward-only tile (no activation stash -> fits bigger)
 
 # set True to run kernels in interpreter mode (CPU testing)
 INTERPRET = False
@@ -203,10 +204,8 @@ def _fwd_kernel(x_ref, v_ref, *refs):
     w_refs, out_ref = refs[:-1], refs[-1]
     W = _weights_from_refs(w_refs)
     rgb, sig, _ = _fwd_tile(x_ref[:], v_ref[:], W)
-    out = jnp.concatenate(
-        [rgb[:, :64], sig[:, :64]], axis=-1
-    )  # [T, 128]; cols 0..2 rgb, col 64 sigma
-    out_ref[:] = out
+    # [T, 8]: cols 0..2 rgb, col 4 sigma (slim HBM output)
+    out_ref[:] = jnp.concatenate([rgb[:, :4], sig[:, :4]], axis=-1)
 
 
 def _bwd_kernel(x_ref, v_ref, *refs):
@@ -219,12 +218,14 @@ def _bwd_kernel(x_ref, v_ref, *refs):
     v = v_ref[:]
     rgb, sig, acts = _fwd_tile(x, v, W)
 
-    g = g_ref[:]  # [T, 128]: cols 0..2 d_rgb, col 64 d_sigma
-    col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-    g_rgb = jnp.where(col < 64, g, 0.0)          # [T, 128] (cols 0..2 live)
-    g_sig = jnp.where(col >= 64, g, 0.0)
-    # circular roll by +64 moves col 64 -> col 0 (mod 128)
-    g_sig = pltpu.roll(g_sig, shift=64, axis=1)
+    g8 = g_ref[:]  # [T, 8]: cols 0..2 d_rgb, col 4 d_sigma
+    # widen to the padded head widths (zero cols beyond the live ones)
+    zeros_pad = jnp.zeros((g8.shape[0], 120), g8.dtype)
+    g_rgb = jnp.concatenate([g8[:, :4], zeros_pad, jnp.zeros_like(g8[:, :4])], axis=1)[:, :128]
+    g_sig = jnp.concatenate([g8[:, 4:8], zeros_pad, jnp.zeros_like(g8[:, :4])], axis=1)[:, :128]
+    col = jax.lax.broadcasted_iota(jnp.int32, g_rgb.shape, 1)
+    g_rgb = jnp.where(col < 4, g_rgb, 0.0)
+    g_sig = jnp.where(col < 4, g_sig, 0.0)
 
     bf = jnp.bfloat16
 
@@ -316,20 +317,21 @@ def fused_nerf_mlp(weights: FusedMLPWeights, x: jnp.ndarray, v: jnp.ndarray):
 
 def _fused_fwd_impl(weights, x, v):
     n = x.shape[0]
-    grid = (n // TILE,)
+    tile = FWD_TILE if n % FWD_TILE == 0 else TILE
+    grid = (n // tile,)
     w_specs = [_full_spec(w.shape) for w in weights]
     return pl.pallas_call(
         _fwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *w_specs,
         ],
         out_specs=pl.BlockSpec(
-            (TILE, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
         interpret=INTERPRET,
     )(x, v, *weights)
 
@@ -354,7 +356,7 @@ def _fused_bwd(res, g):
             pl.BlockSpec((TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *w_specs,
-            pl.BlockSpec((TILE, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(gw_specs),
         out_shape=tuple(gw_shapes),
@@ -380,5 +382,5 @@ def fused_apply(weights: FusedMLPWeights, pts_enc: jnp.ndarray,
     v = jnp.zeros((n + pad, 32), views_enc.dtype).at[:n, :27].set(views_enc)
     out = fused_nerf_mlp(weights, x, v)
     rgb = out[:n, 0:3]
-    sigma = out[:n, 64:65]
+    sigma = out[:n, 4:5]
     return jnp.concatenate([rgb, sigma], axis=-1)

@@ -162,3 +162,25 @@ class TestAnalysis:
         rows = analyze_all_experiments(str(tmp_path))
         assert len(rows) == 2
         assert os.path.exists(tmp_path / "comparison.json")
+
+
+class TestFloaterViz:
+    def test_slices_written(self, tmp_path):
+        from nerf_projects_tpu.obs.floater_viz import (
+            floater_masks,
+            render_floater_slices,
+        )
+
+        g = SparseGrid.create(24, basis_dim=1, init_density=0.0)
+        links = np.asarray(g.links)
+        dens = np.zeros((g.capacity, 1), np.float32)
+        dens[links[6:16, 6:16, 6:16].ravel()] = 5.0  # main blob
+        dens[links[21, 21, 21]] = 5.0                 # floater
+        g = replace(g, density_data=jnp.asarray(dens))
+        occ, flo = floater_masks(g, threshold=1.0, min_object_size=50)
+        assert flo.sum() == 1 and flo[21, 21, 21]
+        paths = render_floater_slices(
+            g, str(tmp_path), threshold=1.0, min_object_size=50, n_slices=2
+        )
+        assert len(paths) == 2
+        assert all(os.path.exists(p) for p in paths)
