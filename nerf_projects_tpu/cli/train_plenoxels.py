@@ -211,6 +211,9 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
 
     logger = MetricsLogger(args.train_dir)
     tracker = MemoryTracker()
+    from nerf_projects_tpu.obs.tb import SummaryWriter
+
+    tb = SummaryWriter(os.path.join(args.train_dir, "tb"))
     t_start = time.time()
     key = jax.random.PRNGKey(20200823)
     n_iters = max_iters if max_iters is not None else args.n_iters
@@ -227,6 +230,8 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
             grid, rms, nbr, rays, target, jnp.asarray(step, jnp.float32)
         )
         if step % args.print_every == 0:
+            tb.scalar("train/mse", stats["mse"], step)
+            tb.scalar("train/psnr", stats["psnr"], step)
             snap = tracker.capture_snapshot(step)
             logger.log_training_step(
                 step,

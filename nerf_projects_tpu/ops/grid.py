@@ -110,6 +110,7 @@ def volume_render_grid(
     return_depth: bool = False,
     occupancy=None,
     active_steps: Optional[int] = None,
+    background=None,
 ):
     """Render [R] rays against the grid. Returns dict(rgb [R,3], ...).
 
@@ -204,7 +205,18 @@ def volume_render_grid(
 
     out_rgb = jnp.einsum("rs,rsc->rc", weights, rgb)
     acc = jnp.sum(weights, axis=-1)
-    out_rgb = out_rgb + (1.0 - acc[:, None]) * opts.background_brightness
+    if background is not None:
+        from nerf_projects_tpu.ops.background import render_background
+
+        out_rgb = out_rgb + render_background(
+            background,
+            rays.origins,
+            rays.directions,
+            1.0 - acc,
+            background_brightness=opts.background_brightness,
+        )
+    else:
+        out_rgb = out_rgb + (1.0 - acc[:, None]) * opts.background_brightness
 
     result = {"rgb": out_rgb, "acc": acc, "weights": weights}
     if return_depth:

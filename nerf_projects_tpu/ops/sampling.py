@@ -65,23 +65,27 @@ def stratified_sample(
 
 
 def _invert_cdf(u: jnp.ndarray, cdf: jnp.ndarray, bins: jnp.ndarray):
-    """Exact piecewise-linear inverse-CDF lookup via masked min/max.
+    """Exact piecewise-linear inverse-CDF lookup.
 
-    u: [..., N] uniform samples; cdf, bins: [..., M] sorted. For each u find
-    the bracketing interval [cdf_lo, cdf_hi) and lerp within [bin_lo, bin_hi].
-    This is the jaxnerf sorted-mask trick (model_utils.py:269-283): an
-    O(M*N) vectorized compare that maps far better onto the VPU than a
-    serialized searchsorted+gather.
+    u: [..., N] uniform samples; cdf, bins: [..., M] sorted. For each u
+    find the bracketing interval [cdf_lo, cdf_hi) and lerp within
+    [bin_lo, bin_hi]. One O(M*N) boolean compare produces searchsorted-
+    'right' indices by counting, then four take_along_axis gathers fetch
+    the interval endpoints — ~6x less memory traffic than the jaxnerf
+    masked min/max formulation (model_utils.py:269-283), same results.
     """
-    mask = u[..., None, :] >= cdf[..., :, None]  # [..., M, N]
+    # count of cdf entries <= u  ==  searchsorted(cdf, u, side='right')
+    idx = jnp.sum(
+        (u[..., None, :] >= cdf[..., :, None]).astype(jnp.int32), axis=-2
+    )  # [..., N] in [1, M] (cdf[...,0] is 0 and u >= 0)
+    lo = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
+    hi = jnp.clip(idx, 0, cdf.shape[-1] - 1)
 
-    def lo_hi(x):
-        x_lo = jnp.max(jnp.where(mask, x[..., None], x[..., :1, None]), axis=-2)
-        x_hi = jnp.min(jnp.where(~mask, x[..., None], x[..., -1:, None]), axis=-2)
-        return x_lo, x_hi
-
-    bins_lo, bins_hi = lo_hi(bins)
-    cdf_lo, cdf_hi = lo_hi(cdf)
+    take = jnp.take_along_axis
+    bins_lo = take(bins, lo, axis=-1)
+    bins_hi = take(bins, hi, axis=-1)
+    cdf_lo = take(cdf, lo, axis=-1)
+    cdf_hi = take(cdf, hi, axis=-1)
     return bins_lo, bins_hi, cdf_lo, cdf_hi
 
 

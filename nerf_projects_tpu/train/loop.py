@@ -144,6 +144,9 @@ def train(cfg, *, max_iters: Optional[int] = None, scene=None, test_scene=None):
 
     logger = MetricsLogger(exp_dir, clean_existing=int(state.step) == 0)
     tracker = MemoryTracker()
+    from nerf_projects_tpu.obs.tb import SummaryWriter
+
+    tb = SummaryWriter(os.path.join(exp_dir, "tb"))
     jsonl_path = os.path.join(exp_dir, "training_log.jsonl")
     csv_path = os.path.join(exp_dir, "training_log.csv")
     if int(state.step) == 0:
@@ -192,6 +195,9 @@ def train(cfg, *, max_iters: Optional[int] = None, scene=None, test_scene=None):
                 if write_header:
                     w.writeheader()
                 w.writerow(entry)
+            tb.scalar("train/loss", loss, step)
+            tb.scalar("train/psnr", psnr, step)
+            tb.scalar("train/rays_per_sec", rays_per_s, step)
             snap = tracker.capture_snapshot(step)
             logger.log_training_step(
                 step, {"loss": loss, "psnr": psnr},

@@ -173,3 +173,70 @@ class PlenoxelsTrainer:
     @functools.partial(jax.jit, static_argnums=0)
     def render_step(self, grid: SparseGrid, rays: Rays):
         return volume_render_grid(grid, rays, self.opts, return_depth=True)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2, 3, 4))
+    def train_step_bg(
+        self,
+        grid: SparseGrid,
+        background,
+        rms: RMSState,
+        rms_bg: jnp.ndarray,
+        nbr: jnp.ndarray,
+        rays: Rays,
+        target: jnp.ndarray,
+        step: jnp.ndarray,
+        *,
+        lr_bg_scale: float = 0.1,
+        lambda_tv_bg: float = 1e-3,
+    ):
+        """Joint foreground + background-MSI step (opt.py's bg_optim path:
+        lr_sigma_bg/lr_color_bg RMSprop + background TV, opt.py:120-135,
+        svox2.py optim_background_step)."""
+        from nerf_projects_tpu.ops.background import (
+            BackgroundMSI,
+            background_tv_loss,
+        )
+
+        def loss_fn(density_data, sh_data, bg_data):
+            g = replace(grid, density_data=density_data, sh_data=sh_data)
+            bg = BackgroundMSI(bg_data, background.radii)
+            out = volume_render_grid(g, rays, self.opts, background=bg)
+            mse = jnp.mean((out["rgb"] - target) ** 2)
+            total = mse
+            if self.lambda_tv > 0:
+                total = total + self.lambda_tv * tv_loss(density_data, nbr)
+            if self.lambda_tv_sh > 0:
+                total = total + self.lambda_tv_sh * tv_loss(sh_data, nbr)
+            total = total + lambda_tv_bg * background_tv_loss(bg)
+            return total, mse
+
+        (loss, mse), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(grid.density_data, grid.sh_data, background.data)
+        g_density, g_sh, g_bg = grads
+
+        lr_sigma = self.lr_sigma_fn(step)
+        lr_sh = self.lr_sh_fn(step)
+        b = self.rms_beta
+        rms_d = b * rms.rms_density + (1 - b) * g_density**2
+        new_density = jnp.maximum(
+            grid.density_data - lr_sigma * g_density / (jnp.sqrt(rms_d) + 1e-8),
+            self.density_minval,
+        )
+        rms_s = b * rms.rms_sh + (1 - b) * g_sh**2
+        new_sh = grid.sh_data - lr_sh * g_sh / (jnp.sqrt(rms_s) + 1e-8)
+        rms_b = b * rms_bg + (1 - b) * g_bg**2
+        new_bg = background.data - (lr_sh * lr_bg_scale / 1e-2) * g_bg / (
+            jnp.sqrt(rms_b) + 1e-8
+        )
+
+        from nerf_projects_tpu.ops.background import BackgroundMSI as _BG
+
+        psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)
+        return (
+            replace(grid, density_data=new_density, sh_data=new_sh),
+            _BG(new_bg, background.radii),
+            RMSState(rms_density=rms_d, rms_sh=rms_s),
+            rms_b,
+            {"loss": loss, "mse": mse, "psnr": psnr},
+        )
