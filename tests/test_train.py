@@ -125,3 +125,20 @@ class TestNeRFSHTraining:
                 first = float(stats["psnr"])
         assert float(stats["psnr"]) > first + 4.0
         assert "loss_sp" in stats and "weight_l2" in stats
+
+
+class TestScanSteps:
+    def test_scan_matches_loop_semantics_and_converges(self):
+        ds = make_dataset(n_views=4, image_size=24)
+        cfg = small_cfg()
+        trainer = NeRFTrainer(
+            cfg, depth=3, width=64, near=ds["near"], far=ds["far"], lrate=5e-3
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, stats = trainer.scan_steps(
+            state, ds["rays"], ds["pixels"], 100, batch_size=256
+        )
+        assert int(state.step) == 100
+        psnrs = np.asarray(stats["psnr"])
+        assert psnrs.shape == (100,)
+        assert psnrs[-10:].mean() > psnrs[:10].mean() + 3
