@@ -331,3 +331,29 @@ class TestBackends:
         g, rays = self._grid(), self._rays()
         out = volume_render_grid(g, rays, GridRenderOptions(backend="nvol"))
         assert abs(float(np.asarray(out["weights"]).sum()) - 1.0) < 1e-4
+
+
+class TestTopKColor:
+    def test_matches_exact_render(self):
+        from dataclasses import replace
+
+        g = SparseGrid.create(32, basis_dim=9, init_density=0.0)
+        links = np.asarray(g.links)
+        rng = np.random.default_rng(0)
+        dens = np.zeros((g.capacity, 1), np.float32)
+        sh = rng.normal(0, 0.3, (g.capacity, 27)).astype(np.float32)
+        sel = links[10:22, 10:22, 10:22].ravel()
+        dens[sel] = 60.0
+        g = replace(g, density_data=jnp.asarray(dens), sh_data=jnp.asarray(sh))
+        d = jax.random.normal(jax.random.PRNGKey(1), (64, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        rays = Rays(-3.0 * d, d, d)
+        opts = GridRenderOptions()
+        exact = volume_render_grid(g, rays, opts)
+        fast = volume_render_grid(g, rays, opts, color_top_k=64)
+        np.testing.assert_allclose(
+            np.asarray(fast["rgb"]), np.asarray(exact["rgb"]), atol=0.02
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast["acc"]), np.asarray(exact["acc"]), atol=1e-4
+        )
