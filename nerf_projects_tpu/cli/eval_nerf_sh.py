@@ -16,7 +16,6 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from nerf_projects_tpu.cli.nerf_sh_flags import NeRFSHFlags, build_model

@@ -10,8 +10,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from nerf_projects_tpu.core.rays import spherical_pose_path
@@ -71,8 +69,6 @@ def main(argv=None):
             )
 
     else:  # nerf_sh
-        from nerf_projects_tpu.cli.eval_nerf_sh import evaluate  # noqa: F401
-        from nerf_projects_tpu.cli.nerf_sh_flags import NeRFSHFlags
         from nerf_projects_tpu.cli.octree_tools import _load_model
         from nerf_projects_tpu.cli.train_nerf_sh import render_image_sh
         from nerf_projects_tpu.data.base import SceneData

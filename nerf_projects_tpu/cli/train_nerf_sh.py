@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerf_projects_tpu.cli.nerf_sh_flags import NeRFSHFlags, build_model
-from nerf_projects_tpu.core.rays import Rays, camera_rays
+from nerf_projects_tpu.core.rays import camera_rays
 from nerf_projects_tpu.data.base import load_scene
 from nerf_projects_tpu.obs.json_logger import MetricsLogger
 from nerf_projects_tpu.obs.memory_tracker import MemoryTracker

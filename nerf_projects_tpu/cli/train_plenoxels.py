@@ -34,7 +34,7 @@ from nerf_projects_tpu.obs.advanced_metrics import compute_fdr, compute_mcq
 from nerf_projects_tpu.obs.json_logger import MetricsLogger
 from nerf_projects_tpu.obs.memory_tracker import MemoryTracker
 from nerf_projects_tpu.obs.metrics import compute_metrics
-from nerf_projects_tpu.ops.grid import GridRenderOptions, volume_render_grid
+from nerf_projects_tpu.ops.grid import GridRenderOptions
 from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
 from nerf_projects_tpu.utils.config import maybe_merge_config_file, save_args_snapshot
 

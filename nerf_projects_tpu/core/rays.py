@@ -13,7 +13,7 @@ pytree so they pass through jit/shard_map/scan unchanged.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np

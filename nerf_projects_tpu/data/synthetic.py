@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nerf_projects_tpu.core.rays import Rays, camera_rays, spherical_pose_path
+from nerf_projects_tpu.core.rays import Rays, camera_rays
 from nerf_projects_tpu.ops.render import volumetric_rendering
 
 

@@ -234,7 +234,6 @@ def to_octree(
     unit = (act + 0.5) / np.asarray(reso)  # in [0,1] grid frame
     tree_pts_world = (unit - tree.offset) / tree.invradius
 
-    locate = jax.jit(lambda p: tree.locate(p)[:2])
     for _ in range(depth):
         lut = tree.leaf_order_lookup()
         node, cell = jax.jit(tree.locate)(jnp.asarray(tree_pts_world))[:2]

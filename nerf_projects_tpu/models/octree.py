@@ -23,7 +23,7 @@ data-dependent control flow (SURVEY.md §7 hard part 4).
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ Parity target: reference svox2/opt/util/advanced_metrics.py —
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -8,8 +8,6 @@ PNGs (usable standalone or logged to TensorBoard as images).
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 

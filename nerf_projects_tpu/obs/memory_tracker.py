@@ -13,7 +13,7 @@ memory_stats) > process RSS.
 from __future__ import annotations
 
 import gc
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass
 from datetime import datetime
 from typing import Any, Dict, Optional
 

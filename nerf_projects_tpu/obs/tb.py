@@ -6,8 +6,6 @@ notebook cell 19). Degrades to a no-op when tensorboardX is unavailable.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 

@@ -18,7 +18,7 @@ to [t_enter, t_exit] is exact (samples outside have zero density).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

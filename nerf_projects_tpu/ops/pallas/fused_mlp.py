@@ -70,10 +70,6 @@ class FusedMLPWeights(NamedTuple):
     brgb: jnp.ndarray  # [1, 128]
 
 
-_TRUNK = ["trunk_0", "trunk_1", "trunk_2", "trunk_3", "trunk_4",
-          "trunk_5", "trunk_6", "trunk_7"]
-
-
 def _pad_to(x, rows=None, cols=None):
     r = rows if rows is not None else x.shape[0]
     c = cols if cols is not None else x.shape[-1]

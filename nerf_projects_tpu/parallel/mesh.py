@@ -18,7 +18,7 @@ grid-sharded Plenoxels once fields outgrow one chip's HBM.
 """
 from __future__ import annotations
 
-from typing import Mapping, Optional, Sequence
+from typing import Mapping, Optional
 
 import jax
 import numpy as np

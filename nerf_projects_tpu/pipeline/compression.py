@@ -15,8 +15,7 @@ at the median — construction-time only, not a hot path.
 """
 from __future__ import annotations
 
-from dataclasses import replace
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

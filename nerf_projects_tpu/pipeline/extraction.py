@@ -20,7 +20,7 @@ edits (refine) happen host-side between device phases.
 from __future__ import annotations
 
 from dataclasses import replace
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -209,7 +209,6 @@ def extract_octree(
     if len(pts) == 0:
         return tree
 
-    locate = jax.jit(lambda p: tree.locate(p)[:2])
     for _ in range(init_grid_depth):
         lut = tree.leaf_order_lookup()
         node, cell = jax.jit(tree.locate)(jnp.asarray(pts))[:2]

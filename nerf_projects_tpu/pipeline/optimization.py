@@ -12,8 +12,6 @@ step hits one compiled executable.
 from __future__ import annotations
 
 from dataclasses import replace
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -22,7 +22,6 @@ import multiprocessing as mp
 import os
 import re
 import subprocess
-import sys
 from typing import Any, Dict, List, Optional
 
 import numpy as np

@@ -14,7 +14,7 @@ from the shardings. Stats come back per-step as scalars.
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
