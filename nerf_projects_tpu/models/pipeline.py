@@ -56,6 +56,11 @@ def _query_mlp(apply_fn, params, pts, viewdirs, cfg: NeRFRenderConfig):
     """Encode and evaluate the MLP at [R, N, 3] points -> raw [R, N, 4]."""
     r, n = pts.shape[0], pts.shape[1]
     flat_pts = pts.reshape(r * n, 3)
+    if getattr(apply_fn, "accepts_raw_points", False):
+        # posenc fused into the kernel (ops/pallas/fused_mlp.fused_apply_raw)
+        vd = jnp.broadcast_to(viewdirs[:, None, :], (r, n, 3)).reshape(r * n, 3)
+        raw = apply_fn(params, flat_pts, vd)
+        return raw.reshape(r, n, raw.shape[-1])
     pts_enc = posenc(flat_pts, cfg.multires, ordering=cfg.posenc_ordering)
     if cfg.use_viewdirs:
         vd = jnp.broadcast_to(viewdirs[:, None, :], (r, n, 3)).reshape(r * n, 3)

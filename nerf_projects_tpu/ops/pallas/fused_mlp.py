@@ -80,9 +80,16 @@ def _pad_to(x, rows=None, cols=None):
     return out.at[: x.shape[0], : x.shape[1]].set(x)
 
 
-def pack_params(flax_params, dtype=jnp.bfloat16) -> FusedMLPWeights:
-    """Flax NeRFMLP params -> padded kernel weights."""
+def pack_params(flax_params, dtype=jnp.bfloat16,
+                raw_layout: bool = False) -> FusedMLPWeights:
+    """Flax NeRFMLP params -> padded kernel weights.
+
+    raw_layout=True permutes the trunk_0 / view_0 input rows from the
+    interleaved posenc ordering to the block ordering produced by the
+    in-kernel encoder (_encode_tile)."""
     p = flax_params["params"] if "params" in flax_params else flax_params
+    perm_pts = _block_perm(10) if raw_layout else None
+    perm_views = _block_perm(4) if raw_layout else None
 
     def kb(name, rpad, cpad):
         k = jnp.asarray(p[name]["kernel"])
@@ -92,7 +99,12 @@ def pack_params(flax_params, dtype=jnp.bfloat16) -> FusedMLPWeights:
             _pad_to(b[None, :], 1, cpad).astype(dtype),
         )
 
-    w0, b0 = kb("trunk_0", 64, 256)
+    if raw_layout:
+        k0 = jnp.asarray(p["trunk_0"]["kernel"])[jnp.asarray(perm_pts)]
+        w0 = _pad_to(k0, 64, 256).astype(dtype)
+        b0 = _pad_to(jnp.asarray(p["trunk_0"]["bias"])[None, :], 1, 256).astype(dtype)
+    else:
+        w0, b0 = kb("trunk_0", 64, 256)
     w1, b1 = kb("trunk_1", 256, 256)
     w2, b2 = kb("trunk_2", 256, 256)
     w3, b3 = kb("trunk_3", 256, 256)
@@ -100,8 +112,11 @@ def pack_params(flax_params, dtype=jnp.bfloat16) -> FusedMLPWeights:
     # trunk_5 consumes concat([x(63), h(256)]) -> rows [63+256=319];
     # padded layout: [64 input rows (63 live), 256 h rows] = 320.
     k5 = jnp.asarray(p["trunk_5"]["kernel"])
+    k5_x = k5[:63]
+    if raw_layout:
+        k5_x = k5_x[jnp.asarray(perm_pts)]
     w5 = jnp.zeros((320, 256), dtype)
-    w5 = w5.at[:63].set(k5[:63].astype(dtype))
+    w5 = w5.at[:63].set(k5_x.astype(dtype))
     w5 = w5.at[64:320].set(k5[63:319].astype(dtype))
     b5 = _pad_to(jnp.asarray(p["trunk_5"]["bias"])[None, :], 1, 256).astype(dtype)
     w6, b6 = kb("trunk_6", 256, 256)
@@ -111,9 +126,12 @@ def pack_params(flax_params, dtype=jnp.bfloat16) -> FusedMLPWeights:
     # view_0 consumes concat([bottleneck(256), views(27)]) -> padded
     # [256 + 32] = 288 rows (views rows 256..282 live).
     kv = jnp.asarray(p["view_0"]["kernel"])
+    kv_views = kv[256:283]
+    if raw_layout:
+        kv_views = kv_views[jnp.asarray(perm_views)]
     wv = jnp.zeros((288, 128), dtype)
     wv = wv.at[:256].set(kv[:256].astype(dtype))
-    wv = wv.at[256 : 256 + 27].set(kv[256:283].astype(dtype))
+    wv = wv.at[256 : 256 + 27].set(kv_views.astype(dtype))
     bv = _pad_to(jnp.asarray(p["view_0"]["bias"])[None, :], 1, 128).astype(dtype)
     wrgb, brgb = kb("rgb_head", 128, 128)
     return FusedMLPWeights(
@@ -123,7 +141,9 @@ def pack_params(flax_params, dtype=jnp.bfloat16) -> FusedMLPWeights:
 
 
 def unpack_grads(g: FusedMLPWeights, flax_params):
-    """Padded weight grads -> flax param-tree grads (fp32)."""
+    """Padded weight grads -> flax param-tree grads (fp32); interleaved
+    layout only (gradients normally flow through pack_params' AD, which
+    handles the raw-layout permutation transpose automatically)."""
     p = flax_params["params"] if "params" in flax_params else flax_params
     out = {}
 
@@ -161,6 +181,41 @@ def _mm(a, w):
     return jnp.dot(
         a.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
     )
+
+
+def _encode_tile(pts, n_freqs, out_cols):
+    """In-kernel BLOCK-layout positional encoding: [T, 8 (3 live)] ->
+    [T, out_cols] laid out [x(3), sin(f0 xyz .. f_{F-1} xyz), cos(...)].
+    The wide single sin over [T, 3F] keeps VPU lanes full (a per-frequency
+    [T, 3] formulation wastes 97% of the 8x128 lanes and measured 5x
+    slower end-to-end). Weights are packed with the matching row
+    permutation (see pack_params raw_layout).
+    """
+    p3 = pts[:, :3].astype(jnp.float32)
+    xb = jnp.concatenate([p3 * (2.0 ** i) for i in range(n_freqs)], axis=-1)
+    enc = jnp.concatenate(
+        [p3, jnp.sin(xb), jnp.sin(xb + 0.5 * jnp.pi)], axis=-1
+    )
+    pad = out_cols - enc.shape[-1]
+    if pad:
+        enc = jnp.concatenate(
+            [enc, jnp.zeros((enc.shape[0], pad), enc.dtype)], axis=-1
+        )
+    return enc
+
+
+def _block_perm(n_freqs: int, dims: int = 3) -> list:
+    """Row permutation mapping block-layout encoding rows to the
+    interleaved-layout rows the flax weights expect: perm[j] = interleaved
+    row index feeding block row j."""
+    perm = list(range(dims))
+    for i in range(n_freqs):  # sin block
+        for d in range(dims):
+            perm.append(dims + 2 * dims * i + d)
+    for i in range(n_freqs):  # cos block
+        for d in range(dims):
+            perm.append(dims + 2 * dims * i + dims + d)
+    return perm
 
 
 def _fwd_tile(x, v, W):
@@ -204,14 +259,32 @@ def _fwd_kernel(x_ref, v_ref, *refs):
     out_ref[:] = jnp.concatenate([rgb[:, :4], sig[:, :4]], axis=-1)
 
 
+def _fwd_raw_kernel(p_ref, v_ref, *refs):
+    """Forward from RAW [T, 8] points/viewdirs: posenc happens in-kernel."""
+    w_refs, out_ref = refs[:-1], refs[-1]
+    W = _weights_from_refs(w_refs)
+    x = _encode_tile(p_ref[:], 10, 64)
+    v = _encode_tile(v_ref[:], 4, 32)
+    rgb, sig, _ = _fwd_tile(x, v, W)
+    out_ref[:] = jnp.concatenate([rgb[:, :4], sig[:, :4]], axis=-1)
+
+
 def _bwd_kernel(x_ref, v_ref, *refs):
     """refs: 24 weight refs, g_ref, then 24 grad-output refs."""
+    _bwd_body(x_ref[:], v_ref[:], refs)
+
+
+def _bwd_raw_kernel(p_ref, v_ref, *refs):
+    _bwd_body(
+        _encode_tile(p_ref[:], 10, 64), _encode_tile(v_ref[:], 4, 32), refs
+    )
+
+
+def _bwd_body(x, v, refs):
     w_refs = refs[:24]
     g_ref = refs[24]
     gw_refs = refs[25:]
     W = _weights_from_refs(w_refs)
-    x = x_ref[:]
-    v = v_ref[:]
     rgb, sig, acts = _fwd_tile(x, v, W)
 
     g8 = g_ref[:]  # [T, 8]: cols 0..2 d_rgb, col 4 d_sigma
@@ -380,3 +453,78 @@ def fused_apply(weights: FusedMLPWeights, pts_enc: jnp.ndarray,
     rgb = out[:n, 0:3]
     sigma = out[:n, 4:5]
     return jnp.concatenate([rgb, sigma], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Raw-point variant: posenc fused into the kernel
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def fused_nerf_mlp_raw(weights: FusedMLPWeights, p: jnp.ndarray, v: jnp.ndarray):
+    """p [N, 8] raw points (3 live), v [N, 8] raw unit viewdirs (3 live);
+    N multiple of TILE. Positional encoding happens inside the kernel.
+    Returns raw [N, 8]: cols 0..2 rgb logits, col 4 sigma logit."""
+    return _fused_raw_impl(weights, p, v)
+
+
+def _fused_raw_impl(weights, p, v):
+    n = p.shape[0]
+    tile = FWD_TILE if n % FWD_TILE == 0 else TILE
+    grid = (n // tile,)
+    w_specs = [_full_spec(w.shape) for w in weights]
+    return pl.pallas_call(
+        _fwd_raw_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
+        interpret=INTERPRET,
+    )(p, v, *weights)
+
+
+def _fused_raw_fwd(weights, p, v):
+    return _fused_raw_impl(weights, p, v), (weights, p, v)
+
+
+def _fused_raw_bwd(res, g):
+    weights, p, v = res
+    n = p.shape[0]
+    grid = (n // TILE,)
+    w_specs = [_full_spec(w.shape) for w in weights]
+    gw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
+    gw_specs = [_full_spec(w.shape) for w in weights]
+    grads = pl.pallas_call(
+        _bwd_raw_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *w_specs,
+            pl.BlockSpec((TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(gw_specs),
+        out_shape=tuple(gw_shapes),
+        interpret=INTERPRET,
+    )(p, v, *weights, g)
+    return FusedMLPWeights(*grads), jnp.zeros_like(p), jnp.zeros_like(v)
+
+
+fused_nerf_mlp_raw.defvjp(_fused_raw_fwd, _fused_raw_bwd)
+
+
+def fused_apply_raw(weights: FusedMLPWeights, pts: jnp.ndarray,
+                    viewdirs: jnp.ndarray) -> jnp.ndarray:
+    """Drop-in MLP apply on RAW [N, 3] points and [N, 3] unit viewdirs:
+    in-kernel posenc (multires 10 / 4, interleaved ordering). -> [N, 4]."""
+    n = pts.shape[0]
+    pad = (-n) % TILE
+    p = jnp.zeros((n + pad, 8), pts.dtype).at[:n, :3].set(pts)
+    v = jnp.zeros((n + pad, 8), viewdirs.dtype).at[:n, :3].set(viewdirs)
+    out = fused_nerf_mlp_raw(weights, p, v)
+    return jnp.concatenate([out[:n, 0:3], out[:n, 4:5]], axis=-1)

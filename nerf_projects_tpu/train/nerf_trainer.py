@@ -72,6 +72,9 @@ class NeRFTrainer:
             and cfg.multires_views == 4
         )
         if self.use_fused_mlp:
+            # Encoded-input variant: measured fastest end-to-end (the
+            # in-kernel-posenc raw variant serializes VPU encode ahead of
+            # the MXU per tile and benches slower; see NOTES_ROUND1.md).
             from nerf_projects_tpu.ops.pallas.fused_mlp import (
                 fused_apply,
                 pack_params,

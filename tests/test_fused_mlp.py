@@ -138,3 +138,46 @@ class TestFusedBackward:
             a, b = np.asarray(a), np.asarray(b)
             denom = np.abs(a).max() + 1e-5
             assert np.abs(a - b).max() / denom < 0.1, (a.shape,)
+
+
+class TestFusedRaw:
+    def test_raw_matches_posenc_plus_fused(self, model_and_params):
+        from nerf_projects_tpu.ops.posenc import posenc
+
+        model, params = model_and_params
+        rng = np.random.default_rng(5)
+        n = fm.TILE
+        pts = jnp.asarray(rng.uniform(-1.5, 1.5, (n, 3)), jnp.float32)
+        vd = rng.standard_normal((n, 3))
+        vd = jnp.asarray(vd / np.linalg.norm(vd, axis=-1, keepdims=True), jnp.float32)
+        want = fm.fused_apply(fm.pack_params(params), posenc(pts, 10), posenc(vd, 4))
+        got = fm.fused_apply_raw(fm.pack_params(params, raw_layout=True), pts, vd)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=0.3, rtol=0.05
+        )
+
+    def test_raw_grads_match(self, model_and_params):
+        from nerf_projects_tpu.ops.posenc import posenc
+
+        model, params = model_and_params
+        rng = np.random.default_rng(6)
+        n = 2 * fm.TILE
+        pts = jnp.asarray(rng.uniform(-1.5, 1.5, (n, 3)), jnp.float32)
+        vd = rng.standard_normal((n, 3))
+        vd = jnp.asarray(vd / np.linalg.norm(vd, axis=-1, keepdims=True), jnp.float32)
+        cot = jnp.asarray(rng.standard_normal((n, 4)), jnp.float32)
+
+        def loss_enc(p):
+            w = fm.pack_params(p)
+            return jnp.sum(fm.fused_apply(w, posenc(pts, 10), posenc(vd, 4)) * cot)
+
+        def loss_raw(p):
+            w = fm.pack_params(p, raw_layout=True)
+            return jnp.sum(fm.fused_apply_raw(w, pts, vd) * cot)
+
+        want = jax.grad(loss_enc)(params)
+        got = jax.grad(loss_raw)(params)
+        for a, b in zip(jax.tree_util.tree_leaves(want),
+                        jax.tree_util.tree_leaves(got)):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.abs(a - b).max() / (np.abs(a).max() + 1e-3) < 0.05
