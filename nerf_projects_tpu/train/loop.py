@@ -56,6 +56,34 @@ def _scene_from_config(cfg) -> tuple:
     return train, test
 
 
+def _per_view_rays(scene: SceneData):
+    """[V, H*W] per-view ray arrays + pixels (no_batching path)."""
+    all_rays, all_rgb = [], []
+    K = scene.intrinsics
+    for v in range(scene.images.shape[0]):
+        rays = camera_rays(scene.height, scene.width, K, jnp.asarray(scene.poses[v]))
+        if scene.ndc:
+            o, d = ndc_rays(
+                scene.height, scene.width, scene.focal, 1.0,
+                rays.origins, rays.directions,
+            )
+            rays = Rays(o, d, rays.viewdirs)
+        all_rays.append(jax.tree_util.tree_map(lambda x: x.reshape(-1, 3), rays))
+        all_rgb.append(jnp.asarray(scene.images[v].reshape(-1, 3)))
+    rays = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *all_rays)
+    return rays, jnp.stack(all_rgb)
+
+
+def _precrop_pixel_ids(height, width, frac):
+    """Flat pixel ids of the central crop (cell 19 §7 precrop)."""
+    dh = int(height // 2 * frac)
+    dw = int(width // 2 * frac)
+    ys = np.arange(height // 2 - dh, height // 2 + dh)
+    xs = np.arange(width // 2 - dw, width // 2 + dw)
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    return jnp.asarray((yy * width + xx).reshape(-1))
+
+
 def _build_ray_pool(scene: SceneData):
     """All-image ray pool (use_batching path, cell 19 §6)."""
     all_rays, all_rgb = [], []
@@ -139,8 +167,18 @@ def train(cfg, *, max_iters: Optional[int] = None, scene=None, test_scene=None):
         if latest:
             state = load_checkpoint(latest, state)
 
-    pool_rays, pool_rgb = _build_ray_pool(scene)
-    n_pool = pool_rgb.shape[0]
+    use_batching = not getattr(cfg, "no_batching", False)
+    if use_batching:
+        pool_rays, pool_rgb = _build_ray_pool(scene)
+        n_pool = pool_rgb.shape[0]
+    else:
+        # per-image sampling with central-crop warmup (cell 19 §7)
+        view_rays, view_rgb = _per_view_rays(scene)
+        n_views = view_rgb.shape[0]
+        n_pix = view_rgb.shape[1]
+        precrop_ids = _precrop_pixel_ids(
+            scene.height, scene.width, cfg.precrop_frac
+        )
 
     logger = MetricsLogger(exp_dir, clean_existing=int(state.step) == 0)
     tracker = MemoryTracker()
@@ -154,13 +192,31 @@ def train(cfg, *, max_iters: Optional[int] = None, scene=None, test_scene=None):
             if os.path.exists(p):
                 os.remove(p)
 
-    @jax.jit
-    def draw(key):
-        idx = jax.random.randint(key, (cfg.N_rand,), 0, n_pool)
-        return (
-            jax.tree_util.tree_map(lambda x: x[idx], pool_rays),
-            pool_rgb[idx],
-        )
+    if use_batching:
+
+        @jax.jit
+        def draw(key, in_precrop):
+            idx = jax.random.randint(key, (cfg.N_rand,), 0, n_pool)
+            return (
+                jax.tree_util.tree_map(lambda x: x[idx], pool_rays),
+                pool_rgb[idx],
+            )
+
+    else:
+
+        @jax.jit
+        def draw(key, in_precrop):
+            kv, kp = jax.random.split(key)
+            v = jax.random.randint(kv, (), 0, n_views)
+            full = jax.random.randint(kp, (cfg.N_rand,), 0, n_pix)
+            crop = precrop_ids[
+                jax.random.randint(kp, (cfg.N_rand,), 0, precrop_ids.shape[0])
+            ]
+            idx = jnp.where(in_precrop, crop, full)
+            return (
+                jax.tree_util.tree_map(lambda x: x[v, idx], view_rays),
+                view_rgb[v, idx],
+            )
 
     n_iters = max_iters if max_iters is not None else cfg.N_iters
     key = jax.random.PRNGKey(1)
@@ -169,7 +225,8 @@ def train(cfg, *, max_iters: Optional[int] = None, scene=None, test_scene=None):
     start_step = int(state.step)
     for i in range(start_step, n_iters):
         key, sub = jax.random.split(key)
-        rays, target = draw(sub)
+        in_precrop = jnp.asarray(i < cfg.precrop_iters)
+        rays, target = draw(sub, in_precrop)
         state, stats = trainer.train_step(state, rays, target)
 
         step = i + 1

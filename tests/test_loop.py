@@ -161,3 +161,36 @@ class TestTrainLoop:
         # resume continues from step 10
         _, state2 = train(cfg, max_iters=15)
         assert int(state2.step) == 15
+
+
+class TestNoBatching:
+    def test_per_image_sampling_with_precrop(self, tmp_path):
+        from nerf_projects_tpu.train.loop import train
+
+        data_root = str(tmp_path / "scene")
+        _make_blender_set(data_root)
+        cfg = AttrDict(create_default_config())
+        cfg.update(
+            dataset_type="blender",
+            datadir=data_root,
+            basedir=str(tmp_path / "logs"),
+            expname="nobatch",
+            no_batching=True,
+            precrop_iters=5,
+            precrop_frac=0.5,
+            N_rand=64,
+            N_samples=8,
+            N_importance=0,
+            netdepth=2,
+            netwidth=16,
+            multires=2,
+            multires_views=2,
+            use_viewdirs=False,
+            white_bkgd=True,
+            i_print=100,
+            i_weights=1000,
+            i_testset=1000,
+            testskip=1,
+        )
+        trainer, state = train(cfg, max_iters=10)
+        assert int(state.step) == 10
