@@ -24,7 +24,8 @@ from nerf_projects_tpu.obs.metrics import compute_metrics, to8b
 from nerf_projects_tpu.ops.grid import GridRenderOptions, volume_render_grid
 
 
-def render_grid_image(grid, scene, view, opts, chunk=16384):
+def render_grid_image(grid, scene, view, opts, chunk=16384, *,
+                      occupancy=None, color_top_k=None, dense_density=None):
     fx, fy = float(scene.intrinsics[0, 0]), float(scene.intrinsics[1, 1])
     cx, cy = float(scene.intrinsics[0, 2]), float(scene.intrinsics[1, 2])
     rays = camera_rays_opencv(
@@ -33,7 +34,15 @@ def render_grid_image(grid, scene, view, opts, chunk=16384):
     )
     flat = jax.tree_util.tree_map(lambda x: x.reshape(-1, 3), rays)
     n = flat.origins.shape[0]
-    render = jax.jit(lambda r: volume_render_grid(grid, r, opts)["rgb"])
+    render = jax.jit(
+        lambda r: volume_render_grid(
+            grid, r, opts,
+            occupancy=occupancy,
+            active_steps=256 if occupancy is not None else None,
+            color_top_k=color_top_k,
+            dense_density=dense_density,
+        )["rgb"]
+    )
     outs = []
     for i in range(0, n, chunk):
         sl = jax.tree_util.tree_map(lambda x: x[i : i + chunk], flat)
@@ -58,22 +67,39 @@ def main(argv=None):
                    help="FPS benchmark mode (no metrics/saving)")
     p.add_argument("--chunk", type=int, default=16384)
     p.add_argument("--n_images", type=int, default=0, help="0 = all")
+    p.add_argument("--exact", action="store_true",
+                   help="disable the fast eval path (occupancy interval "
+                        "restriction + top-K color + dense density cache)")
+    p.add_argument("--color_top_k", type=int, default=48)
     args = p.parse_args(argv)
 
     grid = SparseGrid.load(args.ckpt)
     scene = load_scene(args.data_dir, args.split)
     opts = GridRenderOptions(step_size=args.step_size)
+    fast = {}
+    if not args.exact:
+        import jax.numpy as _jnp
+
+        from nerf_projects_tpu.ops.grid import make_render_cache
+        from nerf_projects_tpu.ops.grid_accel import build_occupancy
+
+        fast = dict(
+            occupancy=build_occupancy(grid, factor=8, sigma_thresh=opts.sigma_thresh),
+            color_top_k=args.color_top_k,
+            dense_density=make_render_cache(grid, dtype=_jnp.bfloat16),
+        )
     n = scene.images.shape[0] if not args.n_images else min(
         args.n_images, scene.images.shape[0]
     )
 
     if args.timing:
         # warmup/compile
-        render_grid_image(grid, scene, 0, opts, args.chunk).block_until_ready()
+        render_grid_image(grid, scene, 0, opts, args.chunk, **fast).block_until_ready()
         t0 = time.time()
         for v in range(n):
-            img = render_grid_image(grid, scene, v, opts, args.chunk)
-        jax.block_until_ready(img)
+            img = render_grid_image(grid, scene, v, opts, args.chunk, **fast)
+        # forced host sync (block_until_ready is unreliable on tunneled TPUs)
+        _ = float(img.sum())
         dt = time.time() - t0
         print(json.dumps({"fps": n / dt, "sec_per_image": dt / n}))
         return
@@ -82,7 +108,7 @@ def main(argv=None):
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
     for v in range(n):
-        img = render_grid_image(grid, scene, v, opts, args.chunk)
+        img = render_grid_image(grid, scene, v, opts, args.chunk, **fast)
         results.append(compute_metrics(img, scene.images[v]))
         if args.out_dir:
             import imageio.v2 as imageio

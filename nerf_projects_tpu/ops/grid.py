@@ -43,24 +43,16 @@ class GridRenderOptions(NamedTuple):
     backend: str = "cuvol"          # cuvol | nvol | svox1 (svox2.py:48)
 
 
-def _gather_corner(data: jnp.ndarray, links: jnp.ndarray, idx):
-    """Fetch data rows for integer grid corners; empty links -> 0.
-
-    idx: ix, iy, iz int arrays [...]; data [cap, C]; links [X, Y, Z].
-    """
-    ix, iy, iz = idx
-    link = links[ix, iy, iz]  # [...]
-    safe = jnp.maximum(link, 0)
-    vals = data[safe]  # [..., C]
-    return jnp.where((link >= 0)[..., None], vals, 0.0)
-
-
 def trilerp(grid: SparseGrid, data: jnp.ndarray, gpts: jnp.ndarray) -> jnp.ndarray:
     """Trilinear interpolation of compact `data` at grid coords [..., 3].
 
     Matches the reference python fallback sample path (svox2.py:598-653):
-    floor clamped to [0, reso-2], corners fetched through links.
+    floor clamped to [0, reso-2], corners fetched through links. Uses ONE
+    flat 1-D gather for all 8 corner links and one for the rows — XLA TPU
+    lowers a single big flat gather several times faster than eight 3-D
+    fancy-indexing gathers (measured; see NOTES_ROUND1.md).
     """
+    X, Y, Z = grid.reso
     reso = jnp.asarray(grid.reso)
     l = jnp.clip(jnp.floor(gpts).astype(jnp.int32), 0, reso - 2)
     w = gpts - l.astype(gpts.dtype)
@@ -68,23 +60,80 @@ def trilerp(grid: SparseGrid, data: jnp.ndarray, gpts: jnp.ndarray) -> jnp.ndarr
     ix, iy, iz = l[..., 0], l[..., 1], l[..., 2]
     wx, wy, wz = w[..., 0:1], w[..., 1:2], w[..., 2:3]
 
-    links = grid.links
-    c000 = _gather_corner(data, links, (ix, iy, iz))
-    c001 = _gather_corner(data, links, (ix, iy, iz + 1))
-    c010 = _gather_corner(data, links, (ix, iy + 1, iz))
-    c011 = _gather_corner(data, links, (ix, iy + 1, iz + 1))
-    c100 = _gather_corner(data, links, (ix + 1, iy, iz))
-    c101 = _gather_corner(data, links, (ix + 1, iy, iz + 1))
-    c110 = _gather_corner(data, links, (ix + 1, iy + 1, iz))
-    c111 = _gather_corner(data, links, (ix + 1, iy + 1, iz + 1))
+    base = (ix * Y + iy) * Z + iz  # [...]
+    # corner offsets in flat index space, order (dx, dy, dz) bit-packed
+    offs = jnp.asarray(
+        [
+            0, 1, Z, Z + 1,
+            Y * Z, Y * Z + 1, Y * Z + Z, Y * Z + Z + 1,
+        ],
+        jnp.int32,
+    )
+    flat_idx = base[..., None] + offs  # [..., 8]
+    links8 = grid.links.reshape(-1)[flat_idx]  # single flat gather
+    safe = jnp.maximum(links8, 0)
+    vals = jnp.where(
+        (links8 >= 0)[..., None], data[safe], 0.0
+    )  # [..., 8, C]
 
-    c00 = c000 * (1 - wz) + c001 * wz
-    c01 = c010 * (1 - wz) + c011 * wz
-    c10 = c100 * (1 - wz) + c101 * wz
-    c11 = c110 * (1 - wz) + c111 * wz
-    c0 = c00 * (1 - wy) + c01 * wy
-    c1 = c10 * (1 - wy) + c11 * wy
-    return c0 * (1 - wx) + c1 * wx
+    # weights per corner, same (dz fastest, then dy, dx) ordering
+    w000 = (1 - wx) * (1 - wy) * (1 - wz)
+    w001 = (1 - wx) * (1 - wy) * wz
+    w010 = (1 - wx) * wy * (1 - wz)
+    w011 = (1 - wx) * wy * wz
+    w100 = wx * (1 - wy) * (1 - wz)
+    w101 = wx * (1 - wy) * wz
+    w110 = wx * wy * (1 - wz)
+    w111 = wx * wy * wz
+    cw = jnp.stack(
+        [w000, w001, w010, w011, w100, w101, w110, w111], axis=-2
+    )  # [..., 8, 1]
+    return jnp.sum(vals * cw, axis=-2)
+
+
+def make_render_cache(grid: SparseGrid, dtype=jnp.float32) -> jnp.ndarray:
+    """Dense density volume [X*Y*Z] for the render-time density pass.
+
+    Removes the links indirection (two dependent gathers -> one) for
+    EVAL rendering where density is static. ~reso^3 * 4B; build once per
+    grid, pass to volume_render_grid(dense_density=...).
+    """
+    X, Y, Z = grid.reso
+    flat_links = grid.links.reshape(-1)
+    safe = jnp.maximum(flat_links, 0)
+    dens = grid.density_data[safe, 0].astype(dtype)
+    return jnp.where(flat_links >= 0, dens, 0.0)
+
+
+def _trilerp_dense_flat(dense_flat: jnp.ndarray, reso, gpts: jnp.ndarray):
+    """Trilinear interp of a dense flat [X*Y*Z] scalar volume."""
+    X, Y, Z = reso
+    l = jnp.clip(
+        jnp.floor(gpts).astype(jnp.int32), 0, jnp.asarray(reso) - 2
+    )
+    w = jnp.clip(gpts - l.astype(gpts.dtype), 0.0, 1.0)
+    ix, iy, iz = l[..., 0], l[..., 1], l[..., 2]
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    base = (ix * Y + iy) * Z + iz
+    offs = jnp.asarray(
+        [0, 1, Z, Z + 1, Y * Z, Y * Z + 1, Y * Z + Z, Y * Z + Z + 1],
+        jnp.int32,
+    )
+    vals = dense_flat[base[..., None] + offs].astype(jnp.float32)  # [..., 8]
+    cw = jnp.stack(
+        [
+            (1 - wx) * (1 - wy) * (1 - wz),
+            (1 - wx) * (1 - wy) * wz,
+            (1 - wx) * wy * (1 - wz),
+            (1 - wx) * wy * wz,
+            wx * (1 - wy) * (1 - wz),
+            wx * (1 - wy) * wz,
+            wx * wy * (1 - wz),
+            wx * wy * wz,
+        ],
+        axis=-1,
+    )
+    return jnp.sum(vals * cw, axis=-1)
 
 
 def sample_grid(grid: SparseGrid, pts: jnp.ndarray, *, want_colors: bool = True):
@@ -112,6 +161,7 @@ def volume_render_grid(
     active_steps: Optional[int] = None,
     background=None,
     color_top_k: Optional[int] = None,
+    dense_density: Optional[jnp.ndarray] = None,
 ):
     """Render [R] rays against the grid. Returns dict(rgb [R,3], ...).
 
@@ -169,7 +219,7 @@ def volume_render_grid(
     if color_top_k is not None and opts.backend == "cuvol":
         return _render_top_k(
             grid, rays, opts, gpts, t, in_bounds, step_world, world_len,
-            color_top_k, return_depth, background,
+            color_top_k, return_depth, background, dense_density,
         )
     if opts.backend == "svox1":
         # nearest-neighbor lookup (PlenOctree-compat backend,
@@ -240,11 +290,14 @@ def volume_render_grid(
 
 def _render_top_k(
     grid, rays, opts, gpts, t, in_bounds, step_world, world_len,
-    k, return_depth, background,
+    k, return_depth, background, dense_density=None,
 ):
     """Two-pass cuvol render: density-only march, then SH gathers at the
     top-k weighted samples per ray (see volume_render_grid docstring)."""
-    density = trilerp(grid, grid.density_data, gpts)[..., 0]
+    if dense_density is not None:
+        density = _trilerp_dense_flat(dense_density, grid.reso, gpts)
+    else:
+        density = trilerp(grid, grid.density_data, gpts)[..., 0]
     density = jnp.where(in_bounds, density, 0.0)
     density = jnp.where(density > opts.sigma_thresh, density, 0.0)
 

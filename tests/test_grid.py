@@ -357,3 +357,27 @@ class TestTopKColor:
         np.testing.assert_allclose(
             np.asarray(fast["acc"]), np.asarray(exact["acc"]), atol=1e-4
         )
+
+
+class TestDenseDensityCache:
+    def test_cached_render_matches(self):
+        from dataclasses import replace
+
+        from nerf_projects_tpu.ops.grid import make_render_cache
+
+        g = SparseGrid.create(24, basis_dim=1, init_density=0.0)
+        links = np.asarray(g.links)
+        dens = np.zeros((g.capacity, 1), np.float32)
+        dens[links[8:16, 8:16, 8:16].ravel()] = 40.0
+        g = replace(g, density_data=jnp.asarray(dens))
+        cache = make_render_cache(g)
+        d = jax.random.normal(jax.random.PRNGKey(0), (32, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        rays = Rays(-3.0 * d, d, d)
+        a = volume_render_grid(g, rays, GridRenderOptions(), color_top_k=32)
+        b = volume_render_grid(
+            g, rays, GridRenderOptions(), color_top_k=32, dense_density=cache
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-4
+        )
