@@ -132,15 +132,48 @@ def cmd_evaluate(args):
     tree = PlenOctree.load(args.input)
     scene = load_scene(args.data_dir, "test")
     opts = OctreeRenderOptions(step_size=args.renderer_step_size)
+    fast_render = None
+    if getattr(args, "fast", False):
+        # bake to a grid and use the fast grid path (occupancy + top-K +
+        # dense density cache) — ~10x faster per image on TPU.
+        import jax.numpy as jnp
+
+        from nerf_projects_tpu.cli.render_imgs import render_grid_image
+        from nerf_projects_tpu.models.grid_lifecycle import octree_to_grid
+        from nerf_projects_tpu.ops.grid import (
+            GridRenderOptions,
+            make_render_cache,
+        )
+        from nerf_projects_tpu.ops.grid_accel import build_occupancy
+
+        baked = octree_to_grid(tree, sigma_thresh=opts.sigma_thresh)
+        gopts = GridRenderOptions(
+            step_size=0.5, sigma_thresh=opts.sigma_thresh,
+            color_mode="sigmoid",
+        )
+        occ = build_occupancy(baked, factor=8, sigma_thresh=opts.sigma_thresh)
+        cache = make_render_cache(baked, dtype=jnp.bfloat16)
+        # scene wrapper uses OpenGL poses; render via grid image helper
+        from nerf_projects_tpu.cli.train_plenoxels import _to_opencv_pose  # noqa: F401
+
+        def fast_render(v):
+            return render_grid_image(
+                baked, scene, v, gopts, args.chunk,
+                occupancy=occ, color_top_k=48, dense_density=cache,
+            )
+
     results = []
     import time
 
     t0 = time.time()
     for v in range(scene.images.shape[0]):
-        img = render_image_octree(
-            tree, scene.height, scene.width, scene.intrinsics,
-            scene.poses[v], opts, chunk=args.chunk,
-        )
+        if fast_render is not None:
+            img = fast_render(v)
+        else:
+            img = render_image_octree(
+                tree, scene.height, scene.width, scene.intrinsics,
+                scene.poses[v], opts, chunk=args.chunk,
+            )
         results.append(compute_metrics(img, scene.images[v]))
     elapsed = time.time() - t0
     mean = {k: float(np.mean([r[k] for r in results])) for k in results[0]}
@@ -224,6 +257,8 @@ def main(argv=None):
     pv.add_argument("--output", default=None)
     pv.add_argument("--renderer_step_size", type=float, default=1e-3)
     pv.add_argument("--chunk", type=int, default=16384)
+    pv.add_argument("--fast", action="store_true",
+                    help="bake to a grid and use the fast TPU render path")
     pv.set_defaults(fn=cmd_evaluate)
 
     pc = sub.add_parser("compress")

@@ -256,3 +256,61 @@ def to_octree(
     )
     data[cc[:, 0], cc[:, 1], cc[:, 2], cc[:, 3]] = payload
     return replace(tree, data=jnp.asarray(data))
+
+
+def octree_to_grid(tree, *, reso: Optional[int] = None,
+                   sigma_thresh: float = 0.0, dilate: int = 1,
+                   batch: int = 262144):
+    """Bake a PlenOctree into a SparseGrid at its finest resolution.
+
+    The inverse of `to_octree`: queries the tree at grid cell centers.
+    Rendering a baked grid through the fast grid path (occupancy + top-K +
+    dense density cache) is an order of magnitude faster on TPU than
+    per-sample tree descent — use for real-time octree evaluation.
+    """
+    import jax
+
+    from nerf_projects_tpu.models.octree import PlenOctree  # noqa: F401
+
+    cells, depths, corners, sizes = tree.leaf_depths_and_corners()
+    if reso is None:
+        reso = int(2 ** depths.max())
+    basis_dim = (tree.data_dim - 1) // 3
+
+    # world geometry: tree unit cube == grid cube
+    radius = (0.5 / tree.invradius).astype(np.float32)
+    center = ((0.5 - tree.offset) / tree.invradius).astype(np.float32)
+
+    ii, jj, kk = np.meshgrid(*[np.arange(reso)] * 3, indexing="ij")
+    unit = (np.stack([ii, jj, kk], -1).reshape(-1, 3) + 0.5) / reso
+    world = ((unit - tree.offset) / tree.invradius).astype(np.float32)
+
+    query = jax.jit(tree.query)
+    vals = np.empty((world.shape[0], tree.data_dim), np.float32)
+    for i in range(0, len(world), batch):
+        sl = world[i : i + batch]
+        pad = batch - len(sl)
+        if pad:
+            sl = np.concatenate([sl, np.zeros((pad, 3), np.float32)])
+        out = np.asarray(query(jnp.asarray(sl)))
+        vals[i : i + batch] = out[: batch - pad] if pad else out
+
+    sigma = np.maximum(vals[:, -1], 0.0)
+    mask = sigma > sigma_thresh
+    if dilate > 0:
+        # keep a one-cell rim so boundary trilerp retains color data
+        # (the same reason resample dilates, svox2.py:1360)
+        mask = dilate_mask(mask.reshape(reso, reso, reso), dilate).reshape(-1)
+    if not mask.any():
+        mask[np.argmax(sigma)] = True
+    links = np.full(reso**3, -1, np.int32)
+    act = np.nonzero(mask)[0]
+    links[act] = np.arange(len(act), dtype=np.int32)
+    return SparseGrid(
+        links=jnp.asarray(links.reshape(reso, reso, reso)),
+        density_data=jnp.asarray(sigma[act][:, None]),
+        sh_data=jnp.asarray(vals[act, : 3 * basis_dim]),
+        radius=radius,
+        center=center,
+        basis_dim=basis_dim,
+    )

@@ -41,6 +41,8 @@ class GridRenderOptions(NamedTuple):
     background_brightness: float = 1.0  # 1 = white, 0 = black
     max_steps: Optional[int] = None  # static march length; default = diag
     backend: str = "cuvol"          # cuvol | nvol | svox1 (svox2.py:48)
+    color_mode: str = "bias"        # "bias" (+0.5 clamp, Plenoxels) |
+                                    # "sigmoid" (PlenOctree-baked grids)
 
 
 def trilerp(grid: SparseGrid, data: jnp.ndarray, gpts: jnp.ndarray) -> jnp.ndarray:
@@ -240,7 +242,10 @@ def volume_render_grid(
     basis = eval_sh_bases(grid.basis_dim, rays.viewdirs)  # [R, B]
     coeffs = sh_coeffs.reshape(sh_coeffs.shape[:-1] + (3, grid.basis_dim))
     rgb_raw = jnp.einsum("rscb,rb->rsc", coeffs, basis)
-    rgb = jnp.maximum(rgb_raw + 0.5, 0.0)  # +0.5 bias clamp (cuvol:104)
+    if opts.color_mode == "sigmoid":
+        rgb = jax.nn.sigmoid(rgb_raw)
+    else:
+        rgb = jnp.maximum(rgb_raw + 0.5, 0.0)  # +0.5 bias clamp (cuvol:104)
 
     # Compositing with early termination as a transmittance mask.
     tau = density * step_world[:, None]  # optical depth per step
@@ -326,7 +331,11 @@ def _render_top_k(
     sh_coeffs = trilerp(grid, grid.sh_data, sel_pts)  # [R, K, 27]
     basis = eval_sh_bases(grid.basis_dim, rays.viewdirs)
     coeffs = sh_coeffs.reshape(sh_coeffs.shape[:-1] + (3, grid.basis_dim))
-    rgb = jnp.maximum(jnp.einsum("rkcb,rb->rkc", coeffs, basis) + 0.5, 0.0)
+    decoded = jnp.einsum("rkcb,rb->rkc", coeffs, basis)
+    if opts.color_mode == "sigmoid":
+        rgb = jax.nn.sigmoid(decoded)
+    else:
+        rgb = jnp.maximum(decoded + 0.5, 0.0)
 
     out_rgb = jnp.einsum("rk,rkc->rc", top_w, rgb)
     acc = jnp.sum(weights, axis=-1)

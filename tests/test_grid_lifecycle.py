@@ -127,3 +127,37 @@ class TestOctreeExport:
         np.testing.assert_allclose(
             np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=0.12
         )
+
+
+class TestOctreeToGrid:
+    def test_roundtrip_renders_close(self):
+        from nerf_projects_tpu.models.grid_lifecycle import octree_to_grid, to_octree
+        from nerf_projects_tpu.ops.grid import make_render_cache
+        from nerf_projects_tpu.ops.grid_accel import build_occupancy
+
+        g = _block_grid(16)
+        tree = to_octree(g, sigma_thresh=1.0)
+        g2 = octree_to_grid(tree, sigma_thresh=0.5)
+        assert g2.reso[0] >= 16
+        d = jnp.asarray([[0.0, 0.0, 1.0]])
+        rays = Rays(jnp.asarray([[0.0, 0.0, -3.0]]), d, d)
+        # The baked grid render (trilinear) must match the ORIGINAL grid
+        # render (also trilinear); the octree itself renders nearest-
+        # neighbor so it differs at boundaries by construction.
+        a = volume_render_grid(g, rays, GridRenderOptions())
+        occ = build_occupancy(g2, factor=4, sigma_thresh=0.5)
+        b = volume_render_grid(
+            g2, rays, GridRenderOptions(), occupancy=occ, active_steps=64,
+            color_top_k=32, dense_density=make_render_cache(g2),
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=0.05
+        )
+        # octree nearest render agrees coarsely
+        c = volume_render_octree(
+            tree, rays,
+            OctreeRenderOptions(step_size=2e-3, sigma_thresh=0.0, color_mode="bias"),
+        )
+        np.testing.assert_allclose(
+            np.asarray(c["rgb"]), np.asarray(a["rgb"]), atol=0.25
+        )
