@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512       # rows per program (backward: VMEM-bound at 512)
+TILE = 768       # rows per program (backward: VMEM-bound; 1024 OOMs, 768 fits and is ~5% faster than 512)
 FWD_TILE = 1024  # forward-only tile (no activation stash -> fits bigger)
 
 # set True to run kernels in interpreter mode (CPU testing)
