@@ -35,7 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 768       # rows per program (backward: VMEM-bound; 1024 OOMs, 768 fits and is ~5% faster than 512)
-FWD_TILE = 1024  # forward-only tile (no activation stash -> fits bigger)
+FWD_TILE = 2048  # forward-only tile (no activation stash -> fits bigger;
+                 # 2048 measures fastest, 4096 fails to compile)
 
 # set True to run kernels in interpreter mode (CPU testing)
 INTERPRET = False
