@@ -109,6 +109,9 @@ class NeRFSHModel(nn.Module):
     sigma_activation: Callable = nn.relu
     net_activation: Callable = nn.relu
     compute_dtype: Any = jnp.float32
+    use_fused_trunk: bool = False  # Pallas fused kernel for the SH/SG
+                                   # trunk (condition-free, 8x256, skip 4,
+                                   # deg-10 encoding)
 
     @property
     def num_rgb_channels(self) -> int:
@@ -168,10 +171,35 @@ class NeRFSHModel(nn.Module):
             viewdirs, self.deg_view, min_deg=0, ordering="block", include_input=True
         )
 
+    def _fused_trunk_ok(self, mlp):
+        return (
+            self.use_fused_trunk
+            and not self.is_initializing()
+            and not self.use_viewdirs
+            and self.net_depth == 8
+            and self.net_width == 256
+            and self.skip_layer == 4
+            and self.min_deg_point == 0
+            and self.max_deg_point == 10
+            and self.num_rgb_channels <= 128
+        )
+
     def _run_mlp(self, mlp, pts, viewdirs_enc):
         """pts: [R, N, 3]; viewdirs_enc: [R, Cv] or None -> ([R,N,Crgb],[R,N,1])."""
         r, n = pts.shape[0], pts.shape[1]
         pts_enc = self._encode_points(pts.reshape(r * n, 3))
+        if viewdirs_enc is None and self._fused_trunk_ok(mlp):
+            from nerf_projects_tpu.ops.pallas.fused_sh_mlp import (
+                fused_sh_apply,
+            )
+
+            raw_rgb, raw_sigma = fused_sh_apply(
+                mlp.variables["params"], pts_enc, self.num_rgb_channels
+            )
+            return (
+                raw_rgb.reshape(r, n, -1),
+                raw_sigma.reshape(r, n, self.num_sigma_channels),
+            )
         cond = None
         if viewdirs_enc is not None:
             cond = jnp.broadcast_to(

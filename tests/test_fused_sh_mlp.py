@@ -63,3 +63,29 @@ class TestFusedSH:
             a, b = np.asarray(a), np.asarray(b)
             rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-3)
             assert rel < 0.05, (a.shape, rel)
+
+
+class TestModelIntegration:
+    def test_model_with_fused_trunk_matches(self):
+        from nerf_projects_tpu.core.rays import Rays
+        from nerf_projects_tpu.models.nerf_sh import NeRFSHModel
+
+        kw = dict(
+            num_coarse_samples=8, num_fine_samples=0, sh_deg=2,
+            net_depth=8, net_width=256, max_deg_point=10,
+            compute_dtype=jnp.bfloat16,
+        )
+        ref = NeRFSHModel(**kw)
+        fused = NeRFSHModel(use_fused_trunk=True, **kw)
+        d = jax.random.normal(jax.random.PRNGKey(0), (8, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        rays = Rays(jnp.zeros((8, 3)), d, d)
+        params = ref.init(
+            jax.random.PRNGKey(1), jax.random.PRNGKey(2),
+            jax.random.PRNGKey(3), rays, False,
+        )
+        a = ref.apply(params, None, None, rays, False)
+        b = fused.apply(params, None, None, rays, False)
+        np.testing.assert_allclose(
+            np.asarray(a[-1].rgb), np.asarray(b[-1].rgb), atol=0.02
+        )
