@@ -172,6 +172,9 @@ class NeRFSHModel(nn.Module):
         )
 
     def _fused_trunk_ok(self, mlp):
+        # The fused kernel hardcodes ReLU and a single sigma channel;
+        # gate on both so softplus/elu configs fall back to the flax path
+        # instead of silently computing wrong outputs (ADVICE r1).
         return (
             self.use_fused_trunk
             and not self.is_initializing()
@@ -182,6 +185,8 @@ class NeRFSHModel(nn.Module):
             and self.min_deg_point == 0
             and self.max_deg_point == 10
             and self.num_rgb_channels <= 128
+            and self.num_sigma_channels == 1
+            and self.net_activation is nn.relu
         )
 
     def _run_mlp(self, mlp, pts, viewdirs_enc):

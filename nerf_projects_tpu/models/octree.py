@@ -225,8 +225,29 @@ class PlenOctree:
 
     # -- persistence -------------------------------------------------------
 
+    def _parent_depth_table(self) -> np.ndarray:
+        """svox bookkeeping: [N, 2] int32 where col 0 is the packed parent
+        pointer (parent_node * 8 + flat cell index) and col 1 is the node
+        depth. Root row stays (0, 0). Derived by the same top-down walk as
+        leaf_depths_and_corners."""
+        child = np.asarray(self.child)
+        n_nodes = child.shape[0]
+        pd = np.zeros((n_nodes, 2), np.int32)
+        nz = np.nonzero(child != 0)
+        tgt = nz[0] + child[nz]
+        pd[tgt, 0] = (nz[0] * 8 + nz[1] * 4 + nz[2] * 2 + nz[3]).astype(np.int32)
+        # Depths: propagate in node-index order (children always have a
+        # higher index than their parent in our append-only refine).
+        order = np.argsort(tgt)
+        for t in tgt[order]:
+            pd[t, 1] = pd[pd[t, 0] // 8, 1] + 1
+        return pd
+
     def save(self, path: str, *, compress: bool = True):
-        """svox-style npz: child/data/invradius/offset (+ geometry meta)."""
+        """svox-style npz: child/data/invradius/offset + the bookkeeping
+        keys upstream svox N3Tree.load requires (parent_depth, n_internal,
+        n_free, geom_resize_fact — the reference's own
+        compressed_evaluation.py:169-189 patches these in when absent)."""
         saver = np.savez_compressed if compress else np.savez
         saver(
             path,
@@ -236,6 +257,10 @@ class PlenOctree:
             offset=self.offset,
             depth_limit=self.depth_limit,
             data_dim=self.data_dim,
+            parent_depth=self._parent_depth_table(),
+            n_internal=np.int64(self.n_nodes),
+            n_free=np.int64(0),
+            geom_resize_fact=np.float64(1.0),
         )
 
     @staticmethod

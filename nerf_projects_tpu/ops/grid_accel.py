@@ -82,6 +82,15 @@ def active_t_range(
     origins_g/dirs_g are grid-space (fine voxel units); returns
     (t_enter [R], t_exit [R]) with t_enter >= t0, t_exit <= t1 and
     t_enter > t_exit when the ray hits nothing.
+
+    Approximation note: occupancy is probed at `n_probe` uniform
+    midpoints, so an occupied coarse cell crossed for less than one probe
+    interval (a corner clip of an isolated cell) can fall between probes
+    and the ray be marked empty. The interval *shrinking* is conservative
+    (expanded one probe interval each side), but the any-hit detection is
+    only guaranteed when the probe spacing (t1-t0)/n_probe maps to
+    <= `factor` voxels along the ray; the default dilate=1 when building
+    the bitmap makes a straddled miss require a >=2-cell-wide gap.
     """
     f = float(occ.factor)
     reso_c = jnp.asarray(occ.bitmap.shape)

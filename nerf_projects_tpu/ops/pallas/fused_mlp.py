@@ -377,17 +377,42 @@ def _full_spec(shape):
     return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
+def _pick_fwd_tile(n: int) -> int:
+    """Forward tile: prefer the big tile, fall back to TILE; the batch must
+    divide one of them exactly (no remainder handling in the kernels)."""
+    if n % FWD_TILE == 0:
+        return FWD_TILE
+    if n % TILE == 0:
+        return TILE
+    raise ValueError(
+        f"fused MLP batch N={n} must be a multiple of {FWD_TILE} or {TILE}"
+    )
+
+
+def _pick_bwd_tile(n: int) -> int:
+    """Backward tile: TILE when it divides N; otherwise 512 (fits VMEM,
+    divides every FWD_TILE multiple). A silent remainder here would drop
+    gradient rows (ADVICE r1)."""
+    if n % TILE == 0:
+        return TILE
+    if n % 512 == 0:
+        return 512
+    raise ValueError(
+        f"fused MLP backward batch N={n} must be a multiple of {TILE} or 512"
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def fused_nerf_mlp(weights: FusedMLPWeights, x: jnp.ndarray, v: jnp.ndarray):
     """x [N, 64] pts encoding (63 live), v [N, 32] view encoding (27
-    live); N multiple of TILE. Returns raw [N, 128]: cols 0..2 = rgb
-    logits, col 64 = sigma logit."""
+    live); N multiple of FWD_TILE or TILE. Returns raw [N, 8]: cols
+    0..2 = rgb logits, col 4 = sigma logit (slim output layout)."""
     return _fused_fwd_impl(weights, x, v)
 
 
 def _fused_fwd_impl(weights, x, v):
     n = x.shape[0]
-    tile = FWD_TILE if n % FWD_TILE == 0 else TILE
+    tile = _pick_fwd_tile(n)
     grid = (n // tile,)
     w_specs = [_full_spec(w.shape) for w in weights]
     return pl.pallas_call(
@@ -413,7 +438,8 @@ def _fused_fwd(weights, x, v):
 def _fused_bwd(res, g):
     weights, x, v = res
     n = x.shape[0]
-    grid = (n // TILE,)
+    tile = _pick_bwd_tile(n)
+    grid = (n // tile,)
     w_specs = [_full_spec(w.shape) for w in weights]
     gw_shapes = [
         jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights
@@ -423,10 +449,10 @@ def _fused_bwd(res, g):
         _bwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *w_specs,
-            pl.BlockSpec((TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(gw_specs),
         out_shape=tuple(gw_shapes),
@@ -470,7 +496,7 @@ def fused_nerf_mlp_raw(weights: FusedMLPWeights, p: jnp.ndarray, v: jnp.ndarray)
 
 def _fused_raw_impl(weights, p, v):
     n = p.shape[0]
-    tile = FWD_TILE if n % FWD_TILE == 0 else TILE
+    tile = _pick_fwd_tile(n)
     grid = (n // tile,)
     w_specs = [_full_spec(w.shape) for w in weights]
     return pl.pallas_call(
@@ -496,7 +522,8 @@ def _fused_raw_fwd(weights, p, v):
 def _fused_raw_bwd(res, g):
     weights, p, v = res
     n = p.shape[0]
-    grid = (n // TILE,)
+    tile = _pick_bwd_tile(n)
+    grid = (n // tile,)
     w_specs = [_full_spec(w.shape) for w in weights]
     gw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
     gw_specs = [_full_spec(w.shape) for w in weights]
@@ -504,10 +531,10 @@ def _fused_raw_bwd(res, g):
         _bwd_raw_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *w_specs,
-            pl.BlockSpec((TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(gw_specs),
         out_shape=tuple(gw_shapes),
