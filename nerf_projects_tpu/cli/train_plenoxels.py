@@ -73,7 +73,17 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--init_sigma", type=float, default=0.1)
     g = parser.add_argument_group("losses")
     g.add_argument("--lambda_tv", type=float, default=1e-5)
+    g.add_argument("--tv_sparsity", type=float, default=0.01)
     g.add_argument("--lambda_tv_sh", type=float, default=1e-3)
+    g.add_argument("--tv_sh_sparsity", type=float, default=0.01)
+    g.add_argument("--lambda_tv_lumisphere", type=float, default=0.0)
+    g.add_argument("--tv_lumisphere_sparsity", type=float, default=0.01)
+    g.add_argument("--tv_lumisphere_dir_factor", type=float, default=0.0)
+    g.add_argument("--lambda_l2_sh", type=float, default=0.0)
+    g.add_argument("--lambda_sparsity", type=float, default=0.0,
+                   help="SNeRG/PlenOctrees ray sparsity loss weight")
+    g.add_argument("--lambda_beta", type=float, default=0.0,
+                   help="neural-volumes beta distribution loss weight")
     g.add_argument("--tv_early_only", type=int, default=1,
                    help="disable TV after the first upsample")
     g.add_argument("--density_thresh", type=float, default=5.0)
@@ -193,13 +203,22 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
             lr_sh=args.lr_sh,
             lr_sh_final=args.lr_sh_final,
             lambda_tv=args.lambda_tv if tv_on else 0.0,
+            tv_sparsity=args.tv_sparsity,
             lambda_tv_sh=args.lambda_tv_sh if tv_on else 0.0,
+            tv_sh_sparsity=args.tv_sh_sparsity,
+            lambda_beta=args.lambda_beta,
+            lambda_sparsity=args.lambda_sparsity,
+            lambda_l2_sh=args.lambda_l2_sh,
+            lambda_tv_lumisphere=args.lambda_tv_lumisphere if tv_on else 0.0,
+            tv_lumisphere_sparsity=args.tv_lumisphere_sparsity,
+            tv_lumisphere_dir_factor=args.tv_lumisphere_dir_factor,
+            sigma_optim=args.sigma_optim,
+            sh_optim=args.sh_optim,
             rms_beta=args.rms_beta,
         )
 
     trainer = make_trainer(True)
     rms = trainer.init_rms(grid)
-    nbr = trainer.prepare(grid)
 
     pool, pixels = build_ray_pool_opencv(scene)
     n_pool = pixels.shape[0]
@@ -224,10 +243,10 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
     ]
     upsampled = False
     for step in range(1, n_iters + 1):
-        key, sub = jax.random.split(key)
+        key, sub, k_tv = jax.random.split(key, 3)
         rays, target = draw(sub)
         grid, rms, stats = trainer.train_step(
-            grid, rms, nbr, rays, target, jnp.asarray(step, jnp.float32)
+            grid, rms, rays, target, jnp.asarray(step, jnp.float32), k_tv
         )
         if step % args.print_every == 0:
             tb.scalar("train/mse", stats["mse"], step)
@@ -261,7 +280,6 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
             if args.tv_early_only:
                 trainer = make_trainer(tv_on=False)
             rms = trainer.init_rms(grid)
-            nbr = trainer.prepare(grid)
     # final eval + save (opt.py:889-898)
     psnr = eval_step(trainer, grid, test_scene or scene)
     grid.save(os.path.join(args.train_dir, "ckpt.npz"))

@@ -314,3 +314,56 @@ def octree_to_grid(tree, *, reso: Optional[int] = None,
         center=center,
         basis_dim=basis_dim,
     )
+
+
+def resize(grid: SparseGrid, basis_dim: int) -> SparseGrid:
+    """Change the SH basis dimension of the stored colors in place.
+
+    Reference `SparseGrid.resize` (svox2.py:1451-1486): per color group,
+    copy the min(old, new) low-order coefficients into the new layout and
+    zero-fill any added higher-order slots. Callers must reset optimizer
+    state (the reference clears sh_rms).
+    """
+    if int(np.sqrt(basis_dim)) ** 2 != basis_dim:
+        raise ValueError("basis_dim (SH) must be a square number")
+    if not (1 <= basis_dim <= 25):
+        raise ValueError("basis_dim 1-25 supported")
+    old = grid.basis_dim
+    if basis_dim == old:
+        return grid
+    sh = grid.sh_data.reshape(grid.capacity, 3, old)
+    keep = min(old, basis_dim)
+    new_sh = jnp.zeros((grid.capacity, 3, basis_dim), grid.sh_data.dtype)
+    new_sh = new_sh.at[:, :, :keep].set(sh[:, :, :keep])
+    return replace(
+        grid,
+        sh_data=new_sh.reshape(grid.capacity, 3 * basis_dim),
+        basis_dim=basis_dim,
+    )
+
+
+def sparsify_background(msi, sigma_thresh: float = 1.0, dilate: int = 1):
+    """Prune background-MSI texels whose density falls below the
+    threshold (after dilating the keep mask).
+
+    Reference `SparseGrid.sparsify_background` (svox2.py:1426-1449),
+    called from the epoch loop after upsampling (opt.py:876-880). The
+    reference drops pruned texels from its compact background arrays; our
+    MSI is a dense equirect stack (a documented TPU deviation —
+    ops/background.py), so pruning zeroes the failing texels instead:
+    they render as empty exactly like dropped reference cells, while the
+    storage stays statically shaped for XLA.
+    """
+    from nerf_projects_tpu.ops.background import BackgroundMSI
+    from scipy import ndimage
+
+    data = np.asarray(msi.data)  # [L, H, W, 4]
+    keep = data[..., 3] >= sigma_thresh  # [L, H, W]
+    if dilate > 0:
+        # 26-neighborhood dilation per reference _C.dilate, applied in
+        # (layer, v, u) index space.
+        keep = ndimage.binary_dilation(
+            keep, structure=np.ones((3, 3, 3), bool), iterations=int(dilate)
+        )
+    data = np.where(keep[..., None], data, 0.0).astype(np.float32)
+    return BackgroundMSI(data=jnp.asarray(data), radii=msi.radii)

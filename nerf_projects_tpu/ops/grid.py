@@ -272,6 +272,14 @@ def volume_render_grid(
         weights = jnp.where(active, T * alpha, 0.0)
 
     out_rgb = jnp.einsum("rs,rsc->rc", weights, rgb)
+    # Final log-transmittance after the march (the reference's
+    # log_transmit output, used by the beta loss; cuvol kernel
+    # accumulates -tau until early stop).
+    if opts.backend == "nvol":
+        log_transmit = jnp.log(jnp.maximum(1.0 - jnp.minimum(
+            jnp.cumsum(1.0 - jnp.exp(-tau), axis=-1)[:, -1], 1.0), 1e-30))
+    else:
+        log_transmit = -jnp.sum(jnp.where(active, tau, 0.0), axis=-1)
     acc = jnp.sum(weights, axis=-1)
     if background is not None:
         from nerf_projects_tpu.ops.background import render_background
@@ -286,11 +294,67 @@ def volume_render_grid(
     else:
         out_rgb = out_rgb + (1.0 - acc[:, None]) * opts.background_brightness
 
-    result = {"rgb": out_rgb, "acc": acc, "weights": weights}
+    result = {
+        "rgb": out_rgb,
+        "acc": acc,
+        "weights": weights,
+        "sigma": density,
+        "log_transmit": log_transmit,
+    }
     if return_depth:
         depth_t = jnp.sum(weights * t, axis=-1)
         result["depth"] = depth_t * world_len
     return result
+
+
+def volume_render_depth(
+    grid: SparseGrid,
+    rays: Rays,
+    opts: GridRenderOptions = GridRenderOptions(),
+    *,
+    sigma_thresh: Optional[float] = None,
+):
+    """Depth per ray [R], reference `SparseGrid.volume_render_depth`
+    (svox2.py:1181-1203).
+
+    sigma_thresh=None: expected-termination depth (weights . t) — the
+    same value volume_render_grid(return_depth=True) produces
+    (trace_ray_expected_term, render_lerp_kernel_cuvol.cu:122-177).
+
+    sigma_thresh=x: Dex-NeRF mode — distance along the ray to the FIRST
+    sample whose interpolated density strictly exceeds x; 0 when the ray
+    never crosses such a sample (trace_ray_sigma_thresh, :180-226).
+    """
+    if sigma_thresh is None:
+        return volume_render_grid(grid, rays, opts, return_depth=True)["depth"]
+
+    reso = jnp.asarray(grid.reso, jnp.float32)
+    scale = reso * 0.5 / jnp.asarray(grid.radius)
+    origins_g = grid.world_to_grid(rays.origins)
+    dirs_g = rays.directions * scale
+    world_len = jnp.linalg.norm(rays.directions, axis=-1)
+    gnorm = jnp.linalg.norm(dirs_g, axis=-1)
+    dt = opts.step_size / jnp.maximum(gnorm, 1e-12)
+
+    inv_d = 1.0 / jnp.where(jnp.abs(dirs_g) < 1e-12, 1e-12, dirs_g)
+    t_lo = (0.0 - origins_g) * inv_d
+    t_hi = (reso - 1.0 - origins_g) * inv_d
+    t0 = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
+    t1 = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
+    t0 = jnp.maximum(t0, opts.near_clip / jnp.maximum(world_len, 1e-12))
+    hit = t1 > t0
+
+    max_steps = opts.max_steps or default_max_steps(grid, opts.step_size)
+    step_idx = jnp.arange(max_steps, dtype=jnp.float32)
+    t = t0[:, None] + step_idx[None, :] * dt[:, None]
+    in_bounds = (t < t1[:, None]) & hit[:, None]
+    gpts = origins_g[:, None, :] + t[..., None] * dirs_g[:, None, :]
+    density = trilerp(grid, grid.density_data, gpts)[..., 0]
+    crossed = in_bounds & (density > sigma_thresh)
+    any_hit = crossed.any(axis=-1)
+    first = jnp.argmax(crossed, axis=-1)
+    t_first = jnp.take_along_axis(t, first[:, None], axis=-1)[:, 0]
+    return jnp.where(any_hit, t_first * world_len, 0.0)
 
 
 def _render_top_k(
@@ -348,7 +412,13 @@ def _render_top_k(
         )
     else:
         out_rgb = out_rgb + (1.0 - acc[:, None]) * opts.background_brightness
-    result = {"rgb": out_rgb, "acc": acc, "weights": weights}
+    result = {
+        "rgb": out_rgb,
+        "acc": acc,
+        "weights": weights,
+        "sigma": density,
+        "log_transmit": -jnp.sum(jnp.where(active, tau, 0.0), axis=-1),
+    }
     if return_depth:
         result["depth"] = jnp.sum(weights * t, axis=-1) * world_len
     return result

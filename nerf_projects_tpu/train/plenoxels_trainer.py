@@ -1,20 +1,26 @@
-"""Plenoxels training driver: fused render+grad+RMSprop over a SparseGrid.
+"""Plenoxels training driver: fused render+grad+optimizer over a SparseGrid.
 
 Parity target: reference svox2/opt/opt.py:395-898 train loop —
-  * MSE on rendered ray batches (volume_render_fused, opt.py:699);
-  * TV regularization on density and SH (inplace_tv_grad, opt.py:794-827);
-  * fused RMSprop with per-group log-lerp LR schedules
-    (optim_density_step / optim_sh_step, opt.py:832-842; optim_kernel.cu:20-27:
-    rms <- b*rms + (1-b)*g^2;  p <- max(p - lr*g/(sqrt(rms)+eps), minval));
-  * lr_sigma 3e1 -> 5e-2, lr_sh 1e-2 -> 5e-6 over n_iters (opt.py arg
-    defaults).
+  * MSE on rendered ray batches with fused beta / sparsity loss gradients
+    (volume_render_fused, opt.py:699-701; beta scaled 1/N_rays and
+    Cauchy sparsity per sample, render_lerp_kernel_cuvol.cu:259-262,
+    345-350, 1127-1128);
+  * SAMPLED-fraction TV regularization on density and SH (inplace_tv_grad
+    / inplace_tv_color_grad with sparse_frac=tv_sparsity=0.01,
+    opt.py:222,227,794-811) plus optional lumisphere TV and L2 color
+    shrinkage (opt.py:812-827) — all as direct gradient injections, no
+    autograd, exactly like the reference (ops/tv.py);
+  * fused RMSprop or SGD per param group with log-lerp LR schedules
+    (optim_density_step / optim_sh_step, opt.py:832-842;
+    optim_kernel.cu:20-27: rms <- b*rms + (1-b)*g^2;
+    p <- max(p - lr*g/(sqrt(rms)+eps), minval); sgd variants :98-160).
 
-TPU design: there is no autograd graph in the reference hot path; here the
-whole step (render -> MSE grad -> TV grad -> RMSprop) is ONE jitted
-function, so XLA fuses it the same way — gathers transpose to
-scatter-adds, the optimizer update is elementwise over the compact arrays,
-and nothing returns to the host but scalars. TV uses precomputed neighbor
-link rows (static per topology epoch) instead of atomics.
+TPU design: there is no autograd graph in the reference hot path; here
+the whole step (render -> MSE/beta/sparsity grad -> sampled TV grad ->
+optimizer) is ONE jitted function, so XLA fuses it the same way —
+gathers transpose to scatter-adds, the TV window's neighbor links are
+contiguous slices, the optimizer update is elementwise over the compact
+arrays, and nothing returns to the host but scalars.
 """
 from __future__ import annotations
 
@@ -29,13 +35,20 @@ import numpy as np
 from nerf_projects_tpu.core.rays import Rays
 from nerf_projects_tpu.models.sparse_grid import SparseGrid
 from nerf_projects_tpu.ops.grid import GridRenderOptions, volume_render_grid
+from nerf_projects_tpu.ops.tv import (
+    l2_color_grad,
+    sample_window,
+    tv_grad_sampled,
+    tv_lumisphere_grad_sampled,
+)
 from nerf_projects_tpu.train.schedules import log_linear_decay
 
 
 def build_neighbor_links(links: np.ndarray) -> np.ndarray:
     """[cap, 3] compact rows of the +x/+y/+z neighbors of each active cell
-    (-1 where the neighbor is empty/out of bounds). Host-side; rebuilt on
-    topology changes."""
+    (-1 where the neighbor is empty/out of bounds). Host-side; used by the
+    full-grid TV *loss* (autotune scoring / tests) — the training path
+    uses the sampled TV gradient in ops/tv.py instead."""
     links = np.asarray(links)
     cap = int(links.max()) + 1
     try:
@@ -66,7 +79,8 @@ def tv_loss(data: jnp.ndarray, nbr: jnp.ndarray) -> jnp.ndarray:
     """Isotropic total variation over active cells via neighbor rows.
 
     data [cap, C]; nbr [cap, 3]. Differences to empty neighbors are 0
-    (matches the reference's link-guarded tv_grad, loss_kernel.cu:112-248).
+    (matches the reference's link-guarded tv, loss_kernel.cu:65-110).
+    Loss VALUE only (reporting); training injects ops/tv.py gradients.
     """
     diffs = []
     for axis in range(3):
@@ -96,13 +110,33 @@ class PlenoxelsTrainer:
         lr_sh: float = 1e-2,
         lr_sh_final: float = 5e-6,
         lambda_tv: float = 1e-5,
+        tv_sparsity: float = 0.01,
         lambda_tv_sh: float = 1e-3,
+        tv_sh_sparsity: float = 0.01,
+        lambda_beta: float = 0.0,
+        lambda_sparsity: float = 0.0,
+        lambda_l2_sh: float = 0.0,
+        lambda_tv_lumisphere: float = 0.0,
+        tv_lumisphere_sparsity: float = 0.01,
+        tv_lumisphere_dir_factor: float = 0.0,
+        sigma_optim: str = "rmsprop",
+        sh_optim: str = "rmsprop",
         rms_beta: float = 0.95,
         density_minval: float = -1e9,
     ):
         self.opts = opts
         self.lambda_tv = lambda_tv
+        self.tv_sparsity = tv_sparsity
         self.lambda_tv_sh = lambda_tv_sh
+        self.tv_sh_sparsity = tv_sh_sparsity
+        self.lambda_beta = lambda_beta
+        self.lambda_sparsity = lambda_sparsity
+        self.lambda_l2_sh = lambda_l2_sh
+        self.lambda_tv_lumisphere = lambda_tv_lumisphere
+        self.tv_lumisphere_sparsity = tv_lumisphere_sparsity
+        self.tv_lumisphere_dir_factor = tv_lumisphere_dir_factor
+        self.sigma_optim = sigma_optim
+        self.sh_optim = sh_optim
         self.rms_beta = rms_beta
         self.density_minval = density_minval
         self.lr_sigma_fn = log_linear_decay(
@@ -120,47 +154,112 @@ class PlenoxelsTrainer:
             rms_sh=jnp.zeros_like(grid.sh_data),
         )
 
-    def prepare(self, grid: SparseGrid) -> jnp.ndarray:
-        """Precompute static neighbor rows for TV (per topology epoch)."""
-        return jnp.asarray(build_neighbor_links(np.asarray(grid.links)))
+    # -- loss pieces --------------------------------------------------------
+
+    def _data_loss(self, out, target):
+        """MSE + beta + Cauchy sparsity, the fused-kernel loss set."""
+        mse = jnp.mean((out["rgb"] - target) ** 2)
+        total = mse
+        if self.lambda_beta > 0:
+            # Neural-Volumes beta prior, averaged over rays
+            # (cuvol backward :259-262 with beta_loss/Q at :1127).
+            log_T = out["log_transmit"]
+            total = total + self.lambda_beta * jnp.mean(
+                log_T + jnp.log(1.0 - jnp.exp(log_T) + 1e-3)
+            )
+        if self.lambda_sparsity > 0:
+            # Cauchy sparsity on every marched sample, unnormalized
+            # (grad 4*sigma/(1+2 sigma^2) == d/dsigma log(1+2 sigma^2)).
+            sigma = out["sigma"]
+            total = total + self.lambda_sparsity * jnp.sum(
+                jnp.log1p(2.0 * sigma * sigma)
+            )
+        return total, mse
+
+    def _tv_grads(self, grid, key):
+        """Sampled-fraction TV gradient injections (may be zero-cost:
+        every branch is compile-time static)."""
+        g_d = None
+        g_s = None
+        X, Y, Z = grid.reso
+        grid_size = X * Y * Z
+        k_tv, k_sh, k_lum = jax.random.split(key, 3)
+        if self.lambda_tv > 0:
+            w = max(int(self.tv_sparsity * grid_size), 1)
+            cells = sample_window(k_tv, grid_size, w)
+            g_d = tv_grad_sampled(
+                grid.links, grid.density_data, cells,
+                scale=self.lambda_tv, ignore_edge=False,
+            )
+        if self.lambda_tv_sh > 0:
+            w = max(int(self.tv_sh_sparsity * grid_size), 1)
+            cells = sample_window(k_sh, grid_size, w)
+            g_s = tv_grad_sampled(
+                grid.links, grid.sh_data, cells,
+                scale=self.lambda_tv_sh, ignore_edge=True,
+            )
+        if self.lambda_tv_lumisphere > 0:
+            w = max(int(self.tv_lumisphere_sparsity * grid_size), 1)
+            cells = sample_window(k_lum, grid_size, w)
+            g = tv_lumisphere_grad_sampled(
+                grid.links, grid.sh_data, cells, k_lum,
+                basis_dim=grid.basis_dim,
+                scale=self.lambda_tv_lumisphere,
+                dir_factor=self.tv_lumisphere_dir_factor,
+            )
+            g_s = g if g_s is None else g_s + g
+        if self.lambda_l2_sh > 0:
+            g = l2_color_grad(grid.sh_data, scale=self.lambda_l2_sh)
+            g_s = g if g_s is None else g_s + g
+        return g_d, g_s
+
+    def _optim(self, optim, data, grad, rms, lr, minval=None):
+        """Fused RMSprop-with-floor / SGD (optim_kernel.cu:20-27,98-160)."""
+        if optim == "rmsprop":
+            b = self.rms_beta
+            rms = b * rms + (1 - b) * grad**2
+            new = data - lr * grad / (jnp.sqrt(rms) + 1e-8)
+        else:  # sgd
+            new = data - lr * grad
+        if minval is not None:
+            new = jnp.maximum(new, minval)
+        return new, rms
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
     def train_step(
         self,
         grid: SparseGrid,
         rms: RMSState,
-        nbr: jnp.ndarray,
         rays: Rays,
         target: jnp.ndarray,
         step: jnp.ndarray,
+        key: jax.Array,
     ):
         def loss_fn(density_data, sh_data):
             g = replace(grid, density_data=density_data, sh_data=sh_data)
             out = volume_render_grid(g, rays, self.opts)
-            mse = jnp.mean((out["rgb"] - target) ** 2)
-            total = mse
-            if self.lambda_tv > 0:
-                total = total + self.lambda_tv * tv_loss(density_data, nbr)
-            if self.lambda_tv_sh > 0:
-                total = total + self.lambda_tv_sh * tv_loss(sh_data, nbr)
-            return total, mse
+            return self._data_loss(out, target)
 
         (loss, mse), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(grid.density_data, grid.sh_data)
         g_density, g_sh = grads
 
+        tv_d, tv_s = self._tv_grads(grid, key)
+        if tv_d is not None:
+            g_density = g_density + tv_d
+        if tv_s is not None:
+            g_sh = g_sh + tv_s
+
         lr_sigma = self.lr_sigma_fn(step)
         lr_sh = self.lr_sh_fn(step)
-        b = self.rms_beta
-
-        rms_d = b * rms.rms_density + (1 - b) * g_density**2
-        new_density = jnp.maximum(
-            grid.density_data - lr_sigma * g_density / (jnp.sqrt(rms_d) + 1e-8),
-            self.density_minval,
+        new_density, rms_d = self._optim(
+            self.sigma_optim, grid.density_data, g_density,
+            rms.rms_density, lr_sigma, minval=self.density_minval,
         )
-        rms_s = b * rms.rms_sh + (1 - b) * g_sh**2
-        new_sh = grid.sh_data - lr_sh * g_sh / (jnp.sqrt(rms_s) + 1e-8)
+        new_sh, rms_s = self._optim(
+            self.sh_optim, grid.sh_data, g_sh, rms.rms_sh, lr_sh
+        )
 
         new_grid = replace(grid, density_data=new_density, sh_data=new_sh)
         psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)
@@ -181,17 +280,20 @@ class PlenoxelsTrainer:
         background,
         rms: RMSState,
         rms_bg: jnp.ndarray,
-        nbr: jnp.ndarray,
         rays: Rays,
         target: jnp.ndarray,
         step: jnp.ndarray,
+        key: jax.Array,
         *,
         lr_bg_scale: float = 0.1,
         lambda_tv_bg: float = 1e-3,
     ):
         """Joint foreground + background-MSI step (opt.py's bg_optim path:
         lr_sigma_bg/lr_color_bg RMSprop + background TV, opt.py:120-135,
-        svox2.py optim_background_step)."""
+        svox2.py optim_background_step). Background TV rides autodiff over
+        the full MSI (documented deviation: the reference samples
+        tv_background_sparsity of it; the MSI is small enough on TPU that
+        the full-grid gradient is cheaper than the gather)."""
         from nerf_projects_tpu.ops.background import (
             BackgroundMSI,
             background_tv_loss,
@@ -201,12 +303,7 @@ class PlenoxelsTrainer:
             g = replace(grid, density_data=density_data, sh_data=sh_data)
             bg = BackgroundMSI(bg_data, background.radii)
             out = volume_render_grid(g, rays, self.opts, background=bg)
-            mse = jnp.mean((out["rgb"] - target) ** 2)
-            total = mse
-            if self.lambda_tv > 0:
-                total = total + self.lambda_tv * tv_loss(density_data, nbr)
-            if self.lambda_tv_sh > 0:
-                total = total + self.lambda_tv_sh * tv_loss(sh_data, nbr)
+            total, mse = self._data_loss(out, target)
             total = total + lambda_tv_bg * background_tv_loss(bg)
             return total, mse
 
@@ -215,16 +312,22 @@ class PlenoxelsTrainer:
         )(grid.density_data, grid.sh_data, background.data)
         g_density, g_sh, g_bg = grads
 
+        tv_d, tv_s = self._tv_grads(grid, key)
+        if tv_d is not None:
+            g_density = g_density + tv_d
+        if tv_s is not None:
+            g_sh = g_sh + tv_s
+
         lr_sigma = self.lr_sigma_fn(step)
         lr_sh = self.lr_sh_fn(step)
-        b = self.rms_beta
-        rms_d = b * rms.rms_density + (1 - b) * g_density**2
-        new_density = jnp.maximum(
-            grid.density_data - lr_sigma * g_density / (jnp.sqrt(rms_d) + 1e-8),
-            self.density_minval,
+        new_density, rms_d = self._optim(
+            self.sigma_optim, grid.density_data, g_density,
+            rms.rms_density, lr_sigma, minval=self.density_minval,
         )
-        rms_s = b * rms.rms_sh + (1 - b) * g_sh**2
-        new_sh = grid.sh_data - lr_sh * g_sh / (jnp.sqrt(rms_s) + 1e-8)
+        new_sh, rms_s = self._optim(
+            self.sh_optim, grid.sh_data, g_sh, rms.rms_sh, lr_sh
+        )
+        b = self.rms_beta
         rms_b = b * rms_bg + (1 - b) * g_bg**2
         new_bg = background.data - (lr_sh * lr_bg_scale / 1e-2) * g_bg / (
             jnp.sqrt(rms_b) + 1e-8

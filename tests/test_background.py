@@ -125,7 +125,6 @@ class TestBackgroundTraining:
         )
         rms = tr.init_rms(g)
         rms_bg = jnp.zeros_like(msi.data)
-        nbr = tr.prepare(g)
         d = jax.random.normal(jax.random.PRNGKey(0), (128, 3))
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         rays = Rays(jnp.zeros((128, 3)), d, d)
@@ -133,8 +132,8 @@ class TestBackgroundTraining:
         first = None
         for i in range(60):
             g, msi, rms, rms_bg, st = tr.train_step_bg(
-                g, msi, rms, rms_bg, nbr, rays, target,
-                jnp.asarray(i, jnp.float32),
+                g, msi, rms, rms_bg, rays, target,
+                jnp.asarray(i, jnp.float32), jax.random.PRNGKey(i),
             )
             if i == 0:
                 first = float(st["mse"])

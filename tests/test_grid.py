@@ -235,13 +235,13 @@ class TestPlenoxelsTraining:
             lambda_tv_sh=1e-7,
         )
         rms = trainer.init_rms(g)
-        nbr = trainer.prepare(g)
         batches = ray_batches(jax.random.PRNGKey(0), ds, 1024)
         first = last = None
         for i in range(200):
             rays, target = next(batches)
             g, rms, stats = trainer.train_step(
-                g, rms, nbr, rays, target, jnp.asarray(i, jnp.float32)
+                g, rms, rays, target, jnp.asarray(i, jnp.float32),
+                jax.random.PRNGKey(i),
             )
             if i == 0:
                 first = float(stats["psnr"])
