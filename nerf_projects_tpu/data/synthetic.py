@@ -143,3 +143,36 @@ def ray_batches(key: jax.Array, dataset, batch_size: int):
         rays = jax.tree_util.tree_map(lambda x: x[idx], dataset["rays"])
         target = dataset["pixels"][idx]
         yield rays, target
+
+
+def tile_batches(
+    key: jax.Array, dataset, n_tiles: int, tile_h: int = 8, tile_w: int = 8
+):
+    """Infinite generator of COHERENT tile batches: each tile is a
+    tile_h x tile_w pixel patch of one view (random view + offset).
+
+    This is the TPU-native analog of the reference's global ray shuffle
+    (svox2 opt.py epoch shuffle): the lockstep tile renderer
+    (ops/tile_render.py) needs spatially coherent ray groups; tiles from
+    random views/offsets keep gradient noise well-mixed. Yields
+    (Rays [T, R], target [T, R, 3]) with R = tile_h*tile_w.
+    """
+    V, H, W = dataset["images"].shape[:3]
+    dy, dx = jnp.meshgrid(
+        jnp.arange(tile_h), jnp.arange(tile_w), indexing="ij"
+    )
+    dy = dy.reshape(-1)
+    dx = dx.reshape(-1)
+    while True:
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        v = jax.random.randint(k1, (n_tiles,), 0, V)
+        y0 = jax.random.randint(k2, (n_tiles,), 0, H - tile_h + 1)
+        x0 = jax.random.randint(k3, (n_tiles,), 0, W - tile_w + 1)
+        flat = (
+            v[:, None] * (H * W)
+            + (y0[:, None] + dy[None]) * W
+            + (x0[:, None] + dx[None])
+        )  # [T, R]
+        rays = jax.tree_util.tree_map(lambda a: a[flat], dataset["rays"])
+        target = dataset["pixels"][flat]
+        yield rays, target

@@ -49,6 +49,7 @@ class BrickGrid:
     density_bricks: jnp.ndarray  # [nb, 512]
     sh_bricks: jnp.ndarray       # [nb, 512, 3*basis_dim]
     cell_mask: jnp.ndarray       # bool [nb, 512] — active cells
+    brick_coords: jnp.ndarray    # int32 [nb, 3] — brick xyz of each row
     reso: Tuple[int, int, int]   # original cell resolution (pre-padding)
     radius: np.ndarray           # [3]
     center: np.ndarray           # [3]
@@ -76,7 +77,7 @@ class BrickGrid:
     def tree_flatten(self):
         return (
             (self.brick_links, self.density_bricks, self.sh_bricks,
-             self.cell_mask),
+             self.cell_mask, self.brick_coords),
             (self.reso, self.radius.tobytes(), self.center.tobytes(),
              self.basis_dim),
         )
@@ -89,6 +90,7 @@ class BrickGrid:
             density_bricks=children[1],
             sh_bricks=children[2],
             cell_mask=children[3],
+            brick_coords=children[4],
             reso=reso,
             radius=np.frombuffer(radius_b, np.float32).copy(),
             center=np.frombuffer(center_b, np.float32).copy(),
@@ -126,6 +128,8 @@ def from_sparse_grid(grid: SparseGrid) -> BrickGrid:
     brick_links = np.full((BX, BY, BZ), -1, np.int32)
     brick_links[active] = np.arange(nb, dtype=np.int32)
 
+    brick_coords = np.argwhere(active).astype(np.int32)  # [nb, 3]
+
     cell_links = lb[active]  # [nb, 512]
     mask = cell_links >= 0
     safe = np.maximum(cell_links, 0)
@@ -138,6 +142,7 @@ def from_sparse_grid(grid: SparseGrid) -> BrickGrid:
             sh.reshape(nb, BRICK**3, -1).astype(np.float32)
         ),
         cell_mask=jnp.asarray(mask),
+        brick_coords=jnp.asarray(brick_coords),
         reso=(X, Y, Z),
         radius=np.asarray(grid.radius, np.float32).copy(),
         center=np.asarray(grid.center, np.float32).copy(),

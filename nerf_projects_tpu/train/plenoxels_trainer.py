@@ -273,6 +273,107 @@ class PlenoxelsTrainer:
     def render_step(self, grid: SparseGrid, rays: Rays):
         return volume_render_grid(grid, rays, self.opts, return_depth=True)
 
+    # -- brick/tile fast path ------------------------------------------------
+
+    def init_rms_bricks(self, bg) -> RMSState:
+        return RMSState(
+            rms_density=jnp.zeros_like(bg.density_bricks),
+            rms_sh=jnp.zeros_like(bg.sh_bricks),
+        )
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def train_step_tiles(
+        self,
+        bg,
+        rms: RMSState,
+        rays: Rays,           # [T, R] coherent tiles
+        target: jnp.ndarray,  # [T, R, 3]
+        step: jnp.ndarray,
+        key: jax.Array,
+    ):
+        """The fused hot step on the brick/tile path (ops/tile_render.py):
+        the TPU equivalent of the reference's volume_render_fused +
+        inplace TV + fused RMSprop sequence (opt.py:699-842), one XLA
+        program, MXU-bound instead of gather-bound."""
+        from nerf_projects_tpu.ops.tile_render import render_tiles
+        from nerf_projects_tpu.ops.tv_bricks import (
+            sample_brick_window,
+            tv_grad_bricks,
+        )
+
+        def loss_fn(density_bricks, sh_bricks):
+            b = replace(
+                bg, density_bricks=density_bricks, sh_bricks=sh_bricks
+            )
+            out = render_tiles(b, rays, self.opts)
+            mse = jnp.mean((out["rgb"] - target) ** 2)
+            total = mse
+            if self.lambda_beta > 0:
+                log_T = out["log_transmit"]
+                total = total + self.lambda_beta * jnp.mean(
+                    log_T + jnp.log(1.0 - jnp.exp(log_T) + 1e-3)
+                )
+            if self.lambda_sparsity > 0:
+                total = total + self.lambda_sparsity * jnp.sum(
+                    out["sparsity_sum"]
+                )
+            return total, mse
+
+        (loss, mse), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(bg.density_bricks, bg.sh_bricks)
+        g_density, g_sh = grads
+
+        k_tv, k_sh = jax.random.split(key)
+        nb = bg.n_bricks
+        if self.lambda_tv > 0:
+            w = max(int(self.tv_sparsity * nb), 1)
+            rows = sample_brick_window(k_tv, nb, w)
+            g_density = g_density + tv_grad_bricks(
+                bg, bg.density_bricks, rows,
+                scale=self.lambda_tv, ignore_edge=False,
+            )
+        if self.lambda_tv_sh > 0:
+            w = max(int(self.tv_sh_sparsity * nb), 1)
+            rows = sample_brick_window(k_sh, nb, w)
+            g_sh = g_sh + tv_grad_bricks(
+                bg, bg.sh_bricks, rows,
+                scale=self.lambda_tv_sh, ignore_edge=True,
+            )
+        if self.lambda_l2_sh > 0:
+            g_sh = g_sh + (self.lambda_l2_sh / (nb * 512)) * bg.sh_bricks
+
+        # keep dead cells dead (the reference has no storage for them)
+        g_density = g_density * bg.cell_mask
+        g_sh = g_sh * bg.cell_mask[..., None]
+
+        lr_sigma = self.lr_sigma_fn(step)
+        lr_sh = self.lr_sh_fn(step)
+        new_density, rms_d = self._optim(
+            self.sigma_optim, bg.density_bricks, g_density,
+            rms.rms_density, lr_sigma, minval=self.density_minval,
+        )
+        new_sh, rms_s = self._optim(
+            self.sh_optim, bg.sh_bricks, g_sh, rms.rms_sh, lr_sh
+        )
+        # density floor would resurrect dead cells; re-zero them
+        new_density = new_density * bg.cell_mask
+        new_bg = replace(
+            bg, density_bricks=new_density, sh_bricks=new_sh
+        )
+        psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)
+        return (
+            new_bg,
+            RMSState(rms_density=rms_d, rms_sh=rms_s),
+            {"loss": loss, "mse": mse, "psnr": psnr},
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def render_tiles_step(self, bg, rays: Rays):
+        from nerf_projects_tpu.ops.tile_render import render_tiles
+
+        return render_tiles(bg, rays, self.opts, return_depth=True)
+
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2, 3, 4))
     def train_step_bg(
         self,

@@ -173,3 +173,41 @@ class TestTileRenderParity:
         out = render_tiles(bg, rays, GridRenderOptions())
         assert float(out["window_miss"]) > 0.01
         assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+class TestTileTraining:
+    def test_brick_trainer_converges_on_synthetic(self):
+        """Tile-based training must converge like the cell path
+        (mirror of test_grid.py's plenoxels convergence test)."""
+        from nerf_projects_tpu.data.synthetic import make_dataset, tile_batches
+        from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
+
+        ds = make_dataset(n_views=6, image_size=64)
+        g = SparseGrid.create(
+            32, basis_dim=1, radius=1.3, use_sphere_bound=True,
+            init_density=0.1,
+        )
+        bg = from_sparse_grid(g)
+        trainer = PlenoxelsTrainer(
+            GridRenderOptions(step_size=0.5),
+            n_iters=300,
+            lr_sigma=3e0,
+            lr_sigma_delay_steps=0,
+            lr_sh=1e-1,
+            lambda_tv=1e-6,
+            lambda_tv_sh=1e-7,
+        )
+        rms = trainer.init_rms_bricks(bg)
+        batches = tile_batches(jax.random.PRNGKey(0), ds, 16, 8, 8)
+        first = last = None
+        for i in range(200):
+            rays, target = next(batches)
+            bg, rms, stats = trainer.train_step_tiles(
+                bg, rms, rays, target, jnp.asarray(i, jnp.float32),
+                jax.random.PRNGKey(i),
+            )
+            if i == 0:
+                first = float(stats["psnr"])
+        last = float(stats["psnr"])
+        assert last > first + 5, (first, last)
+        assert last > 20, last
