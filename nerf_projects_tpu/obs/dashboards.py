@@ -1,0 +1,421 @@
+"""Per-scene pipeline dashboards, efficiency analysis, and
+cross-experiment visualization over MetricsLogger logs.
+
+Parity targets (plenoctree/analysis/*):
+  * experiment_analyzer.py:76-1010 SimplePlenOctreeAnalyzer — per-scene
+    comprehensive dashboard over the pipeline stages
+    (training -> extraction -> optimization -> compression ->
+    evaluation), stage timing chart;
+  * efficiency_metrics_analyzer.py — efficiency-index trends and report;
+  * enhanced_scene_analyzer.py — per-scene quality/memory panels;
+  * cross_experiment_visualizer.py — multi-experiment comparison charts
+    + leaderboard;
+  * run_all_analysis.py — one orchestrator emitting the full set.
+
+Input: a directory of experiment directories, each holding the
+MetricsLogger pair metrics_log.json(l) (obs/json_logger.py) and/or the
+vanilla-NeRF training_log.jsonl. All figures share obs/theme.py.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from nerf_projects_tpu.obs.analysis import (
+    load_metrics_log,
+    load_testset_metrics,
+    load_training_log,
+)
+from nerf_projects_tpu.obs.theme import (
+    apply_theme,
+    get_metric_color,
+    get_scene_color,
+    get_stage_color,
+    sig3,
+)
+
+PIPELINE_STAGES = [
+    "training", "extraction", "optimization", "compression", "evaluation",
+]
+
+
+# ---------------------------------------------------------------------------
+# extraction of structured data from logs
+# ---------------------------------------------------------------------------
+
+def extract_pipeline_stages(exp_dir: str) -> Dict[str, dict]:
+    """Group log entries by pipeline stage and summarize each
+    (experiment_analyzer.py:339 extract_pipeline_stages).
+
+    A stage summary carries: last PSNR seen, best PSNR, wall time
+    (first->last timestamp), n_entries, and any storage/compression info.
+    """
+    entries = load_metrics_log(exp_dir)
+    if not entries:
+        entries = [
+            {"phase": "training", "step": e.get("step", i), "metrics": e,
+             "timestamp": None}
+            for i, e in enumerate(load_training_log(exp_dir))
+        ]
+    stages: Dict[str, dict] = {}
+    for e in entries:
+        phase = e.get("phase", "training")
+        # octree_evaluation and compressed variants roll into evaluation
+        stage = {
+            "octree_evaluation": "evaluation",
+            "compressed_evaluation": "compression",
+        }.get(phase, phase)
+        s = stages.setdefault(
+            stage,
+            {"psnr": [], "steps": [], "timestamps": [], "extras": {}},
+        )
+        m = e.get("metrics", {})
+        if m.get("psnr") is not None:
+            s["psnr"].append(float(m["psnr"]))
+            s["steps"].append(e.get("step", 0))
+        if e.get("timestamp"):
+            s["timestamps"].append(e["timestamp"])
+        for k in ("storage_mb", "compression_ratio", "capacity", "fps"):
+            if m.get(k) is not None:
+                s["extras"][k] = float(m[k])
+
+    out = {}
+    for stage, s in stages.items():
+        summary = {
+            "n_entries": len(s["steps"]) or len(s["timestamps"]),
+            "last_psnr": s["psnr"][-1] if s["psnr"] else None,
+            "best_psnr": max(s["psnr"]) if s["psnr"] else None,
+            "extras": s["extras"],
+            "wall_seconds": None,
+        }
+        ts = s["timestamps"]
+        if len(ts) >= 2:
+            from datetime import datetime
+
+            try:
+                t0 = datetime.fromisoformat(ts[0])
+                t1 = datetime.fromisoformat(ts[-1])
+                summary["wall_seconds"] = (t1 - t0).total_seconds()
+            except ValueError:
+                pass
+        out[stage] = summary
+    return out
+
+
+def efficiency_trends(exp_dir: str) -> List[dict]:
+    """Efficiency-index time series from training/eval entries
+    (efficiency_metrics_analyzer.py)."""
+    rows = []
+    for e in load_metrics_log(exp_dir):
+        info = e.get("additional_info", {}) or {}
+        eff = info.get("efficiency_indices")
+        mem = info.get("memory")
+        m = e.get("metrics", {})
+        if not (eff or mem):
+            continue
+        row = {"step": e.get("step", 0), "phase": e.get("phase")}
+        if m.get("psnr") is not None:
+            row["psnr"] = float(m["psnr"])
+        if mem:
+            row["memory_gb"] = mem.get(
+                "device_memory_gb", mem.get("process_rss_gb")
+            )
+        if eff:
+            row.update({k: v for k, v in eff.items()})
+        elif row.get("psnr") and row.get("memory_gb"):
+            row["memory_efficiency_index"] = row["psnr"] / max(
+                row["memory_gb"], 1e-9
+            )
+        rows.append(row)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# per-scene dashboards
+# ---------------------------------------------------------------------------
+
+def scene_dashboard(exp_dir: str, out_path: Optional[str] = None):
+    """Comprehensive per-scene dashboard: training curves, stage PSNR
+    bars, stage timing, memory trend, efficiency trend
+    (experiment_analyzer.py:506 _create_comprehensive_plot)."""
+    train = load_training_log(exp_dir)
+    if not train:
+        train = [
+            dict(e["metrics"], step=e["step"])
+            for e in load_metrics_log(exp_dir)
+            if e.get("phase") == "training"
+        ]
+    stages = extract_pipeline_stages(exp_dir)
+    eff = efficiency_trends(exp_dir)
+    if not train and not stages:
+        return None
+
+    plt = apply_theme()
+    scene = os.path.basename(exp_dir.rstrip("/"))
+    fig, axes = plt.subplots(2, 3, figsize=(16, 8))
+
+    # (0,0) train PSNR curve
+    ax = axes[0][0]
+    steps = [e.get("step", i) for i, e in enumerate(train)]
+    psnr = [e.get("psnr") for e in train]
+    if any(v is not None for v in psnr):
+        ax.plot(steps, [v if v is not None else np.nan for v in psnr],
+                color=get_scene_color(scene))
+    ax.set_title("train PSNR")
+    ax.set_xlabel("step")
+
+    # (0,1) loss (log scale)
+    ax = axes[0][1]
+    loss = [e.get("loss", e.get("mse")) for e in train]
+    if any(v is not None for v in loss):
+        ax.plot(steps, [v if v is not None else np.nan for v in loss],
+                color=get_metric_color("loss"))
+        ax.set_yscale("log")
+    ax.set_title("loss")
+    ax.set_xlabel("step")
+
+    # (0,2) pipeline-stage PSNR bars
+    ax = axes[0][2]
+    names, vals, colors = [], [], []
+    for stage in PIPELINE_STAGES:
+        s = stages.get(stage)
+        if s and s["last_psnr"] is not None:
+            names.append(stage)
+            vals.append(s["last_psnr"])
+            colors.append(get_stage_color(stage))
+    if names:
+        bars = ax.bar(names, vals, color=colors)
+        for b, v in zip(bars, vals):
+            ax.text(b.get_x() + b.get_width() / 2, v, sig3(v),
+                    ha="center", va="bottom", fontsize=8)
+        ax.tick_params(axis="x", rotation=20)
+    ax.set_title("PSNR by pipeline stage")
+
+    # (1,0) stage wall time
+    ax = axes[1][0]
+    names, vals, colors = [], [], []
+    for stage in PIPELINE_STAGES:
+        s = stages.get(stage)
+        if s and s.get("wall_seconds"):
+            names.append(stage)
+            vals.append(s["wall_seconds"] / 60.0)
+            colors.append(get_stage_color(stage))
+    if names:
+        ax.bar(names, vals, color=colors)
+        ax.tick_params(axis="x", rotation=20)
+    ax.set_ylabel("minutes")
+    ax.set_title("stage wall time")
+
+    # (1,1) memory trend
+    ax = axes[1][1]
+    mem_rows = [r for r in eff if r.get("memory_gb")]
+    if mem_rows:
+        ax.plot([r["step"] for r in mem_rows],
+                [r["memory_gb"] for r in mem_rows],
+                color=get_metric_color("memory"))
+    ax.set_title("device memory (GB)")
+    ax.set_xlabel("step")
+
+    # (1,2) efficiency index trend
+    ax = axes[1][2]
+    ef_rows = [r for r in eff if r.get("memory_efficiency_index")]
+    if ef_rows:
+        ax.plot([r["step"] for r in ef_rows],
+                [r["memory_efficiency_index"] for r in ef_rows],
+                color=get_metric_color("psnr"))
+    ax.set_title("memory efficiency (PSNR/GB)")
+    ax.set_xlabel("step")
+
+    fig.suptitle(scene)
+    fig.tight_layout()
+    out_path = out_path or os.path.join(exp_dir, "scene_dashboard.png")
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def timing_chart(exp_dir: str, out_path: Optional[str] = None):
+    """Horizontal stage-duration chart
+    (experiment_analyzer.py:848 create_timing_visualization)."""
+    stages = extract_pipeline_stages(exp_dir)
+    rows = [
+        (st, s["wall_seconds"] / 60.0)
+        for st, s in stages.items()
+        if s.get("wall_seconds")
+    ]
+    if not rows:
+        return None
+    plt = apply_theme()
+    fig, ax = plt.subplots(figsize=(8, 0.6 * len(rows) + 1.5))
+    names = [r[0] for r in rows]
+    vals = [r[1] for r in rows]
+    ax.barh(names, vals, color=[get_stage_color(n) for n in names])
+    for i, v in enumerate(vals):
+        ax.text(v, i, f" {sig3(v)}m", va="center", fontsize=8)
+    ax.set_xlabel("minutes")
+    ax.set_title(f"{os.path.basename(exp_dir.rstrip('/'))} — stage timing")
+    fig.tight_layout()
+    out_path = out_path or os.path.join(exp_dir, "stage_timing.png")
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def efficiency_report(exp_dir: str, out_path: Optional[str] = None):
+    """Efficiency-index trend figure + JSON report
+    (efficiency_metrics_analyzer.py)."""
+    rows = efficiency_trends(exp_dir)
+    if not rows:
+        return None
+    keys = sorted(
+        {
+            k
+            for r in rows
+            for k in r
+            if k.endswith("_index") or k.endswith("_efficiency")
+            or k.endswith("_tradeoff")
+        }
+    )
+    plt = apply_theme()
+    fig, ax = plt.subplots()
+    for i, k in enumerate(keys):
+        pts = [(r["step"], r[k]) for r in rows if r.get(k) is not None]
+        if pts:
+            ax.plot(*zip(*pts), label=k)
+    ax.legend(fontsize=7)
+    ax.set_xlabel("step")
+    ax.set_title("efficiency indices")
+    fig.tight_layout()
+    fig_path = out_path or os.path.join(exp_dir, "efficiency_trends.png")
+    fig.savefig(fig_path)
+    plt.close(fig)
+
+    report = {
+        "final": {k: rows[-1].get(k) for k in keys},
+        "n_samples": len(rows),
+    }
+    with open(os.path.join(exp_dir, "efficiency_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return fig_path
+
+
+# ---------------------------------------------------------------------------
+# cross-experiment comparison
+# ---------------------------------------------------------------------------
+
+def _experiment_dirs(base_dir: str) -> List[str]:
+    out = []
+    for d in sorted(glob.glob(os.path.join(base_dir, "*"))):
+        if os.path.isdir(d) and (
+            os.path.exists(os.path.join(d, "metrics_log.json"))
+            or os.path.exists(os.path.join(d, "metrics_log.jsonl"))
+            or os.path.exists(os.path.join(d, "training_log.jsonl"))
+        ):
+            out.append(d)
+    return out
+
+
+def cross_experiment_figure(base_dir: str, out_path: Optional[str] = None):
+    """Grouped comparison: final PSNR per experiment + PSNR-vs-memory
+    scatter (cross_experiment_visualizer.py)."""
+    from nerf_projects_tpu.obs.analysis import experiment_summary
+
+    dirs = _experiment_dirs(base_dir)
+    if not dirs:
+        return None
+    rows = []
+    for d in dirs:
+        row = experiment_summary(d)
+        eff = efficiency_trends(d)
+        mem = [r["memory_gb"] for r in eff if r.get("memory_gb")]
+        if mem:
+            row["peak_memory_gb"] = max(mem)
+        rows.append(row)
+
+    plt = apply_theme()
+    fig, axes = plt.subplots(1, 2, figsize=(13, 5))
+    names = [r["experiment"] for r in rows]
+    psnr = [r.get("test_psnr") or r.get("final_train_psnr") or 0 for r in rows]
+    axes[0].bar(names, psnr, color=[get_scene_color(n) for n in names])
+    for i, v in enumerate(psnr):
+        axes[0].text(i, v, sig3(v), ha="center", va="bottom", fontsize=8)
+    axes[0].set_ylabel("PSNR (dB)")
+    axes[0].set_title("final quality by experiment")
+    axes[0].tick_params(axis="x", rotation=30)
+
+    pts = [
+        (r.get("peak_memory_gb"), p, r["experiment"])
+        for r, p in zip(rows, psnr)
+        if r.get("peak_memory_gb")
+    ]
+    for m, p, n in pts:
+        axes[1].scatter(m, p, color=get_scene_color(n), label=n)
+        axes[1].annotate(n, (m, p), fontsize=7,
+                         textcoords="offset points", xytext=(4, 2))
+    axes[1].set_xlabel("peak memory (GB)")
+    axes[1].set_ylabel("PSNR (dB)")
+    axes[1].set_title("quality vs memory")
+    fig.tight_layout()
+    out_path = out_path or os.path.join(base_dir, "cross_experiment.png")
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def leaderboard(base_dir: str) -> List[dict]:
+    """Ranked summary rows -> leaderboard.json + .md
+    (cross_experiment_visualizer.py + autotune leaderboard)."""
+    from nerf_projects_tpu.obs.analysis import experiment_summary
+
+    rows = [experiment_summary(d) for d in _experiment_dirs(base_dir)]
+    rows.sort(
+        key=lambda r: -(r.get("test_psnr") or r.get("final_train_psnr") or 0)
+    )
+    with open(os.path.join(base_dir, "leaderboard.json"), "w") as f:
+        json.dump(rows, f, indent=2)
+    cols = ["experiment", "test_psnr", "test_ssim", "final_train_psnr",
+            "steps", "mean_rays_per_sec"]
+    lines = ["| " + " | ".join(cols) + " |",
+             "|" + "---|" * len(cols)]
+    for r in rows:
+        lines.append(
+            "| " + " | ".join(sig3(r.get(c)) if c != "experiment"
+                              else str(r.get(c)) for c in cols) + " |"
+        )
+    with open(os.path.join(base_dir, "leaderboard.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return rows
+
+
+def run_all(base_dir: str) -> Dict[str, list]:
+    """Emit the full dashboard set for every experiment under base_dir
+    (run_all_analysis.py)."""
+    from nerf_projects_tpu.obs.analysis import (
+        plot_memory_trends,
+        plot_training_curves,
+    )
+
+    produced: Dict[str, list] = {"per_experiment": [], "global": []}
+    for d in _experiment_dirs(base_dir):
+        outs = []
+        for fn in (plot_training_curves, plot_memory_trends,
+                   scene_dashboard, timing_chart, efficiency_report):
+            try:
+                p = fn(d)
+            except Exception as exc:  # a broken log should not stop the run
+                p = None
+                print(f"[analysis] {fn.__name__} failed for {d}: {exc}")
+            if p:
+                outs.append(p)
+        produced["per_experiment"].append({"dir": d, "figures": outs})
+    for fn in (cross_experiment_figure,):
+        p = fn(base_dir)
+        if p:
+            produced["global"].append(p)
+    leaderboard(base_dir)
+    produced["global"].append(os.path.join(base_dir, "leaderboard.json"))
+    return produced

@@ -234,3 +234,61 @@ def untile_image(vals: jnp.ndarray, H: int, W: int,
     v = vals.reshape(H // tile_h, W // tile_w, tile_h, tile_w, C)
     v = jnp.transpose(v, (0, 2, 1, 3, 4))
     return v.reshape(H, W, C)
+
+
+def render_image_tiles(
+    bg: BrickGrid,
+    rays: Rays,
+    H: int,
+    W: int,
+    opts: GridRenderOptions = GridRenderOptions(),
+    *,
+    tile_h: int = 8,
+    tile_w: int = 16,
+    tiles_per_batch: int = 128,
+    return_depth: bool = False,
+):
+    """Full-image render through the lockstep tile path.
+
+    rays: flat [H*W] row-major image rays. Tiles are processed in fixed
+    batches under one jitted callable (re-used across batches/frames).
+    Returns dict of [H, W, ...] images.
+    """
+    tiles = tiles_from_image_rays(rays, H, W, tile_h, tile_w)
+    T = tiles.origins.shape[0]
+    R = tile_h * tile_w
+    pad = (-T) % tiles_per_batch
+    if pad:
+        tiles = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate(
+                [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])]
+            ),
+            tiles,
+        )
+    n_batches = (T + pad) // tiles_per_batch
+
+    @jax.jit
+    def render_batch(batch):
+        return render_tiles(bg, batch, opts, return_depth=return_depth)
+
+    outs = []
+    for i in range(n_batches):
+        sl = jax.tree_util.tree_map(
+            lambda x: x[i * tiles_per_batch : (i + 1) * tiles_per_batch],
+            tiles,
+        )
+        outs.append(render_batch(sl))
+    merged = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs)[:T], *outs
+    )
+    result = {
+        "rgb": untile_image(merged["rgb"], H, W, tile_h, tile_w),
+        "acc": untile_image(merged["acc"][..., None], H, W, tile_h, tile_w)[
+            ..., 0
+        ],
+    }
+    if return_depth:
+        result["depth"] = untile_image(
+            merged["depth"][..., None], H, W, tile_h, tile_w
+        )[..., 0]
+    return result
