@@ -50,6 +50,7 @@ class NeRFTrainer:
         compute_dtype=jnp.float32,
         separate_fine: bool = True,
         use_fused_mlp: bool = False,
+        mesh=None,
     ):
         self.cfg = cfg
         self.near = near
@@ -80,8 +81,36 @@ class NeRFTrainer:
                 pack_params,
             )
 
-            def apply_fn(params, pts_enc, views_enc):
-                return fused_apply(pack_params(params), pts_enc, views_enc)
+            if mesh is not None:
+                # Under a device mesh, a pallas_call is opaque to the
+                # GSPMD partitioner — wrap it in shard_map over the
+                # sample axis so every device runs the kernel on its own
+                # shard and no resharding is inserted around it. The
+                # weights stay replicated; grads pick up the psum from
+                # shard_map's AD transpose.
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                from nerf_projects_tpu.parallel.mesh import RAY_AXIS
+
+                def apply_fn(params, pts_enc, views_enc):
+                    packed = pack_params(params)
+
+                    def local(w, x, v):
+                        return fused_apply(w, x, v)
+
+                    return shard_map(
+                        local,
+                        mesh=mesh,
+                        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS)),
+                        out_specs=P(RAY_AXIS),
+                        check_rep=False,
+                    )(packed, pts_enc, views_enc)
+
+            else:
+
+                def apply_fn(params, pts_enc, views_enc):
+                    return fused_apply(pack_params(params), pts_enc, views_enc)
 
             self._apply_fn = apply_fn
         else:
