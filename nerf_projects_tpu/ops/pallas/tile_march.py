@@ -1,0 +1,348 @@
+"""Pallas TPU kernel: fused lockstep tile march over a BrickGrid.
+
+This is the framework's cuvol render kernel — the TPU answer to the
+reference's warp-per-ray CUDA march
+(svox2/svox2/csrc/render_lerp_kernel_cuvol.cu:30-120 forward,
+:1070-1195 fused) — built on the tile/window decomposition of
+ops/tile_render.py (same math; that module is the jnp twin these
+kernels are tested against):
+
+  * grid = (tiles, chunks), chunks minor — the sequential TPU grid IS
+    the ray march; per-ray compositing state lives in the output block,
+    which stays VMEM-resident across a tile's whole chunk sweep;
+  * the 2x2x2-brick window arrives as 8 scalar-prefetch-indexed block
+    fetches (one per corner brick) that Mosaic double-buffers against
+    compute; empty bricks alias a zero sentinel row, so runs of empty
+    windows re-fetch nothing;
+  * trilinear interpolation contracts PER BRICK with no transposes:
+    a brick row [512] is already [lx, ly*lz] row-major, so
+    V1_k = brick_k^T @ Ax_k is one MXU matmul and the y/z reductions
+    are VPU multiplies against hat slices;
+  * the per-ray exclusive prefix of optical depth is a strictly-lower
+    triangular [SC, SC] matmul (no cumsum primitive in-kernel).
+
+Sample layout: samples live in lanes as A = SC*128 with a = s*128 + r
+(row-major reshape of [SC steps, 128 rays]).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_projects_tpu.core.rays import Rays
+from nerf_projects_tpu.ops.brick_grid import BRICK, BrickGrid
+from nerf_projects_tpu.ops.grid import GridRenderOptions
+from nerf_projects_tpu.ops.sh import eval_sh_bases
+
+INTERPRET = False
+
+R = 128          # rays per tile (one full lane group)
+SC = 16          # steps per chunk
+
+# ray-pack rows (fp32 [T, 16, 128]):
+#   0-2 og xyz | 3-5 dg xyz | 6 dt | 7 t0 | 8 t1 | 9 T0 (bcast) |
+#   10 basis (first basis_dim lanes) | 11 step_world
+PACK_ROWS = 16
+
+_SIGMA_THRESH = 1e-8
+_STOP_THRESH = 1e-7
+
+# static (dx, dy, dz) corner order, dz fastest — matches brick_grid offs
+_CORNERS = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+
+
+def _pack_rays(bg: BrickGrid, rays: Rays, opts: GridRenderOptions):
+    """Per-tile ray geometry + the [T, 16, 128] kernel pack."""
+    T = rays.origins.shape[0]
+    reso = jnp.asarray(bg.reso, jnp.float32)
+    scale = reso * 0.5 / jnp.asarray(bg.radius)
+    og = bg.world_to_grid(rays.origins)
+    dg = rays.directions * scale
+    world_len = jnp.linalg.norm(rays.directions, axis=-1)
+    gnorm = jnp.linalg.norm(dg, axis=-1)
+    dt = opts.step_size / jnp.maximum(gnorm, 1e-12)
+
+    inv_d = 1.0 / jnp.where(jnp.abs(dg) < 1e-12, 1e-12, dg)
+    t_lo = (0.0 - og) * inv_d
+    t_hi = (reso - 1.0 - og) * inv_d
+    t0 = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
+    t1 = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
+    t0 = jnp.maximum(t0, opts.near_clip / jnp.maximum(world_len, 1e-12))
+    hit = t1 > t0
+    big = jnp.float32(1e30)
+    T0 = jnp.min(jnp.where(hit, t0, big), axis=-1)
+    T0 = jnp.where(T0 < big, T0, 0.0)
+
+    vmean = jnp.mean(rays.viewdirs, axis=1)
+    vmean = vmean / jnp.maximum(
+        jnp.linalg.norm(vmean, axis=-1, keepdims=True), 1e-12
+    )
+    basis = eval_sh_bases(bg.basis_dim, vmean)  # [T, B]
+
+    pack = jnp.zeros((T, PACK_ROWS, R), jnp.float32)
+    pack = pack.at[:, 0:3].set(jnp.moveaxis(og, -1, 1))
+    pack = pack.at[:, 3:6].set(jnp.moveaxis(dg, -1, 1))
+    pack = pack.at[:, 6].set(dt)
+    pack = pack.at[:, 7].set(jnp.where(hit, t0, big))
+    pack = pack.at[:, 8].set(jnp.where(hit, t1, -big))
+    pack = pack.at[:, 9].set(T0[:, None])
+    pack = pack.at[:, 10, : basis.shape[1]].set(basis)
+    pack = pack.at[:, 11].set(dt * world_len)
+    return pack, (og, dg, dt, T0, t0, t1, world_len)
+
+
+def _plan_windows(bg: BrickGrid, geom, n_chunks: int):
+    """Analytic window plan: per (tile, chunk) window voxel origin + the
+    8 corner brick rows (empty -> sentinel row nb)."""
+    og, dg, dt, T0, t0, t1, _ = geom
+    BX, BY, BZ = bg.bricks_shape
+    hit = t1 > t0
+    w = hit.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    mo = jnp.sum(og * w[..., None], axis=1) / denom[:, None]   # [T, 3]
+    md = jnp.sum(dg * w[..., None], axis=1) / denom[:, None]
+    mdt = jnp.sum(dt * w, axis=1) / denom                       # [T]
+
+    c = jnp.arange(n_chunks, dtype=jnp.float32)
+    t_mid = T0[:, None] + (c[None, :] * SC + SC * 0.5) * mdt[:, None]
+    centroid = mo[:, None, :] + t_mid[..., None] * md[:, None, :]
+    Bm2 = jnp.asarray([BX - 2, BY - 2, BZ - 2])
+    wb = jnp.clip(
+        jnp.round(centroid / BRICK - 1.0).astype(jnp.int32), 0, Bm2
+    )  # [T, C, 3]
+
+    offs = jnp.asarray(_CORNERS, jnp.int32)
+    coords = wb[:, :, None, :] + offs  # [T, C, 8, 3]
+    rows = bg.brick_links[
+        coords[..., 0], coords[..., 1], coords[..., 2]
+    ]
+    rows = jnp.where(rows < 0, bg.n_bricks, rows).astype(jnp.int32)
+    return wb, rows
+
+
+def _make_fwd_kernel(basis_dim: int):
+    ch = 3 * basis_dim
+
+    def kernel(rows_ref, orig_ref, pack_ref, *rest):
+        bricks = rest[:8]         # density (1, 512) each
+        sh = rest[8:16]           # SH (1, 512*ch) each
+        out_ref = rest[16]
+        t = pl.program_id(0)
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        pack = pack_ref[0]            # [16, 128]
+        og = pack[0:3]
+        dg = pack[3:6]
+        dt = pack[6:7]
+        t0 = pack[7:8]
+        t1 = pack[8:9]
+        T0 = pack[9:10]
+        basis_row = pack[10:11]       # [1, 128]
+        step_world = pack[11:12]
+
+        A = SC * R
+        # t values per (step, ray) in [SC, R]
+        step_idx = (
+            c.astype(jnp.float32) * SC
+            + jax.lax.broadcasted_iota(jnp.float32, (SC, R), 0)
+        )
+        tt = T0 + step_idx * dt                     # [SC, R]
+        valid = (tt >= t0) & (tt < t1)
+
+        ox = orig_ref[t, c, 0].astype(jnp.float32)
+        oy = orig_ref[t, c, 1].astype(jnp.float32)
+        oz = orig_ref[t, c, 2].astype(jnp.float32)
+
+        lx = (og[0:1] + tt * dg[0:1]).reshape(1, A) - ox
+        ly = (og[1:2] + tt * dg[1:2]).reshape(1, A) - oy
+        lz = (og[2:3] + tt * dg[2:3]).reshape(1, A) - oz
+        in_win = (
+            (lx >= 0.0) & (lx <= 15.0)
+            & (ly >= 0.0) & (ly <= 15.0)
+            & (lz >= 0.0) & (lz <= 15.0)
+        )
+        eff = (valid.reshape(1, A) & in_win).astype(jnp.float32)
+
+        iota16 = jax.lax.broadcasted_iota(jnp.float32, (16, A), 0)
+        Ax = jnp.maximum(0.0, 1.0 - jnp.abs(lx - iota16)) * eff
+        Ay = jnp.maximum(0.0, 1.0 - jnp.abs(ly - iota16))
+        Az = jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota16))
+
+        # tile basis replicated per channel: [1, 3*B]
+        bas3 = jnp.concatenate(
+            [basis_row[:, :basis_dim]] * 3, axis=1
+        )  # [1, ch]
+
+        acc4 = jnp.zeros((4, A), jnp.float32)
+        for k, (dx, dy, dz) in enumerate(_CORNERS):
+            dens_k = bricks[k][0]                    # [512]
+            sh_k = sh[k][0].reshape(512, ch)         # [512, ch]
+            # decode SH with the tile basis -> [512, 3]
+            dec = jnp.sum(
+                (sh_k * bas3).reshape(512, 3, basis_dim), axis=-1
+            )
+            cat = jnp.concatenate(
+                [dens_k.reshape(512, 1), dec], axis=1
+            )  # [512, 4] rows (lx, ly, lz), ch fastest
+            Wk = cat.reshape(8, 8 * 8 * 4)           # [8(lx), 256]
+
+            Axk = Ax[dx * 8 : dx * 8 + 8]            # [8, A]
+            Ayk = Ay[dy * 8 : dy * 8 + 8]
+            Azk = Az[dz * 8 : dz * 8 + 8]
+
+            V1 = jax.lax.dot_general(
+                Wk.astype(jnp.bfloat16), Axk.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                        # [256, A] (ly,lz,ch)
+            V2 = jnp.sum(
+                V1.reshape(8, 32, A) * Ayk[:, None, :], axis=0
+            )                                        # [32, A] (lz, ch)
+            V3 = jnp.sum(
+                V2.reshape(8, 4, A) * Azk[:, None, :], axis=0
+            )                                        # [4, A]
+            acc4 = acc4 + V3
+
+        sigma = acc4[0:1]                            # [1, A]
+        sigma = jnp.where(sigma > _SIGMA_THRESH, sigma, 0.0)
+        rgb = jnp.maximum(acc4[1:4] + 0.5, 0.0)      # [3, A]
+
+        tau = (sigma.reshape(SC, R)) * step_world    # [SC, R]
+        # exclusive prefix over steps: strictly-lower-triangular matmul
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 0)
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 1)
+        Lstrict = (c_iota < r_iota).astype(jnp.float32)
+        prefix = out_ref[0, 5:6, :] + jax.lax.dot_general(
+            Lstrict, tau,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # [SC, R]
+        Tpref = jnp.exp(-prefix)
+        alpha = 1.0 - jnp.exp(-tau)
+        active = Tpref > _STOP_THRESH
+        w = jnp.where(active, Tpref * alpha, 0.0)    # [SC, R]
+
+        w_flat = w.reshape(1, A)
+        rgb_w = (rgb * w_flat).reshape(3, SC, R)
+        out_ref[0, 0:3, :] += jnp.sum(rgb_w, axis=1)
+        out_ref[0, 3:4, :] += jnp.sum(w, axis=0)[None]
+        out_ref[0, 4:5, :] += jnp.sum(w * tt, axis=0)[None]
+        out_ref[0, 5:6, :] += jnp.sum(
+            jnp.where(active, tau, 0.0), axis=0
+        )[None]
+        sig2 = sigma.reshape(SC, R)
+        out_ref[0, 6:7, :] += jnp.sum(
+            jnp.log1p(2.0 * sig2 * sig2), axis=0
+        )[None]
+        miss = (
+            valid.reshape(1, A)
+            & jnp.logical_not(in_win)
+        ).astype(jnp.float32)
+        out_ref[0, 7:8, :] += jnp.sum(miss.reshape(SC, R), axis=0)[None]
+
+    return kernel
+
+
+def _append_sentinel(x):
+    return jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunks", "basis_dim"))
+def _march_call(density_z, sh_z, rows, orig, pack, n_chunks, basis_dim):
+    T = pack.shape[0]
+    csh = sh_z.shape[-1]
+
+    def dspec(k):
+        return pl.BlockSpec(
+            (1, 512),
+            lambda t, c, rows, orig, k=k: (rows[t, c, k], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def sspec(k):
+        return pl.BlockSpec(
+            (1, csh),
+            lambda t, c, rows, orig, k=k: (rows[t, c, k], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T, n_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, PACK_ROWS, R),
+                lambda t, c, rows, orig: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            *[dspec(k) for k in range(8)],
+            *[sspec(k) for k in range(8)],
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, R),
+            lambda t, c, rows, orig: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        _make_fwd_kernel(basis_dim),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 8, R), jnp.float32),
+        interpret=INTERPRET,
+    )(rows, orig, pack, *([density_z] * 8), *([sh_z] * 8))
+
+
+def render_tiles_pallas(
+    bg: BrickGrid,
+    rays: Rays,
+    opts: GridRenderOptions = GridRenderOptions(),
+    *,
+    n_chunks: Optional[int] = None,
+    return_depth: bool = False,
+):
+    """Fused Pallas forward render of [T, 128] coherent ray tiles.
+
+    Semantics match ops/tile_render.render_tiles(steps_per_chunk=16)
+    with the analytic window plan. sigma_thresh/stop_thresh are the
+    GridRenderOptions defaults (compiled into the kernel).
+    """
+    if rays.origins.shape[1] != R:
+        raise ValueError(f"tile size must be {R} rays")
+    if opts.color_mode != "bias":
+        raise NotImplementedError("pallas march: bias color mode only")
+    from nerf_projects_tpu.ops.tile_render import default_chunks
+
+    C = n_chunks or default_chunks(bg, opts.step_size, SC)
+    pack, geom = _pack_rays(bg, rays, opts)
+    wb, rows = _plan_windows(bg, geom, C)
+    orig = (wb * BRICK).astype(jnp.int32)
+
+    density_z = _append_sentinel(bg.density_bricks.astype(jnp.float32))
+    sh_z = _append_sentinel(
+        bg.sh_bricks.reshape(bg.n_bricks, -1).astype(jnp.float32)
+    )
+
+    out = _march_call(density_z, sh_z, rows, orig, pack, C, bg.basis_dim)
+    world_len = geom[6]
+    acc = out[:, 3]
+    result = {
+        "rgb": jnp.moveaxis(out[:, 0:3], 1, 2)
+        + (1.0 - acc[..., None]) * opts.background_brightness,
+        "acc": acc,
+        "log_transmit": -out[:, 5],
+        "sparsity_sum": out[:, 6],
+        "window_miss": jnp.sum(out[:, 7]) / (out.shape[0] * R * SC * C),
+    }
+    if return_depth:
+        result["depth"] = out[:, 4] * world_len
+    return result
