@@ -164,8 +164,15 @@ def volume_render_grid(
     background=None,
     color_top_k: Optional[int] = None,
     dense_density: Optional[jnp.ndarray] = None,
+    sh_mult: Optional[jnp.ndarray] = None,
 ):
     """Render [R] rays against the grid. Returns dict(rgb [R,3], ...).
+
+    sh_mult: optional precomputed per-ray basis values [R, basis_dim]
+    replacing the analytic SH evaluation — the hook for the learned
+    basis types (ops/basis.py; reference svox2.py:671-677 dispatch,
+    where 3D-texture/MLP bases are evaluated outside the CUDA kernel
+    and passed in as basis_data).
 
     Fixed `max_steps` march with masked accumulation — the TPU replacement
     for the reference's data-dependent while loop + early termination.
@@ -222,6 +229,7 @@ def volume_render_grid(
         return _render_top_k(
             grid, rays, opts, gpts, t, in_bounds, step_world, world_len,
             color_top_k, return_depth, background, dense_density,
+            sh_mult=sh_mult,
         )
     if opts.backend == "svox1":
         # nearest-neighbor lookup (PlenOctree-compat backend,
@@ -239,7 +247,10 @@ def volume_render_grid(
         sh_coeffs = trilerp(grid, grid.sh_data, gpts)  # [R, S, 3*B]
     density = jnp.where(in_bounds, density, 0.0)
     density = jnp.where(density > opts.sigma_thresh, density, 0.0)
-    basis = eval_sh_bases(grid.basis_dim, rays.viewdirs)  # [R, B]
+    basis = (
+        sh_mult if sh_mult is not None
+        else eval_sh_bases(grid.basis_dim, rays.viewdirs)
+    )  # [R, B]
     coeffs = sh_coeffs.reshape(sh_coeffs.shape[:-1] + (3, grid.basis_dim))
     rgb_raw = jnp.einsum("rscb,rb->rsc", coeffs, basis)
     if opts.color_mode == "sigmoid":
@@ -359,7 +370,7 @@ def volume_render_depth(
 
 def _render_top_k(
     grid, rays, opts, gpts, t, in_bounds, step_world, world_len,
-    k, return_depth, background, dense_density=None,
+    k, return_depth, background, dense_density=None, sh_mult=None,
 ):
     """Two-pass cuvol render: density-only march, then SH gathers at the
     top-k weighted samples per ray (see volume_render_grid docstring)."""
@@ -393,7 +404,10 @@ def _render_top_k(
     sel_pts = origins_g[:, None, :] + sel_t[..., None] * dirs_g[:, None, :]
 
     sh_coeffs = trilerp(grid, grid.sh_data, sel_pts)  # [R, K, 27]
-    basis = eval_sh_bases(grid.basis_dim, rays.viewdirs)
+    basis = (
+        sh_mult if sh_mult is not None
+        else eval_sh_bases(grid.basis_dim, rays.viewdirs)
+    )
     coeffs = sh_coeffs.reshape(sh_coeffs.shape[:-1] + (3, grid.basis_dim))
     decoded = jnp.einsum("rkcb,rb->rkc", coeffs, basis)
     if opts.color_mode == "sigmoid":

@@ -154,7 +154,9 @@ def _make_fwd_kernel(basis_dim: int):
         # t values per (step, ray) in [SC, R]
         step_idx = (
             c.astype(jnp.float32) * SC
-            + jax.lax.broadcasted_iota(jnp.float32, (SC, R), 0)
+            + jax.lax.broadcasted_iota(jnp.int32, (SC, R), 0).astype(
+                jnp.float32
+            )
         )
         tt = T0 + step_idx * dt                     # [SC, R]
         valid = (tt >= t0) & (tt < t1)
@@ -173,7 +175,9 @@ def _make_fwd_kernel(basis_dim: int):
         )
         eff = (valid.reshape(1, A) & in_win).astype(jnp.float32)
 
-        iota16 = jax.lax.broadcasted_iota(jnp.float32, (16, A), 0)
+        iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, A), 0).astype(
+            jnp.float32
+        )
         Ax = jnp.maximum(0.0, 1.0 - jnp.abs(lx - iota16)) * eff
         Ay = jnp.maximum(0.0, 1.0 - jnp.abs(ly - iota16))
         Az = jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota16))
@@ -183,39 +187,48 @@ def _make_fwd_kernel(basis_dim: int):
             [basis_row[:, :basis_dim]] * 3, axis=1
         )  # [1, ch]
 
-        acc4 = jnp.zeros((4, A), jnp.float32)
+        sigma_acc = jnp.zeros((1, A), jnp.float32)
+        rgb_acc4 = jnp.zeros((3, A), jnp.float32)
         for k, (dx, dy, dz) in enumerate(_CORNERS):
-            dens_k = bricks[k][0]                    # [512]
-            sh_k = sh[k][0].reshape(512, ch)         # [512, ch]
-            # decode SH with the tile basis -> [512, 3]
+            dens_k = bricks[k][0]                    # [8(lx), 64(ly,lz)]
+            sh_k = sh[k][0]                          # [512, ch]
+            # decode SH with the tile basis -> [512, 3] -> [8, 192]
             dec = jnp.sum(
                 (sh_k * bas3).reshape(512, 3, basis_dim), axis=-1
             )
-            cat = jnp.concatenate(
-                [dens_k.reshape(512, 1), dec], axis=1
-            )  # [512, 4] rows (lx, ly, lz), ch fastest
-            Wk = cat.reshape(8, 8 * 8 * 4)           # [8(lx), 256]
+            Wc = dec.reshape(8, 8 * 8 * 3)           # [8(lx), 192]
 
             Axk = Ax[dx * 8 : dx * 8 + 8]            # [8, A]
             Ayk = Ay[dy * 8 : dy * 8 + 8]
             Azk = Az[dz * 8 : dz * 8 + 8]
 
-            V1 = jax.lax.dot_general(
-                Wk.astype(jnp.bfloat16), Axk.astype(jnp.bfloat16),
+            V1d = jax.lax.dot_general(
+                dens_k.astype(jnp.bfloat16), Axk.astype(jnp.bfloat16),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                        # [256, A] (ly,lz,ch)
-            V2 = jnp.sum(
-                V1.reshape(8, 32, A) * Ayk[:, None, :], axis=0
-            )                                        # [32, A] (lz, ch)
-            V3 = jnp.sum(
-                V2.reshape(8, 4, A) * Azk[:, None, :], axis=0
-            )                                        # [4, A]
-            acc4 = acc4 + V3
+            )                                        # [64, A] (ly, lz)
+            V2d = jnp.sum(
+                V1d.reshape(8, 8, A) * Ayk[:, None, :], axis=0
+            )                                        # [8, A] (lz)
+            sigma_acc = sigma_acc + jnp.sum(
+                V2d * Azk, axis=0
+            )[None]
 
-        sigma = acc4[0:1]                            # [1, A]
+            V1c = jax.lax.dot_general(
+                Wc.astype(jnp.bfloat16), Axk.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                        # [192, A] (ly,lz,ch)
+            V2c = jnp.sum(
+                V1c.reshape(8, 24, A) * Ayk[:, None, :], axis=0
+            )                                        # [24, A] (lz, ch)
+            rgb_acc4 = rgb_acc4 + jnp.sum(
+                V2c.reshape(8, 3, A) * Azk[:, None, :], axis=0
+            )                                        # [3, A]
+
+        sigma = sigma_acc                            # [1, A]
         sigma = jnp.where(sigma > _SIGMA_THRESH, sigma, 0.0)
-        rgb = jnp.maximum(acc4[1:4] + 0.5, 0.0)      # [3, A]
+        rgb = jnp.maximum(rgb_acc4 + 0.5, 0.0)       # [3, A]
 
         tau = (sigma.reshape(SC, R)) * step_world    # [SC, R]
         # exclusive prefix over steps: strictly-lower-triangular matmul
@@ -259,20 +272,23 @@ def _append_sentinel(x):
 
 @functools.partial(jax.jit, static_argnames=("n_chunks", "basis_dim"))
 def _march_call(density_z, sh_z, rows, orig, pack, n_chunks, basis_dim):
+    """density_z [nb+1, 8, 64]; sh_z [nb+1, 512, ch]."""
     T = pack.shape[0]
     csh = sh_z.shape[-1]
 
     def dspec(k):
+        # [nb+1, 8, 64] bricks: full-brick block, sublane dim 8 (TPU
+        # requires the second-to-last block dim divisible by 8)
         return pl.BlockSpec(
-            (1, 512),
-            lambda t, c, rows, orig, k=k: (rows[t, c, k], 0),
+            (1, 8, 64),
+            lambda t, c, rows, orig, k=k: (rows[t, c, k], 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     def sspec(k):
         return pl.BlockSpec(
-            (1, csh),
-            lambda t, c, rows, orig, k=k: (rows[t, c, k], 0),
+            (1, 512, csh),
+            lambda t, c, rows, orig, k=k: (rows[t, c, k], 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -327,10 +343,10 @@ def render_tiles_pallas(
     wb, rows = _plan_windows(bg, geom, C)
     orig = (wb * BRICK).astype(jnp.int32)
 
-    density_z = _append_sentinel(bg.density_bricks.astype(jnp.float32))
-    sh_z = _append_sentinel(
-        bg.sh_bricks.reshape(bg.n_bricks, -1).astype(jnp.float32)
+    density_z = _append_sentinel(
+        bg.density_bricks.reshape(bg.n_bricks, 8, 64).astype(jnp.float32)
     )
+    sh_z = _append_sentinel(bg.sh_bricks.astype(jnp.float32))
 
     out = _march_call(density_z, sh_z, rows, orig, pack, C, bg.basis_dim)
     world_len = geom[6]

@@ -273,6 +273,93 @@ class PlenoxelsTrainer:
     def render_step(self, grid: SparseGrid, rays: Rays):
         return volume_render_grid(grid, rays, self.opts, return_depth=True)
 
+    @functools.partial(
+        jax.jit, static_argnums=0,
+        static_argnames=("basis_type", "mlp_posenc_size", "lr_basis"),
+    )
+    def train_step_with_basis(
+        self,
+        grid: SparseGrid,
+        rms: RMSState,
+        basis_params,
+        rms_basis,
+        rays: Rays,
+        target: jnp.ndarray,
+        step: jnp.ndarray,
+        key: jax.Array,
+        *,
+        basis_type: int,
+        mlp_posenc_size: int = 0,
+        lr_basis: float = 1e-6,
+    ):
+        """Joint grid + learned-basis step (opt.py's lr_basis path +
+        optim_basis_step, svox2.py:2086; basis types in ops/basis.py).
+        basis_params: [r,r,r,B] texture (BASIS_TYPE_3D_TEXTURE) or the
+        MLP param dict (BASIS_TYPE_MLP); rms_basis matches its pytree."""
+        from nerf_projects_tpu.ops.basis import eval_basis
+
+        def loss_fn(density_data, sh_data, bparams):
+            g = replace(grid, density_data=density_data, sh_data=sh_data)
+            if isinstance(bparams, dict):
+                sh_mult = eval_basis(
+                    basis_type, grid.basis_dim, rays.viewdirs,
+                    mlp_params=bparams, mlp_posenc_size=mlp_posenc_size,
+                )
+            else:
+                sh_mult = eval_basis(
+                    basis_type, grid.basis_dim, rays.viewdirs,
+                    basis_data=bparams,
+                )
+            out = volume_render_grid(g, rays, self.opts, sh_mult=sh_mult)
+            total, mse = self._data_loss(out, target)
+            return total, mse
+
+        (loss, mse), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(grid.density_data, grid.sh_data, basis_params)
+        g_density, g_sh, g_basis = grads
+
+        tv_d, tv_s = self._tv_grads(grid, key)
+        if tv_d is not None:
+            g_density = g_density + tv_d
+        if tv_s is not None:
+            g_sh = g_sh + tv_s
+
+        lr_sigma = self.lr_sigma_fn(step)
+        lr_sh = self.lr_sh_fn(step)
+        new_density, rms_d = self._optim(
+            self.sigma_optim, grid.density_data, g_density,
+            rms.rms_density, lr_sigma, minval=self.density_minval,
+        )
+        new_sh, rms_s = self._optim(
+            self.sh_optim, grid.sh_data, g_sh, rms.rms_sh, lr_sh
+        )
+        # basis RMSprop (optim_basis_step defaults)
+        b = self.rms_beta
+
+        def upd(p, g, r):
+            r2 = b * r + (1 - b) * g**2
+            return p - lr_basis * g / (jnp.sqrt(r2) + 1e-8), r2
+
+        flat = jax.tree_util.tree_map(upd, basis_params, g_basis, rms_basis)
+        new_basis = jax.tree_util.tree_map(
+            lambda t: t[0], flat,
+            is_leaf=lambda t: isinstance(t, tuple) and len(t) == 2,
+        )
+        new_rms_basis = jax.tree_util.tree_map(
+            lambda t: t[1], flat,
+            is_leaf=lambda t: isinstance(t, tuple) and len(t) == 2,
+        )
+
+        psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)
+        return (
+            replace(grid, density_data=new_density, sh_data=new_sh),
+            RMSState(rms_density=rms_d, rms_sh=rms_s),
+            new_basis,
+            new_rms_basis,
+            {"loss": loss, "mse": mse, "psnr": psnr},
+        )
+
     # -- brick/tile fast path ------------------------------------------------
 
     def init_rms_bricks(self, bg) -> RMSState:
