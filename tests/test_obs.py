@@ -184,3 +184,66 @@ class TestFloaterViz:
         )
         assert len(paths) == 2
         assert all(os.path.exists(p) for p in paths)
+
+
+class TestFloaterVizTB:
+    def test_projection_and_tb_logging(self, tmp_path):
+        import jax.numpy as jnp
+        from dataclasses import replace as _replace
+
+        from nerf_projects_tpu.models.sparse_grid import SparseGrid
+        from nerf_projects_tpu.obs.floater_viz import (
+            log_floater_visualizations,
+            overlay_on_render,
+            project_floaters_to_view,
+            floater_masks,
+        )
+
+        # a big central blob + a tiny detached floater
+        g = SparseGrid.create(32, basis_dim=1, use_sphere_bound=False,
+                              init_density=0.0)
+        links = np.asarray(g.links)
+        dens = np.zeros((g.capacity, 1), np.float32)
+        for x in range(12, 20):
+            for y in range(12, 20):
+                for z in range(12, 20):
+                    dens[links[x, y, z]] = 5.0
+        dens[links[2, 2, 2]] = 5.0  # floater voxel
+        g = _replace(g, density_data=jnp.asarray(dens))
+
+        occ, flo = floater_masks(g, threshold=0.5, min_object_size=100)
+        assert flo[2, 2, 2] and not flo[15, 15, 15]
+
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [0.0, 0.0, -3.0]
+        K = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1.0]])
+        heat = project_floaters_to_view(g, flo, pose, K, 64, 64,
+                                        min_density=0.1)
+        assert heat is not None and heat.sum() >= 1
+
+        rgb = np.full((64, 64, 3), 0.5, np.float32)
+        over = overlay_on_render(rgb, heat)
+        assert over.shape == rgb.shape
+        assert (over != rgb).any()
+
+        class FakeTB:
+            def __init__(self):
+                self.images = {}
+                self.scalars = {}
+
+            def image(self, tag, img, step):
+                self.images[tag] = np.asarray(img)
+
+            def scalar(self, tag, val, step):
+                self.scalars[tag] = float(val)
+
+        tb = FakeTB()
+        n = log_floater_visualizations(
+            tb, g, 100, cameras=[(pose, K, 64, 64)], renders=[rgb],
+            threshold=0.5, min_object_size=100,
+        )
+        assert n >= 4
+        assert tb.scalars["floaters/voxels"] == 1.0
+        assert any(t.startswith("floaters/slice_z") for t in tb.images)
+        assert "floaters/heatmap_view_0" in tb.images
+        assert "floaters/overlay_view_0" in tb.images
