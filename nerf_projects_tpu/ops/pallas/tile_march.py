@@ -57,6 +57,13 @@ _STOP_THRESH = 1e-7
 _CORNERS = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
 
 
+def _mean_viewdirs(rays: Rays):
+    vmean = jnp.mean(rays.viewdirs, axis=1)
+    return vmean / jnp.maximum(
+        jnp.linalg.norm(vmean, axis=-1, keepdims=True), 1e-12
+    )
+
+
 def _pack_rays(bg: BrickGrid, rays: Rays, opts: GridRenderOptions):
     """Per-tile ray geometry + the [T, 16, 128] kernel pack."""
     T = rays.origins.shape[0]
@@ -127,11 +134,9 @@ def _plan_windows(bg: BrickGrid, geom, n_chunks: int):
 
 
 def _make_fwd_kernel(basis_dim: int):
-    ch = 3 * basis_dim
-
-    def kernel(rows_ref, orig_ref, pack_ref, *rest):
-        bricks = rest[:8]         # density (1, 512) each
-        sh = rest[8:16]           # SH (1, 512*ch) each
+    def kernel(rows_ref, orig_ref, basis_ref, pack_ref, *rest):
+        bricks = rest[:8]         # density (1, 8, 64) each
+        sh = rest[8:16]           # SH (1, B, 8, 192) each
         out_ref = rest[16]
         t = pl.program_id(0)
         c = pl.program_id(1)
@@ -147,7 +152,6 @@ def _make_fwd_kernel(basis_dim: int):
         t0 = pack[7:8]
         t1 = pack[8:9]
         T0 = pack[9:10]
-        basis_row = pack[10:11]       # [1, 128]
         step_world = pack[11:12]
 
         A = SC * R
@@ -168,12 +172,14 @@ def _make_fwd_kernel(basis_dim: int):
         lx = (og[0:1] + tt * dg[0:1]).reshape(1, A) - ox
         ly = (og[1:2] + tt * dg[1:2]).reshape(1, A) - oy
         lz = (og[2:3] + tt * dg[2:3]).reshape(1, A) - oz
-        in_win = (
+        in_win_f = (
             (lx >= 0.0) & (lx <= 15.0)
             & (ly >= 0.0) & (ly <= 15.0)
             & (lz >= 0.0) & (lz <= 15.0)
-        )
-        eff = (valid.reshape(1, A) & in_win).astype(jnp.float32)
+        ).astype(jnp.float32)
+        # bool vectors cannot be relaid out on TPU; reshape as float
+        valid_f = valid.astype(jnp.float32).reshape(1, A)
+        eff = valid_f * in_win_f
 
         iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, A), 0).astype(
             jnp.float32
@@ -182,21 +188,17 @@ def _make_fwd_kernel(basis_dim: int):
         Ay = jnp.maximum(0.0, 1.0 - jnp.abs(ly - iota16))
         Az = jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota16))
 
-        # tile basis replicated per channel: [1, 3*B]
-        bas3 = jnp.concatenate(
-            [basis_row[:, :basis_dim]] * 3, axis=1
-        )  # [1, ch]
-
         sigma_acc = jnp.zeros((1, A), jnp.float32)
         rgb_acc4 = jnp.zeros((3, A), jnp.float32)
         for k, (dx, dy, dz) in enumerate(_CORNERS):
             dens_k = bricks[k][0]                    # [8(lx), 64(ly,lz)]
-            sh_k = sh[k][0]                          # [512, ch]
-            # decode SH with the tile basis -> [512, 3] -> [8, 192]
-            dec = jnp.sum(
-                (sh_k * bas3).reshape(512, 3, basis_dim), axis=-1
-            )
-            Wc = dec.reshape(8, 8 * 8 * 3)           # [8(lx), 192]
+            # SH decode with the tile basis: kernel-layout bricks are
+            # [B, 8(lx), 192(ly,lz,c)], so the decode is B scalar
+            # multiply-adds — no lane-splitting reshapes (Mosaic cannot
+            # shape-cast 27 lanes into 3x9).
+            Wc = sh[k][0, 0] * basis_ref[t, 0]       # [8, 192]
+            for b in range(1, basis_dim):
+                Wc = Wc + sh[k][0, b] * basis_ref[t, b]
 
             Axk = Ax[dx * 8 : dx * 8 + 8]            # [8, A]
             Ayk = Ay[dy * 8 : dy * 8 + 8]
@@ -257,10 +259,7 @@ def _make_fwd_kernel(basis_dim: int):
         out_ref[0, 6:7, :] += jnp.sum(
             jnp.log1p(2.0 * sig2 * sig2), axis=0
         )[None]
-        miss = (
-            valid.reshape(1, A)
-            & jnp.logical_not(in_win)
-        ).astype(jnp.float32)
+        miss = valid_f * (1.0 - in_win_f)
         out_ref[0, 7:8, :] += jnp.sum(miss.reshape(SC, R), axis=0)[None]
 
     return kernel
@@ -271,34 +270,34 @@ def _append_sentinel(x):
 
 
 @functools.partial(jax.jit, static_argnames=("n_chunks", "basis_dim"))
-def _march_call(density_z, sh_z, rows, orig, pack, n_chunks, basis_dim):
-    """density_z [nb+1, 8, 64]; sh_z [nb+1, 512, ch]."""
+def _march_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
+                basis_dim):
+    """density_z [nb+1, 8, 64]; sh_z [nb+1, B, 8, 192] (kernel layout)."""
     T = pack.shape[0]
-    csh = sh_z.shape[-1]
 
     def dspec(k):
-        # [nb+1, 8, 64] bricks: full-brick block, sublane dim 8 (TPU
-        # requires the second-to-last block dim divisible by 8)
+        # full-brick blocks; sublane dim 8 (TPU requires the
+        # second-to-last block dim divisible by 8)
         return pl.BlockSpec(
             (1, 8, 64),
-            lambda t, c, rows, orig, k=k: (rows[t, c, k], 0, 0),
+            lambda t, c, rows, orig, basisf, k=k: (rows[t, c, k], 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     def sspec(k):
         return pl.BlockSpec(
-            (1, 512, csh),
-            lambda t, c, rows, orig, k=k: (rows[t, c, k], 0, 0),
+            (1, basis_dim, 8, 192),
+            lambda t, c, rows, orig, basisf, k=k: (rows[t, c, k], 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(T, n_chunks),
         in_specs=[
             pl.BlockSpec(
                 (1, PACK_ROWS, R),
-                lambda t, c, rows, orig: (t, 0, 0),
+                lambda t, c, rows, orig, basisf: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             *[dspec(k) for k in range(8)],
@@ -306,7 +305,7 @@ def _march_call(density_z, sh_z, rows, orig, pack, n_chunks, basis_dim):
         ],
         out_specs=pl.BlockSpec(
             (1, 8, R),
-            lambda t, c, rows, orig: (t, 0, 0),
+            lambda t, c, rows, orig, basisf: (t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -315,7 +314,17 @@ def _march_call(density_z, sh_z, rows, orig, pack, n_chunks, basis_dim):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, 8, R), jnp.float32),
         interpret=INTERPRET,
-    )(rows, orig, pack, *([density_z] * 8), *([sh_z] * 8))
+    )(rows, orig, basisf, pack, *([density_z] * 8), *([sh_z] * 8))
+
+
+def sh_to_kernel_layout(sh_bricks: jnp.ndarray, basis_dim: int):
+    """[nb, 512, 3*B] -> [nb, B, 8, 192]: (cell(lx,ly,lz), c, b) ->
+    (b, lx, (ly, lz, c)). One transpose, done once per grid for
+    rendering (training keeps its own layout copy)."""
+    nb = sh_bricks.shape[0]
+    x = sh_bricks.reshape(nb, 8, 8, 8, 3, basis_dim)
+    x = jnp.transpose(x, (0, 5, 1, 2, 3, 4))
+    return x.reshape(nb, basis_dim, 8, 8 * 8 * 3)
 
 
 def render_tiles_pallas(
@@ -346,9 +355,16 @@ def render_tiles_pallas(
     density_z = _append_sentinel(
         bg.density_bricks.reshape(bg.n_bricks, 8, 64).astype(jnp.float32)
     )
-    sh_z = _append_sentinel(bg.sh_bricks.astype(jnp.float32))
+    sh_z = _append_sentinel(
+        sh_to_kernel_layout(bg.sh_bricks.astype(jnp.float32), bg.basis_dim)
+    )
+    basisf = eval_sh_bases(
+        bg.basis_dim,
+        _mean_viewdirs(rays),
+    ).astype(jnp.float32)
 
-    out = _march_call(density_z, sh_z, rows, orig, pack, C, bg.basis_dim)
+    out = _march_call(density_z, sh_z, rows, orig, basisf, pack, C,
+                      bg.basis_dim)
     world_len = geom[6]
     acc = out[:, 3]
     result = {
@@ -362,3 +378,339 @@ def render_tiles_pallas(
     if return_depth:
         result["depth"] = out[:, 4] * world_len
     return result
+
+
+# ---------------------------------------------------------------------------
+# Fused backward: MSE (+beta/sparsity) gradients to the brick arrays —
+# the reference volume_render_fused (svox2.py:1072-1142,
+# render_lerp_kernel_cuvol.cu:1070-1195): no autograd graph; the backward
+# kernel re-marches with the running-suffix trick (the reference's
+# `accum`) and emits per-(tile, chunk, corner) gradient blocks that XLA
+# scatter-adds into the compact brick arrays.
+#
+# bwd pack rows reuse the fwd layout plus:
+#   12-14: per-ray loss gradient g (2*(rgb_out-gt)/(3N))
+#   15:    S_total = g . rgb_out (+ beta term) — suffix seed
+# ---------------------------------------------------------------------------
+
+
+def _make_bwd_kernel(basis_dim: int, sparsity_scale: float):
+    def kernel(rows_ref, orig_ref, basis_ref, pack_ref, *rest):
+        bricks = rest[:8]
+        sh = rest[8:16]
+        state_ref = rest[16]      # (1, 8, 128): row 0 cum_tau, row 1 P
+        gd_ref = rest[17]         # (1, 1, 8, 8, 64)
+        gsh_ref = rest[18]        # (1, 1, 8, B, 8, 192)
+        t = pl.program_id(0)
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            state_ref[...] = jnp.zeros(state_ref.shape, state_ref.dtype)
+
+        pack = pack_ref[0]
+        og = pack[0:3]
+        dg = pack[3:6]
+        dt = pack[6:7]
+        t0 = pack[7:8]
+        t1 = pack[8:9]
+        T0 = pack[9:10]
+        step_world = pack[11:12]
+        g_rows = pack[12:15]          # [3, 128]
+        S_total = pack[15:16]         # [1, 128]
+
+        A = SC * R
+        step_idx = (
+            c.astype(jnp.float32) * SC
+            + jax.lax.broadcasted_iota(jnp.int32, (SC, R), 0).astype(
+                jnp.float32
+            )
+        )
+        tt = T0 + step_idx * dt
+        valid = (tt >= t0) & (tt < t1)
+
+        ox = orig_ref[t, c, 0].astype(jnp.float32)
+        oy = orig_ref[t, c, 1].astype(jnp.float32)
+        oz = orig_ref[t, c, 2].astype(jnp.float32)
+        lx = (og[0:1] + tt * dg[0:1]).reshape(1, A) - ox
+        ly = (og[1:2] + tt * dg[1:2]).reshape(1, A) - oy
+        lz = (og[2:3] + tt * dg[2:3]).reshape(1, A) - oz
+        in_win_f = (
+            (lx >= 0.0) & (lx <= 15.0)
+            & (ly >= 0.0) & (ly <= 15.0)
+            & (lz >= 0.0) & (lz <= 15.0)
+        ).astype(jnp.float32)
+        valid_f = valid.astype(jnp.float32).reshape(1, A)
+        eff = valid_f * in_win_f
+
+        iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, A), 0).astype(
+            jnp.float32
+        )
+        Ax = jnp.maximum(0.0, 1.0 - jnp.abs(lx - iota16)) * eff
+        Ay = jnp.maximum(0.0, 1.0 - jnp.abs(ly - iota16))
+        Az = jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota16))
+
+        # ---- recompute forward (sigma, raw rgb) exactly as the fwd kernel
+        sigma_acc = jnp.zeros((1, A), jnp.float32)
+        rgb_acc = jnp.zeros((3, A), jnp.float32)
+        for k, (dx, dy, dz) in enumerate(_CORNERS):
+            dens_k = bricks[k][0]
+            Wc = sh[k][0, 0] * basis_ref[t, 0]
+            for b in range(1, basis_dim):
+                Wc = Wc + sh[k][0, b] * basis_ref[t, b]
+            Axk = Ax[dx * 8 : dx * 8 + 8]
+            Ayk = Ay[dy * 8 : dy * 8 + 8]
+            Azk = Az[dz * 8 : dz * 8 + 8]
+            V1d = jax.lax.dot_general(
+                dens_k.astype(jnp.bfloat16), Axk.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            V2d = jnp.sum(V1d.reshape(8, 8, A) * Ayk[:, None, :], axis=0)
+            sigma_acc = sigma_acc + jnp.sum(V2d * Azk, axis=0)[None]
+            V1c = jax.lax.dot_general(
+                Wc.astype(jnp.bfloat16), Axk.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            V2c = jnp.sum(V1c.reshape(8, 24, A) * Ayk[:, None, :], axis=0)
+            rgb_acc = rgb_acc + jnp.sum(
+                V2c.reshape(8, 3, A) * Azk[:, None, :], axis=0
+            )
+
+        sig_pos = (sigma_acc > _SIGMA_THRESH).astype(jnp.float32)
+        sigma = sigma_acc * sig_pos                   # [1, A]
+        rgb_pos = (rgb_acc + 0.5 > 0.0).astype(jnp.float32)
+        rgb = jnp.maximum(rgb_acc + 0.5, 0.0)         # [3, A]
+
+        tau = sigma.reshape(SC, R) * step_world       # [SC, R]
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 0)
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 1)
+        Lstrict = (c_iota < r_iota).astype(jnp.float32)
+        Lincl = (c_iota <= r_iota).astype(jnp.float32)
+        prefix = state_ref[0, 0:1, :] + jax.lax.dot_general(
+            Lstrict, tau,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        Tpref = jnp.exp(-prefix)
+        alpha = 1.0 - jnp.exp(-tau)
+        active_f = (Tpref > _STOP_THRESH).astype(jnp.float32)
+        w = active_f * Tpref * alpha                  # [SC, R]
+
+        # per-ray rows tiled over steps (lane a = s*R + r)
+        gc = jnp.concatenate([g_rows] * SC, axis=1)   # [3, A]
+        cdotg = jnp.sum(rgb * gc, axis=0, keepdims=True)   # [1, A]
+        wc = (w.reshape(1, A) * cdotg).reshape(SC, R)
+
+        # suffix after sample i: S_total - inclusive prefix of w*(c.g)
+        P_in = state_ref[0, 1:2, :] + jax.lax.dot_general(
+            Lincl, wc,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # [SC, R]
+        S_tiled = jnp.concatenate([S_total] * SC, axis=1).reshape(SC, R)
+        suffix = S_tiled - P_in
+
+        # dL/dtau_i = T_i e^{-tau_i} (c_i . g) - suffix_i
+        Te = Tpref * jnp.exp(-tau)
+        gtau = Te * cdotg.reshape(SC, R) - suffix
+        gsig = (gtau * step_world * active_f).reshape(1, A) * sig_pos
+        if sparsity_scale > 0:
+            gsig = gsig + sparsity_scale * (
+                4.0 * sigma / (1.0 + 2.0 * sigma * sigma)
+            ) * sig_pos
+
+        # rgb gradient per sample, gated by the +0.5 clamp
+        g_rgb = w.reshape(1, A) * gc * rgb_pos         # [3, A]
+
+        # ---- transposed trilerp: per-corner gradient blocks
+        for k, (dx, dy, dz) in enumerate(_CORNERS):
+            Axk = Ax[dx * 8 : dx * 8 + 8]
+            Ayk = Ay[dy * 8 : dy * 8 + 8]
+            Azk = Az[dz * 8 : dz * 8 + 8]
+            Byz = (Ayk[:, None, :] * Azk[None, :, :]).reshape(64, A)
+            Gd = jax.lax.dot_general(
+                (Axk * gsig).astype(jnp.bfloat16),
+                Byz.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # [8, 64]
+            gd_ref[0, 0, k] = Gd
+            Byzc = (
+                Ayk[:, None, None, :]
+                * Azk[None, :, None, :]
+                * g_rgb[None, None, :, :]
+            ).reshape(192, A)
+            H = jax.lax.dot_general(
+                Axk.astype(jnp.bfloat16), Byzc.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # [8, 192]
+            for b in range(basis_dim):
+                gsh_ref[0, 0, k, b] = H * basis_ref[t, b]
+
+        # carry updates
+        state_ref[0, 0:1, :] += jnp.sum(active_f * tau, axis=0)[None]
+        state_ref[0, 1:2, :] += jnp.sum(wc, axis=0)[None]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_chunks", "basis_dim", "sparsity_scale")
+)
+def _bwd_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
+              basis_dim, sparsity_scale):
+    T = pack.shape[0]
+    C = n_chunks
+
+    def dspec(k):
+        return pl.BlockSpec(
+            (1, 8, 64),
+            lambda t, c, rows, orig, basisf, k=k: (rows[t, c, k], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def sspec(k):
+        return pl.BlockSpec(
+            (1, basis_dim, 8, 192),
+            lambda t, c, rows, orig, basisf, k=k: (rows[t, c, k], 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T, C),
+        in_specs=[
+            pl.BlockSpec(
+                (1, PACK_ROWS, R),
+                lambda t, c, rows, orig, basisf: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            *[dspec(k) for k in range(8)],
+            *[sspec(k) for k in range(8)],
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 8, R),
+                lambda t, c, rows, orig, basisf: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 8, 8, 64),
+                lambda t, c, rows, orig, basisf: (t, c, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 8, basis_dim, 8, 192),
+                lambda t, c, rows, orig, basisf: (t, c, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+    )
+    return pl.pallas_call(
+        _make_bwd_kernel(basis_dim, sparsity_scale),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 8, R), jnp.float32),
+            jax.ShapeDtypeStruct((T, C, 8, 8, 64), jnp.float32),
+            jax.ShapeDtypeStruct((T, C, 8, basis_dim, 8, 192), jnp.float32),
+        ),
+        interpret=INTERPRET,
+    )(rows, orig, basisf, pack, *([density_z] * 8), *([sh_z] * 8))
+
+
+def kernel_layout_to_sh(gsh_kernel: jnp.ndarray, basis_dim: int):
+    """[nb, B, 8, 192] -> [nb, 512, 3*B] (inverse of sh_to_kernel_layout)."""
+    nb = gsh_kernel.shape[0]
+    x = gsh_kernel.reshape(nb, basis_dim, 8, 8, 8, 3)
+    x = jnp.transpose(x, (0, 2, 3, 4, 5, 1))
+    return x.reshape(nb, 512, 3 * basis_dim)
+
+
+def render_fused_tiles_pallas(
+    bg: BrickGrid,
+    rays: Rays,
+    rgb_gt: jnp.ndarray,
+    opts: GridRenderOptions = GridRenderOptions(),
+    *,
+    beta_loss: float = 0.0,
+    sparsity_loss: float = 0.0,
+    n_chunks: Optional[int] = None,
+):
+    """Fused render + gradient over [T, 128] tiles — the reference
+    volume_render_fused: returns (rgb_out [T,128,3],
+    grad_density_bricks [nb,512], grad_sh_bricks [nb,512,ch], aux dict).
+
+    The MSE gradient 2*(rgb-gt)/(3N) is generated internally; beta and
+    sparsity loss gradients are fused exactly as the CUDA kernel fuses
+    them (beta scaled 1/N_rays; Cauchy sparsity per sample).
+    """
+    if rays.origins.shape[1] != R:
+        raise ValueError(f"tile size must be {R} rays")
+    from nerf_projects_tpu.ops.tile_render import default_chunks
+
+    C = n_chunks or default_chunks(bg, opts.step_size, SC)
+    pack, geom = _pack_rays(bg, rays, opts)
+    wb, rows = _plan_windows(bg, geom, C)
+    orig = (wb * BRICK).astype(jnp.int32)
+    basisf = eval_sh_bases(bg.basis_dim, _mean_viewdirs(rays)).astype(
+        jnp.float32
+    )
+    density_z = _append_sentinel(
+        bg.density_bricks.reshape(bg.n_bricks, 8, 64).astype(jnp.float32)
+    )
+    sh_z = _append_sentinel(
+        sh_to_kernel_layout(bg.sh_bricks.astype(jnp.float32), bg.basis_dim)
+    )
+
+    # forward for rgb_out
+    fwd = _march_call(density_z, sh_z, rows, orig, basisf, pack, C,
+                      bg.basis_dim)
+    acc = fwd[:, 3]
+    rgb_out = (
+        jnp.moveaxis(fwd[:, 0:3], 1, 2)
+        + (1.0 - acc[..., None]) * opts.background_brightness
+    )  # [T, 128, 3]
+
+    T = pack.shape[0]
+    n_rays = T * R
+    g = 2.0 * (rgb_out - rgb_gt) / (3.0 * n_rays)      # [T, 128, 3]
+    S_total = jnp.sum(g * rgb_out, axis=-1)            # [T, 128]
+    if beta_loss > 0:
+        log_T = -fwd[:, 5]
+        T_fin = jnp.exp(log_T)
+        S_total = S_total + (beta_loss / n_rays) * (
+            1.0 - T_fin / (1.0 - T_fin + 1e-3)
+        )
+
+    pack = pack.at[:, 12:15].set(jnp.moveaxis(g, -1, 1))
+    pack = pack.at[:, 15].set(S_total)
+
+    state, gd_blocks, gsh_blocks = _bwd_call(
+        density_z, sh_z, rows, orig, basisf, pack, C, bg.basis_dim,
+        float(sparsity_loss),
+    )
+
+    # scatter-add per-corner blocks into the compact brick arrays
+    flat_rows = rows.reshape(-1)                       # [T*C*8]
+    nb = bg.n_bricks
+    gd = jnp.zeros((nb + 1, 8, 64), jnp.float32).at[flat_rows].add(
+        gd_blocks.reshape(-1, 8, 64)
+    )[:nb]
+    gsh_k = jnp.zeros(
+        (nb + 1, bg.basis_dim, 8, 192), jnp.float32
+    ).at[flat_rows].add(
+        gsh_blocks.reshape(-1, bg.basis_dim, 8, 192)
+    )[:nb]
+
+    grad_density = gd.reshape(nb, 512)
+    grad_sh = kernel_layout_to_sh(gsh_k, bg.basis_dim)
+    aux = {
+        "acc": acc,
+        "log_transmit": -fwd[:, 5],
+        "sparsity_sum": fwd[:, 6],
+        "window_miss": jnp.sum(fwd[:, 7]) / (T * R * SC * C),
+    }
+    return rgb_out, grad_density, grad_sh, aux

@@ -107,3 +107,69 @@ class TestPallasMarch:
         o = jnp.zeros((1, 64, 3))
         with pytest.raises(ValueError):
             tm.render_tiles_pallas(bg, Rays(o, o, o))
+
+
+class TestFusedBackward:
+    def _setup(self, seed=0):
+        g = random_grid(16, basis_dim=9, seed=seed)  # 2^3 bricks: window
+        bg = from_sparse_grid(g)                     # covers whole grid
+        rays = tile_rays(2, seed=seed + 1)
+        rng = np.random.default_rng(seed + 2)
+        gt = jnp.asarray(rng.uniform(0, 1, (2, 128, 3)).astype(np.float32))
+        return bg, rays, gt
+
+    def _twin_loss(self, bg, rays, gt, *, beta=0.0, spars=0.0):
+        def loss_fn(dens, sh):
+            b = replace(bg, density_bricks=dens, sh_bricks=sh)
+            out = render_tiles(b, rays, GridRenderOptions(),
+                               steps_per_chunk=tm.SC)
+            total = jnp.mean((out["rgb"] - gt) ** 2)
+            if beta > 0:
+                lt = out["log_transmit"]
+                total = total + beta * jnp.mean(
+                    lt + jnp.log(1.0 - jnp.exp(lt) + 1e-3)
+                )
+            if spars > 0:
+                total = total + spars * jnp.sum(out["sparsity_sum"])
+            return total
+
+        return loss_fn
+
+    @pytest.mark.parametrize("beta,spars", [(0.0, 0.0), (1e-3, 1e-4)])
+    def test_grads_match_autodiff_twin(self, beta, spars):
+        bg, rays, gt = self._setup()
+        rgb, gd, gsh, aux = tm.render_fused_tiles_pallas(
+            bg, rays, gt, GridRenderOptions(),
+            beta_loss=beta, sparsity_loss=spars,
+        )
+        loss_fn = self._twin_loss(bg, rays, gt, beta=beta, spars=spars)
+        want_d, want_s = jax.grad(loss_fn, argnums=(0, 1))(
+            bg.density_bricks, bg.sh_bricks
+        )
+        # forward parity
+        out_twin = render_tiles(bg, rays, GridRenderOptions(),
+                                steps_per_chunk=tm.SC)
+        np.testing.assert_allclose(np.asarray(rgb),
+                                   np.asarray(out_twin["rgb"]),
+                                   rtol=2e-2, atol=2e-2)
+        # gradient parity (bf16 matmuls both sides, fp32 accum)
+        wd, ws = np.asarray(want_d), np.asarray(want_s)
+        gd, gsh = np.asarray(gd), np.asarray(gsh)
+        scale_d = max(np.abs(wd).max(), 1e-12)
+        scale_s = max(np.abs(ws).max(), 1e-12)
+        np.testing.assert_allclose(gd / scale_d, wd / scale_d,
+                                   atol=3e-2)
+        np.testing.assert_allclose(gsh / scale_s, ws / scale_s,
+                                   atol=3e-2)
+
+    def test_grad_direction_reduces_loss(self):
+        bg, rays, gt = self._setup(seed=5)
+        loss_fn = self._twin_loss(bg, rays, gt)
+        l0 = float(loss_fn(bg.density_bricks, bg.sh_bricks))
+        _, gd, gsh, _ = tm.render_fused_tiles_pallas(
+            bg, rays, gt, GridRenderOptions()
+        )
+        lr = 1e2
+        l1 = float(loss_fn(bg.density_bricks - lr * gd,
+                           bg.sh_bricks - lr * gsh))
+        assert l1 < l0, (l0, l1)
