@@ -461,6 +461,76 @@ class PlenoxelsTrainer:
 
         return render_tiles(bg, rays, self.opts, return_depth=True)
 
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def train_step_tiles_pallas(
+        self,
+        bg,
+        rms: RMSState,
+        rays: Rays,           # [T, 128] coherent tiles
+        target: jnp.ndarray,  # [T, 128, 3]
+        step: jnp.ndarray,
+        key: jax.Array,
+    ):
+        """The Pallas-fused hot step: render + MSE/beta/sparsity grads in
+        two kernel sweeps (ops/pallas/tile_march.py), sampled TV grads,
+        fused RMSprop — the whole reference opt.py step (:699-842) with
+        no autograd graph, exactly like the CUDA original."""
+        from nerf_projects_tpu.ops.pallas.tile_march import (
+            render_fused_tiles_pallas,
+        )
+        from nerf_projects_tpu.ops.tv_bricks import (
+            sample_brick_window,
+            tv_grad_bricks,
+        )
+
+        rgb, g_density, g_sh, aux = render_fused_tiles_pallas(
+            bg, rays, target, self.opts,
+            beta_loss=self.lambda_beta,
+            sparsity_loss=self.lambda_sparsity,
+        )
+        mse = jnp.mean((rgb - target) ** 2)
+
+        k_tv, k_sh = jax.random.split(key)
+        nb = bg.n_bricks
+        if self.lambda_tv > 0:
+            w = max(int(self.tv_sparsity * nb), 1)
+            rows = sample_brick_window(k_tv, nb, w)
+            g_density = g_density + tv_grad_bricks(
+                bg, bg.density_bricks, rows,
+                scale=self.lambda_tv, ignore_edge=False,
+            )
+        if self.lambda_tv_sh > 0:
+            w = max(int(self.tv_sh_sparsity * nb), 1)
+            rows = sample_brick_window(k_sh, nb, w)
+            g_sh = g_sh + tv_grad_bricks(
+                bg, bg.sh_bricks, rows,
+                scale=self.lambda_tv_sh, ignore_edge=True,
+            )
+        if self.lambda_l2_sh > 0:
+            g_sh = g_sh + (self.lambda_l2_sh / (nb * 512)) * bg.sh_bricks
+
+        g_density = g_density * bg.cell_mask
+        g_sh = g_sh * bg.cell_mask[..., None]
+
+        lr_sigma = self.lr_sigma_fn(step)
+        lr_sh = self.lr_sh_fn(step)
+        new_density, rms_d = self._optim(
+            self.sigma_optim, bg.density_bricks, g_density,
+            rms.rms_density, lr_sigma, minval=self.density_minval,
+        )
+        new_sh, rms_s = self._optim(
+            self.sh_optim, bg.sh_bricks, g_sh, rms.rms_sh, lr_sh
+        )
+        new_density = new_density * bg.cell_mask
+        new_bg = replace(bg, density_bricks=new_density, sh_bricks=new_sh)
+        psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)
+        return (
+            new_bg,
+            RMSState(rms_density=rms_d, rms_sh=rms_s),
+            {"loss": mse, "mse": mse, "psnr": psnr,
+             "window_miss": aux["window_miss"]},
+        )
+
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2, 3, 4))
     def train_step_bg(
         self,

@@ -173,3 +173,31 @@ class TestFusedBackward:
         l1 = float(loss_fn(bg.density_bricks - lr * gd,
                            bg.sh_bricks - lr * gsh))
         assert l1 < l0, (l0, l1)
+
+
+class TestPallasTrainer:
+    def test_pallas_train_step_reduces_loss(self):
+        from nerf_projects_tpu.data.synthetic import make_dataset, tile_batches
+        from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
+
+        ds = make_dataset(n_views=4, image_size=64)
+        g = SparseGrid.create(16, basis_dim=9, radius=1.3,
+                              use_sphere_bound=True, init_density=0.1)
+        bg = from_sparse_grid(g)
+        tr = PlenoxelsTrainer(
+            GridRenderOptions(), n_iters=100, lr_sigma=3e0,
+            lr_sigma_delay_steps=0, lr_sh=1e-1,
+            lambda_tv=1e-6, lambda_tv_sh=1e-7, lambda_sparsity=1e-6,
+        )
+        rms = tr.init_rms_bricks(bg)
+        batches = tile_batches(jax.random.PRNGKey(0), ds, 2, 8, 16)
+        mses = []
+        for i in range(30):
+            rays, target = next(batches)
+            bg, rms, st = tr.train_step_tiles_pallas(
+                bg, rms, rays, target, jnp.asarray(i, jnp.float32),
+                jax.random.PRNGKey(i),
+            )
+            mses.append(float(st["mse"]))
+        assert np.isfinite(mses).all()
+        assert np.mean(mses[-5:]) < np.mean(mses[:5]) * 0.7, mses
