@@ -53,6 +53,22 @@ PACK_ROWS = 16
 _SIGMA_THRESH = 1e-8
 _STOP_THRESH = 1e-7
 
+# Mosaic keeps per-grid-step scalar state in SMEM (~1 KB/step measured:
+# a (40 tiles x 38 chunks) grid overflowed the 1 MB SMEM by 27%);
+# keep each pallas_call's grid under this many steps and lax.map over
+# tile groups beyond it.
+_MAX_GRID_STEPS = 768
+
+
+def _tile_groups(T: int, n_chunks: int):
+    tg = max(1, min(T, _MAX_GRID_STEPS // max(n_chunks, 1)))
+    pad = (-T) % tg
+    return tg, pad
+
+
+def _group(x, tg):
+    return x.reshape((x.shape[0] // tg, tg) + x.shape[1:])
+
 # static (dx, dy, dz) corner order, dz fastest — matches brick_grid offs
 _CORNERS = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
 
@@ -272,7 +288,44 @@ def _append_sentinel(x):
 @functools.partial(jax.jit, static_argnames=("n_chunks", "basis_dim"))
 def _march_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
                 basis_dim):
-    """density_z [nb+1, 8, 64]; sh_z [nb+1, B, 8, 192] (kernel layout)."""
+    """density_z [nb+1, 8, 64]; sh_z [nb+1, B, 8, 192] (kernel layout).
+
+    Tiles are processed in SMEM-sized groups via lax.map (see
+    _MAX_GRID_STEPS)."""
+    T_full = pack.shape[0]
+    tg, padn = _tile_groups(T_full, n_chunks)
+    if padn:
+        nb = density_z.shape[0] - 1
+        rows = jnp.concatenate(
+            [rows, jnp.full((padn,) + rows.shape[1:], nb, rows.dtype)]
+        )
+        orig = jnp.concatenate(
+            [orig, jnp.zeros((padn,) + orig.shape[1:], orig.dtype)]
+        )
+        basisf = jnp.concatenate(
+            [basisf, jnp.zeros((padn,) + basisf.shape[1:], basisf.dtype)]
+        )
+        pack = jnp.concatenate(
+            [pack, jnp.zeros((padn,) + pack.shape[1:], pack.dtype)]
+        )
+
+    def one_group(args):
+        rows_g, orig_g, basisf_g, pack_g = args
+        return _march_group(
+            density_z, sh_z, rows_g, orig_g, basisf_g, pack_g,
+            n_chunks, basis_dim,
+        )
+
+    outs = jax.lax.map(
+        one_group,
+        (_group(rows, tg), _group(orig, tg), _group(basisf, tg),
+         _group(pack, tg)),
+    )
+    return outs.reshape(-1, 8, R)[:T_full]
+
+
+def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
+                 basis_dim):
     T = pack.shape[0]
 
     def dspec(k):
@@ -562,6 +615,45 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float):
 )
 def _bwd_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
               basis_dim, sparsity_scale):
+    """SMEM-sized tile grouping like _march_call."""
+    T_full = pack.shape[0]
+    tg, padn = _tile_groups(T_full, n_chunks)
+    if padn:
+        nb = density_z.shape[0] - 1
+        rows = jnp.concatenate(
+            [rows, jnp.full((padn,) + rows.shape[1:], nb, rows.dtype)]
+        )
+        orig = jnp.concatenate(
+            [orig, jnp.zeros((padn,) + orig.shape[1:], orig.dtype)]
+        )
+        basisf = jnp.concatenate(
+            [basisf, jnp.zeros((padn,) + basisf.shape[1:], basisf.dtype)]
+        )
+        pack = jnp.concatenate(
+            [pack, jnp.zeros((padn,) + pack.shape[1:], pack.dtype)]
+        )
+
+    def one_group(args):
+        rows_g, orig_g, basisf_g, pack_g = args
+        return _bwd_group(
+            density_z, sh_z, rows_g, orig_g, basisf_g, pack_g,
+            n_chunks, basis_dim, sparsity_scale,
+        )
+
+    state, gd, gsh = jax.lax.map(
+        one_group,
+        (_group(rows, tg), _group(orig, tg), _group(basisf, tg),
+         _group(pack, tg)),
+    )
+    return (
+        state.reshape(-1, 8, R)[:T_full],
+        gd.reshape((-1,) + gd.shape[2:])[:T_full],
+        gsh.reshape((-1,) + gsh.shape[2:])[:T_full],
+    )
+
+
+def _bwd_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
+               basis_dim, sparsity_scale):
     T = pack.shape[0]
     C = n_chunks
 
