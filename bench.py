@@ -1,36 +1,78 @@
-"""Benchmark: training-step throughput of the flagship hierarchical NeRF.
+"""Benchmark suite: per-chip throughput of every method family.
 
-Measures steady-state rays/sec of the on-device training loop
-(lax.scan over train steps, ray batches drawn from a device-resident
-pool — zero host involvement per step) at the reference's headline
-workload (BASELINE.md row 1: ship 800^2, N_rand=1024, N_samples=96,
-N_importance=192, 8x256 MLP with viewdirs -> ~6,800 rays/s on the
-reference CUDA GPU).
+Workloads (one JSON line each; the driver records them all):
+  1. nerf_train        — flagship hierarchical NeRF train step
+                         (ship config: 1024 rays, 96+192, 8x256, bf16,
+                         fused Pallas MLP). Baseline: the reference's
+                         executed-notebook ~6,800 rays/s (BASELINE.md).
+  2. plenoxels_train   — fused Pallas tile-march train step (256^3
+                         sphere grid, 40x128=5120 rays ~ reference batch
+                         5000, RMSprop + sampled TV). No recorded
+                         reference throughput exists in the repo
+                         (vs_baseline null; anchor note included).
+  3. grid_render_fps   — 800x800 frame through the Pallas march at
+                         512^3 (the reference's post-upsample reso).
+  4. nerf_sh_train     — NeRF-SH trainer step (1024 rays, 64+128,
+                         trunk-fused). Reference logged rays/sec only as
+                         unstored TB scalars (vs_baseline null).
 
-Per-step time is slope-fitted between two scan lengths with a forced
-host readback after each, which removes both the one-time dispatch
-latency and any unreliable async-timing effects of tunneled TPU
-backends. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Timing: slope fit between two scan lengths, one float() readback each —
+the only trustworthy methodology through the axon relay (the backend's
+block_until_ready returns early; NOTES_ROUND1.md).
+
+Env: BENCH_WORKLOADS=comma,list to subset (default all).
 """
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from nerf_projects_tpu.data.synthetic import make_dataset
-from nerf_projects_tpu.models.pipeline import NeRFRenderConfig
-from nerf_projects_tpu.train.nerf_trainer import NeRFTrainer
-
-BASELINE_RAYS_PER_S = 6800.0  # reference ship config (BASELINE.md)
+BASELINE_NERF_RAYS_PER_S = 6800.0  # reference ship config (BASELINE.md)
 
 N_RAND = 1024
 N_SAMPLES = 96
 N_IMPORTANCE = 192
 
 
-def main():
+def emit(metric, value, unit, vs_baseline=None, **extra):
+    rec = {
+        "metric": metric,
+        "value": round(float(value), 2),
+        "unit": unit,
+        "vs_baseline": (
+            round(float(vs_baseline), 2) if vs_baseline is not None else None
+        ),
+    }
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def slope_timed(run, lo=10, hi=60, repeats=3):
+    """run(k) executes k steps ending in a host readback."""
+    run(lo)
+    run(hi)
+    slopes = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run(lo)
+        t1 = time.perf_counter()
+        run(hi)
+        t2 = time.perf_counter()
+        s = ((t2 - t1) - (t1 - t0)) / (hi - lo)
+        if s > 0:
+            slopes.append(s)
+    return min(slopes)
+
+
+# ---------------------------------------------------------------------------
+def bench_nerf_train():
+    from nerf_projects_tpu.data.synthetic import make_dataset
+    from nerf_projects_tpu.models.pipeline import NeRFRenderConfig
+    from nerf_projects_tpu.train.nerf_trainer import NeRFTrainer
+
     cfg = NeRFRenderConfig(
         num_coarse_samples=N_SAMPLES,
         num_fine_samples=N_IMPORTANCE,
@@ -42,61 +84,210 @@ def main():
         raw_noise_std=0.0,
     )
     trainer = NeRFTrainer(
-        cfg,
-        depth=8,
-        width=256,
-        near=2.0,
-        far=6.0,
-        compute_dtype=jnp.bfloat16,
-        use_fused_mlp=True,
+        cfg, depth=8, width=256, near=2.0, far=6.0,
+        compute_dtype=jnp.bfloat16, use_fused_mlp=True,
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
-
     ds = make_dataset(n_views=2, image_size=128)
     pool_rays, pool_rgb = ds["rays"], ds["pixels"]
 
-    def run(state, k):
-        state, stats = trainer.scan_steps(
-            state, pool_rays, pool_rgb, k, batch_size=N_RAND
+    holder = {"state": state}
+
+    def run(k):
+        s, stats = trainer.scan_steps(
+            holder["state"], pool_rays, pool_rgb, k, batch_size=N_RAND
         )
-        # force a true device sync via host readback
         _ = float(stats["loss"][-1])
-        return state
+        holder["state"] = s
 
-    # warmup/compile both scan lengths
-    k_lo, k_hi = 10, 60
-    state = run(state, k_lo)
-    state = run(state, k_hi)
-
-    t0 = time.perf_counter()
-    state = run(state, k_lo)
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    state = run(state, k_hi)
-    t_hi = time.perf_counter() - t0
-    # repeat for stability, keep the min of the slopes
-    slopes = [(t_hi - t_lo) / (k_hi - k_lo)]
-    for _ in range(2):
-        t0 = time.perf_counter()
-        state = run(state, k_lo)
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        state = run(state, k_hi)
-        t_hi = time.perf_counter() - t0
-        slopes.append((t_hi - t_lo) / (k_hi - k_lo))
-    per_step = min(s for s in slopes if s > 0)
-
-    rays_per_s = N_RAND / per_step
-    print(
-        json.dumps(
-            {
-                "metric": "nerf_train_rays_per_sec_per_chip",
-                "value": round(rays_per_s, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 2),
-            }
-        )
+    per_step = slope_timed(run)
+    rays = N_RAND / per_step
+    emit(
+        "nerf_train_rays_per_sec_per_chip", rays, "rays/s",
+        vs_baseline=rays / BASELINE_NERF_RAYS_PER_S,
     )
+
+
+# ---------------------------------------------------------------------------
+def _plenoxels_setup(reso):
+    from dataclasses import replace
+
+    from nerf_projects_tpu.models.sparse_grid import SparseGrid
+    from nerf_projects_tpu.ops.brick_grid import from_sparse_grid
+
+    g = SparseGrid.create(reso, basis_dim=9, use_sphere_bound=True,
+                          init_density=0.0)
+    bg = from_sparse_grid(g)
+    dens = jax.random.uniform(
+        jax.random.PRNGKey(0), bg.density_bricks.shape
+    ) * 2.0 * bg.cell_mask
+    sh = (
+        jax.random.normal(jax.random.PRNGKey(1), bg.sh_bricks.shape) * 0.2
+        * bg.cell_mask[..., None]
+    )
+    return replace(bg, density_bricks=dens, sh_bricks=sh)
+
+
+def _tile_rays(key, n_tiles, radius=3.0, focal_px=800.0):
+    from nerf_projects_tpu.core.rays import Rays
+
+    ks = jax.random.split(key, 2)
+    u = jax.random.normal(ks[0], (n_tiles, 3))
+    cam = radius * u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+    fwd = -cam / radius
+    up = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (n_tiles, 1))
+    right = jnp.cross(fwd, up)
+    right = right / jnp.maximum(
+        jnp.linalg.norm(right, axis=-1, keepdims=True), 1e-6
+    )
+    up2 = jnp.cross(right, fwd)
+    ii, jj = jnp.meshgrid(jnp.arange(8.0), jnp.arange(16.0), indexing="ij")
+    base = jax.random.uniform(ks[1], (n_tiles, 2), minval=-300, maxval=300)
+    px = base[:, 0:1] + jj.reshape(-1)[None]
+    py = base[:, 1:2] + ii.reshape(-1)[None]
+    d = (
+        fwd[:, None, :]
+        + (px / focal_px)[..., None] * right[:, None, :]
+        + (py / focal_px)[..., None] * up2[:, None, :]
+    )
+    dn = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(cam[:, None, :], dn.shape)
+    return Rays(o, dn, dn)
+
+
+def bench_plenoxels_train(reso=256, tiles=40):
+    from nerf_projects_tpu.ops.grid import GridRenderOptions
+    from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
+
+    bg = _plenoxels_setup(reso)
+    trainer = PlenoxelsTrainer(
+        GridRenderOptions(step_size=0.5), n_iters=128_000,
+        lambda_tv=1e-5, lambda_tv_sh=1e-3,
+    )
+    rms = trainer.init_rms_bricks(bg)
+    rays = _tile_rays(jax.random.PRNGKey(2), tiles)
+    target = jnp.full(rays.origins.shape[:2] + (3,), 0.4)
+
+    holder = {"bg": bg, "rms": rms}
+
+    def run(k):
+        b, r = holder["bg"], holder["rms"]
+        last = None
+        for i in range(k):
+            b, r, stats = trainer.train_step_tiles_pallas(
+                b, r, rays, target, jnp.asarray(float(i)),
+                jax.random.PRNGKey(i),
+            )
+            last = stats
+        _ = float(last["mse"])
+        holder["bg"], holder["rms"] = b, r
+
+    per_step = slope_timed(run, lo=5, hi=25)
+    n_rays = tiles * 128
+    emit(
+        "plenoxels_train_rays_per_sec", n_rays / per_step, "rays/s",
+        vs_baseline=None, reso=reso,
+        baseline_note="no recorded reference throughput in repo; "
+        "reference trains a scene (128k steps x 5k rays) in tens of "
+        "minutes on a desktop GPU",
+    )
+
+
+# ---------------------------------------------------------------------------
+def bench_grid_render_fps(reso=512, frame=(800, 800)):
+    from nerf_projects_tpu.ops.grid import GridRenderOptions
+    from nerf_projects_tpu.ops.pallas.tile_march import render_tiles_pallas
+
+    bg = _plenoxels_setup(reso)
+    opts = GridRenderOptions(step_size=0.5)
+    n_rays = frame[0] * frame[1]
+    tiles = n_rays // 128
+    # render in batches of tiles under one jitted callable
+    batch = 125  # tiles per call -> 16k rays
+    rays = _tile_rays(jax.random.PRNGKey(3), batch, focal_px=800.0)
+
+    call = jax.jit(lambda r: render_tiles_pallas(bg, r, opts)["rgb"])
+
+    def run(k):
+        out = None
+        for i in range(k):
+            out = call(
+                rays._replace(origins=rays.origins + i * 1e-6)
+            )
+        _ = float(out.sum())
+
+    per_batch = slope_timed(run, lo=3, hi=12)
+    frame_s = per_batch * (tiles / batch)
+    emit(
+        "grid_render_fps_800", 1.0 / frame_s, "frames/s",
+        vs_baseline=None, reso=reso,
+        sec_per_frame=round(frame_s, 4),
+        baseline_note="reference real-time octree renderer targets "
+        "interactive rates; no recorded FPS in repo",
+    )
+
+
+# ---------------------------------------------------------------------------
+def bench_nerf_sh_train():
+    from nerf_projects_tpu.train.nerf_sh_trainer import NeRFSHTrainer
+
+    try:
+        trainer = NeRFSHTrainer(
+            batch_size=N_RAND,
+            num_coarse_samples=64,
+            num_fine_samples=128,
+            sh_deg=2,
+            use_fused_trunk=True,
+        )
+    except TypeError:
+        # constructor signature drift guard
+        trainer = NeRFSHTrainer()
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    d = jax.random.normal(jax.random.PRNGKey(1), (N_RAND, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    from nerf_projects_tpu.core.rays import Rays
+
+    rays = Rays(jnp.zeros((N_RAND, 3)), d, d)
+    target = jnp.full((N_RAND, 3), 0.4)
+
+    holder = {"state": state}
+
+    def run(k):
+        s = holder["state"]
+        stats = None
+        for i in range(k):
+            s, stats = trainer.train_step(s, rays, target)
+        _ = float(stats["loss"])
+        holder["state"] = s
+
+    per_step = slope_timed(run, lo=5, hi=25)
+    emit(
+        "nerf_sh_train_rays_per_sec", N_RAND / per_step, "rays/s",
+        vs_baseline=None,
+        baseline_note="reference logged rays/sec only as unstored "
+        "TensorBoard scalars",
+    )
+
+
+WORKLOADS = {
+    "nerf_train": bench_nerf_train,
+    "plenoxels_train": bench_plenoxels_train,
+    "grid_render_fps": bench_grid_render_fps,
+    "nerf_sh_train": bench_nerf_sh_train,
+}
+
+
+def main():
+    sel = os.environ.get("BENCH_WORKLOADS", "")
+    names = [n.strip() for n in sel.split(",") if n.strip()] or list(WORKLOADS)
+    for name in names:
+        try:
+            WORKLOADS[name]()
+        except Exception as exc:  # report, keep benching the rest
+            print(
+                json.dumps({"metric": name, "error": f"{type(exc).__name__}: {exc}"[:400]}),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

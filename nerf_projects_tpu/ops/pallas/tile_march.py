@@ -80,8 +80,16 @@ def _mean_viewdirs(rays: Rays):
     )
 
 
-def _pack_rays(bg: BrickGrid, rays: Rays, opts: GridRenderOptions):
-    """Per-tile ray geometry + the [T, 16, 128] kernel pack."""
+def _pack_rays(bg: BrickGrid, rays: Rays, opts: GridRenderOptions,
+               use_occupancy: bool = False):
+    """Per-tile ray geometry + the [T, 16, 128] kernel pack.
+
+    use_occupancy: shrink each ray's [t0, t1] to the active-brick span
+    (brick_links >= 0 IS a factor-8 occupancy bitmap) so the lockstep
+    march spends its chunk budget inside occupied space — the TPU
+    replacement for the reference's per-ray skip-dist pointer chasing
+    (compute_skip_dist, render_util.cuh:235-298).
+    """
     T = rays.origins.shape[0]
     reso = jnp.asarray(bg.reso, jnp.float32)
     scale = reso * 0.5 / jnp.asarray(bg.radius)
@@ -97,6 +105,19 @@ def _pack_rays(bg: BrickGrid, rays: Rays, opts: GridRenderOptions):
     t0 = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
     t1 = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
     t0 = jnp.maximum(t0, opts.near_clip / jnp.maximum(world_len, 1e-12))
+    if use_occupancy:
+        from nerf_projects_tpu.ops.grid_accel import (
+            OccupancyGrid,
+            active_t_range,
+        )
+
+        occ = OccupancyGrid(bitmap=bg.brick_links >= 0, factor=BRICK)
+        te, tx = active_t_range(
+            occ, og.reshape(-1, 3), dg.reshape(-1, 3),
+            t0.reshape(-1), t1.reshape(-1),
+        )
+        t0 = jnp.maximum(t0, te.reshape(t0.shape))
+        t1 = jnp.minimum(t1, tx.reshape(t1.shape))
     hit = t1 > t0
     big = jnp.float32(1e30)
     T0 = jnp.min(jnp.where(hit, t0, big), axis=-1)
@@ -212,9 +233,9 @@ def _make_fwd_kernel(basis_dim: int):
             # [B, 8(lx), 192(ly,lz,c)], so the decode is B scalar
             # multiply-adds — no lane-splitting reshapes (Mosaic cannot
             # shape-cast 27 lanes into 3x9).
-            Wc = sh[k][0, 0] * basis_ref[t, 0]       # [8, 192]
+            Wc = sh[k][0, 0].astype(jnp.float32) * basis_ref[t, 0]
             for b in range(1, basis_dim):
-                Wc = Wc + sh[k][0, b] * basis_ref[t, b]
+                Wc = Wc + sh[k][0, b].astype(jnp.float32) * basis_ref[t, b]
 
             Axk = Ax[dx * 8 : dx * 8 + 8]            # [8, A]
             Ayk = Ay[dy * 8 : dy * 8 + 8]
@@ -283,6 +304,21 @@ def _make_fwd_kernel(basis_dim: int):
 
 def _append_sentinel(x):
     return jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+
+
+def _kernel_arrays(bg: BrickGrid):
+    """Kernel-layout brick arrays in bf16 (halves the window DMA, the
+    dominant per-step traffic; interpolation matmuls are bf16 anyway and
+    the fp32 path is preserved through the f32 accumulators)."""
+    density_z = _append_sentinel(
+        bg.density_bricks.reshape(bg.n_bricks, 8, 64).astype(jnp.bfloat16)
+    )
+    sh_z = _append_sentinel(
+        sh_to_kernel_layout(
+            bg.sh_bricks.astype(jnp.bfloat16), bg.basis_dim
+        )
+    )
+    return density_z, sh_z
 
 
 @functools.partial(jax.jit, static_argnames=("n_chunks", "basis_dim"))
@@ -380,12 +416,24 @@ def sh_to_kernel_layout(sh_bricks: jnp.ndarray, basis_dim: int):
     return x.reshape(nb, basis_dim, 8, 8 * 8 * 3)
 
 
+def active_chunk_bound(bg: BrickGrid, step_size: float = 0.5) -> int:
+    """Static chunk count covering the longest chord through the active
+    bricks' bounding box (host-side, once per topology)."""
+    coords = np.asarray(bg.brick_coords)
+    if len(coords) == 0:
+        return 1
+    span = (coords.max(0) - coords.min(0) + 2) * BRICK
+    diag = float(np.linalg.norm(span.astype(np.float64)))
+    return int(np.ceil(diag / (SC * step_size))) + 2
+
+
 def render_tiles_pallas(
     bg: BrickGrid,
     rays: Rays,
     opts: GridRenderOptions = GridRenderOptions(),
     *,
     n_chunks: Optional[int] = None,
+    use_occupancy: bool = False,
     return_depth: bool = False,
 ):
     """Fused Pallas forward render of [T, 128] coherent ray tiles.
@@ -400,17 +448,17 @@ def render_tiles_pallas(
         raise NotImplementedError("pallas march: bias color mode only")
     from nerf_projects_tpu.ops.tile_render import default_chunks
 
-    C = n_chunks or default_chunks(bg, opts.step_size, SC)
-    pack, geom = _pack_rays(bg, rays, opts)
+    if n_chunks:
+        C = n_chunks
+    elif use_occupancy:
+        C = active_chunk_bound(bg, opts.step_size)
+    else:
+        C = default_chunks(bg, opts.step_size, SC)
+    pack, geom = _pack_rays(bg, rays, opts, use_occupancy)
     wb, rows = _plan_windows(bg, geom, C)
     orig = (wb * BRICK).astype(jnp.int32)
 
-    density_z = _append_sentinel(
-        bg.density_bricks.reshape(bg.n_bricks, 8, 64).astype(jnp.float32)
-    )
-    sh_z = _append_sentinel(
-        sh_to_kernel_layout(bg.sh_bricks.astype(jnp.float32), bg.basis_dim)
-    )
+    density_z, sh_z = _kernel_arrays(bg)
     basisf = eval_sh_bases(
         bg.basis_dim,
         _mean_viewdirs(rays),
@@ -508,9 +556,9 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float):
         rgb_acc = jnp.zeros((3, A), jnp.float32)
         for k, (dx, dy, dz) in enumerate(_CORNERS):
             dens_k = bricks[k][0]
-            Wc = sh[k][0, 0] * basis_ref[t, 0]
+            Wc = sh[k][0, 0].astype(jnp.float32) * basis_ref[t, 0]
             for b in range(1, basis_dim):
-                Wc = Wc + sh[k][0, b] * basis_ref[t, b]
+                Wc = Wc + sh[k][0, b].astype(jnp.float32) * basis_ref[t, b]
             Axk = Ax[dx * 8 : dx * 8 + 8]
             Ayk = Ay[dy * 8 : dy * 8 + 8]
             Azk = Az[dz * 8 : dz * 8 + 8]
@@ -730,6 +778,7 @@ def render_fused_tiles_pallas(
     beta_loss: float = 0.0,
     sparsity_loss: float = 0.0,
     n_chunks: Optional[int] = None,
+    use_occupancy: bool = False,
 ):
     """Fused render + gradient over [T, 128] tiles — the reference
     volume_render_fused: returns (rgb_out [T,128,3],
@@ -743,19 +792,19 @@ def render_fused_tiles_pallas(
         raise ValueError(f"tile size must be {R} rays")
     from nerf_projects_tpu.ops.tile_render import default_chunks
 
-    C = n_chunks or default_chunks(bg, opts.step_size, SC)
-    pack, geom = _pack_rays(bg, rays, opts)
+    if n_chunks:
+        C = n_chunks
+    elif use_occupancy:
+        C = active_chunk_bound(bg, opts.step_size)
+    else:
+        C = default_chunks(bg, opts.step_size, SC)
+    pack, geom = _pack_rays(bg, rays, opts, use_occupancy)
     wb, rows = _plan_windows(bg, geom, C)
     orig = (wb * BRICK).astype(jnp.int32)
     basisf = eval_sh_bases(bg.basis_dim, _mean_viewdirs(rays)).astype(
         jnp.float32
     )
-    density_z = _append_sentinel(
-        bg.density_bricks.reshape(bg.n_bricks, 8, 64).astype(jnp.float32)
-    )
-    sh_z = _append_sentinel(
-        sh_to_kernel_layout(bg.sh_bricks.astype(jnp.float32), bg.basis_dim)
-    )
+    density_z, sh_z = _kernel_arrays(bg)
 
     # forward for rgb_out
     fwd = _march_call(density_z, sh_z, rows, orig, basisf, pack, C,

@@ -201,3 +201,69 @@ class TestPallasTrainer:
             mses.append(float(st["mse"]))
         assert np.isfinite(mses).all()
         assert np.mean(mses[-5:]) < np.mean(mses[:5]) * 0.7, mses
+
+
+class TestOccupancyRange:
+    def test_occupancy_march_matches_full(self):
+        """Restricting the march to occupied bricks must not change the
+        render (the skipped interval is empty by construction)."""
+        from dataclasses import replace as _replace
+
+        # small dense object in the middle of a mostly-empty grid
+        g = SparseGrid.create(32, basis_dim=9, use_sphere_bound=False,
+                              init_density=0.0)
+        links = np.asarray(g.links)
+        rng = np.random.default_rng(0)
+        dens = np.zeros((g.capacity, 1), np.float32)
+        sh = np.zeros((g.capacity, 27), np.float32)
+        for x in range(12, 20):
+            for y in range(12, 20):
+                for z in range(12, 20):
+                    r = links[x, y, z]
+                    dens[r] = rng.uniform(0, 6)
+                    sh[r] = rng.standard_normal(27) * 0.3
+        g = _replace(g, density_data=jnp.asarray(dens),
+                     sh_data=jnp.asarray(sh))
+        # prune empty bricks so the brick bitmap is meaningful
+        from nerf_projects_tpu.ops import brick_grid as bgm
+
+        bg = bgm.from_sparse_grid(g)
+        keep = np.asarray(
+            (np.abs(np.asarray(bg.density_bricks)).sum(-1) > 0)
+        )
+        # rebuild with only occupied bricks marked
+        links_np = np.asarray(g.links).copy()
+        occ_cells = np.zeros_like(links_np, dtype=bool)
+        occ_cells[12:20, 12:20, 12:20] = True
+        links_np[~occ_cells] = -1
+        g2 = _replace(g, links=jnp.asarray(links_np))
+        bg2 = bgm.from_sparse_grid(g2)
+
+        rays = tile_rays(2, seed=7)
+        opts = GridRenderOptions()
+        full = tm.render_tiles_pallas(bg2, rays, opts)
+        occ = tm.render_tiles_pallas(bg2, rays, opts, use_occupancy=True)
+        # at this toy size the bound only ties the default; the shrink
+        # is checked structurally below
+        from nerf_projects_tpu.ops.tile_render import default_chunks
+
+        assert tm.active_chunk_bound(bg2) <= default_chunks(bg2, 0.5, tm.SC) + 1
+        # structural check: a small object inside a big grid gives a
+        # much smaller bound than the full-diagonal chunk count
+        big = bg2.__class__(
+            brick_links=jnp.full((16, 16, 16), -1, jnp.int32),
+            density_bricks=bg2.density_bricks,
+            sh_bricks=bg2.sh_bricks,
+            cell_mask=bg2.cell_mask,
+            brick_coords=jnp.asarray([[7, 7, 7], [8, 8, 8]], jnp.int32),
+            reso=(128, 128, 128),
+            radius=bg2.radius,
+            center=bg2.center,
+            basis_dim=9,
+        )
+        assert tm.active_chunk_bound(big) <= 8
+        assert default_chunks(big, 0.5, tm.SC) >= 27
+        np.testing.assert_allclose(
+            np.asarray(occ["rgb"]), np.asarray(full["rgb"]),
+            rtol=5e-3, atol=5e-3,
+        )
