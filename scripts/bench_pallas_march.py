@@ -20,6 +20,7 @@ from nerf_projects_tpu.ops.pallas.tile_march import render_tiles_pallas
 
 RESO = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 TILES = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+USE_OCC = len(sys.argv) > 3 and sys.argv[3] == "occ"
 
 
 def main():
@@ -39,7 +40,8 @@ def main():
 
                 r = Rays(rays_pool.origins + i * 1e-6,
                          rays_pool.directions, rays_pool.viewdirs)
-                out = render_tiles_pallas(bg, r, opts)
+                out = render_tiles_pallas(bg, r, opts,
+                                          use_occupancy=USE_OCC)
                 return carry + jnp.sum(out["rgb"]), None
 
             s, _ = jax.lax.scan(body, 0.0, jnp.arange(n, dtype=jnp.float32))
@@ -58,7 +60,7 @@ def main():
     print(f"(compile+measure took {time.time()-t0:.0f}s)", flush=True)
     n_rays = TILES * 128
     print(json.dumps({
-        "metric": "pallas_march_fwd", "ms": sec * 1e3,
+        "metric": "pallas_march_fwd", "occ": USE_OCC, "ms": sec * 1e3,
         "rays_per_s": n_rays / sec, "reso": RESO, "tiles": TILES,
         "frame_800_ms": 640_000 / (n_rays / sec) * 1e3,
     }), flush=True)

@@ -150,3 +150,34 @@ class TestExtractMetrics:
         main(["run_colmap", root, "--dry_run"])
         out = capsys.readouterr().out
         assert "feature_extractor" in out and "mapper" in out
+
+
+class TestViewData:
+    def test_emits_obj_and_png(self, tmp_path):
+        import json as _json
+
+        import numpy as np
+
+        # minimal blender-style dataset
+        root = tmp_path / "scene"
+        (root / "train").mkdir(parents=True)
+        import imageio.v2 as imageio
+
+        frames = []
+        for i in range(3):
+            name = f"r_{i}"
+            imageio.imwrite(root / "train" / f"{name}.png",
+                            np.zeros((8, 8, 4), np.uint8))
+            c2w = np.eye(4)
+            c2w[2, 3] = 4.0 + i
+            frames.append({"file_path": f"./train/{name}",
+                           "transform_matrix": c2w.tolist()})
+        meta = {"camera_angle_x": 0.7, "frames": frames}
+        _json.dump(meta, open(root / "transforms_train.json", "w"))
+
+        from nerf_projects_tpu.cli.view_data import view_dataset
+
+        obj, png = view_dataset(str(root), "train", str(tmp_path / "out"))
+        assert osp.exists(obj) and osp.exists(png)
+        content = open(obj).read()
+        assert content.count("l ") > 20  # frustum + bbox edges
