@@ -42,7 +42,7 @@ from nerf_projects_tpu.ops.sh import eval_sh_bases
 
 INTERPRET = False
 
-R = 128          # rays per tile (one full lane group)
+R = 128          # default rays per tile (one lane group); 256 supported
 SC = 16          # steps per chunk
 
 # ray-pack rows (fp32 [T, 16, 128]):
@@ -129,7 +129,8 @@ def _pack_rays(bg: BrickGrid, rays: Rays, opts: GridRenderOptions,
     )
     basis = eval_sh_bases(bg.basis_dim, vmean)  # [T, B]
 
-    pack = jnp.zeros((T, PACK_ROWS, R), jnp.float32)
+    r_count = rays.origins.shape[1]
+    pack = jnp.zeros((T, PACK_ROWS, r_count), jnp.float32)
     pack = pack.at[:, 0:3].set(jnp.moveaxis(og, -1, 1))
     pack = pack.at[:, 3:6].set(jnp.moveaxis(dg, -1, 1))
     pack = pack.at[:, 6].set(dt)
@@ -170,7 +171,7 @@ def _plan_windows(bg: BrickGrid, geom, n_chunks: int):
     return wb, rows
 
 
-def _make_fwd_kernel(basis_dim: int):
+def _make_fwd_kernel(basis_dim: int, r: int = R):
     def kernel(rows_ref, orig_ref, basis_ref, pack_ref, *rest):
         bricks = rest[:8]         # density (1, 8, 64) each
         sh = rest[8:16]           # SH (1, B, 8, 192) each
@@ -191,11 +192,11 @@ def _make_fwd_kernel(basis_dim: int):
         T0 = pack[9:10]
         step_world = pack[11:12]
 
-        A = SC * R
+        A = SC * r
         # t values per (step, ray) in [SC, R]
         step_idx = (
             c.astype(jnp.float32) * SC
-            + jax.lax.broadcasted_iota(jnp.int32, (SC, R), 0).astype(
+            + jax.lax.broadcasted_iota(jnp.int32, (SC, r), 0).astype(
                 jnp.float32
             )
         )
@@ -269,7 +270,7 @@ def _make_fwd_kernel(basis_dim: int):
         sigma = jnp.where(sigma > _SIGMA_THRESH, sigma, 0.0)
         rgb = jnp.maximum(rgb_acc4 + 0.5, 0.0)       # [3, A]
 
-        tau = (sigma.reshape(SC, R)) * step_world    # [SC, R]
+        tau = (sigma.reshape(SC, r)) * step_world    # [SC, R]
         # exclusive prefix over steps: strictly-lower-triangular matmul
         r_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 0)
         c_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 1)
@@ -285,19 +286,19 @@ def _make_fwd_kernel(basis_dim: int):
         w = jnp.where(active, Tpref * alpha, 0.0)    # [SC, R]
 
         w_flat = w.reshape(1, A)
-        rgb_w = (rgb * w_flat).reshape(3, SC, R)
+        rgb_w = (rgb * w_flat).reshape(3, SC, r)
         out_ref[0, 0:3, :] += jnp.sum(rgb_w, axis=1)
         out_ref[0, 3:4, :] += jnp.sum(w, axis=0)[None]
         out_ref[0, 4:5, :] += jnp.sum(w * tt, axis=0)[None]
         out_ref[0, 5:6, :] += jnp.sum(
             jnp.where(active, tau, 0.0), axis=0
         )[None]
-        sig2 = sigma.reshape(SC, R)
+        sig2 = sigma.reshape(SC, r)
         out_ref[0, 6:7, :] += jnp.sum(
             jnp.log1p(2.0 * sig2 * sig2), axis=0
         )[None]
         miss = valid_f * (1.0 - in_win_f)
-        out_ref[0, 7:8, :] += jnp.sum(miss.reshape(SC, R), axis=0)[None]
+        out_ref[0, 7:8, :] += jnp.sum(miss.reshape(SC, r), axis=0)[None]
 
     return kernel
 
@@ -357,12 +358,13 @@ def _march_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         (_group(rows, tg), _group(orig, tg), _group(basisf, tg),
          _group(pack, tg)),
     )
-    return outs.reshape(-1, 8, R)[:T_full]
+    return outs.reshape(-1, 8, pack.shape[-1])[:T_full]
 
 
 def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
                  basis_dim):
     T = pack.shape[0]
+    r = pack.shape[-1]
 
     def dspec(k):
         # full-brick blocks; sublane dim 8 (TPU requires the
@@ -385,7 +387,7 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         grid=(T, n_chunks),
         in_specs=[
             pl.BlockSpec(
-                (1, PACK_ROWS, R),
+                (1, PACK_ROWS, r),
                 lambda t, c, rows, orig, basisf: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -393,15 +395,15 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
             *[sspec(k) for k in range(8)],
         ],
         out_specs=pl.BlockSpec(
-            (1, 8, R),
+            (1, 8, r),
             lambda t, c, rows, orig, basisf: (t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     return pl.pallas_call(
-        _make_fwd_kernel(basis_dim),
+        _make_fwd_kernel(basis_dim, r),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, 8, R), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, 8, r), jnp.float32),
         interpret=INTERPRET,
     )(rows, orig, basisf, pack, *([density_z] * 8), *([sh_z] * 8))
 
@@ -442,8 +444,8 @@ def render_tiles_pallas(
     with the analytic window plan. sigma_thresh/stop_thresh are the
     GridRenderOptions defaults (compiled into the kernel).
     """
-    if rays.origins.shape[1] != R:
-        raise ValueError(f"tile size must be {R} rays")
+    if rays.origins.shape[1] not in (128, 256):
+        raise ValueError("tile size must be 128 or 256 rays")
     if opts.color_mode != "bias":
         raise NotImplementedError("pallas march: bias color mode only")
     from nerf_projects_tpu.ops.tile_render import default_chunks
@@ -474,7 +476,7 @@ def render_tiles_pallas(
         "acc": acc,
         "log_transmit": -out[:, 5],
         "sparsity_sum": out[:, 6],
-        "window_miss": jnp.sum(out[:, 7]) / (out.shape[0] * R * SC * C),
+        "window_miss": jnp.sum(out[:, 7]) / (out.shape[0] * out.shape[-1] * SC * C),
     }
     if return_depth:
         result["depth"] = out[:, 4] * world_len
@@ -495,7 +497,7 @@ def render_tiles_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _make_bwd_kernel(basis_dim: int, sparsity_scale: float):
+def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R):
     def kernel(rows_ref, orig_ref, basis_ref, pack_ref, *rest):
         bricks = rest[:8]
         sh = rest[8:16]
@@ -520,10 +522,10 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float):
         g_rows = pack[12:15]          # [3, 128]
         S_total = pack[15:16]         # [1, 128]
 
-        A = SC * R
+        A = SC * r
         step_idx = (
             c.astype(jnp.float32) * SC
-            + jax.lax.broadcasted_iota(jnp.int32, (SC, R), 0).astype(
+            + jax.lax.broadcasted_iota(jnp.int32, (SC, r), 0).astype(
                 jnp.float32
             )
         )
@@ -584,7 +586,7 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float):
         rgb_pos = (rgb_acc + 0.5 > 0.0).astype(jnp.float32)
         rgb = jnp.maximum(rgb_acc + 0.5, 0.0)         # [3, A]
 
-        tau = sigma.reshape(SC, R) * step_world       # [SC, R]
+        tau = sigma.reshape(SC, r) * step_world       # [SC, R]
         r_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 0)
         c_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 1)
         Lstrict = (c_iota < r_iota).astype(jnp.float32)
@@ -602,7 +604,7 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float):
         # per-ray rows tiled over steps (lane a = s*R + r)
         gc = jnp.concatenate([g_rows] * SC, axis=1)   # [3, A]
         cdotg = jnp.sum(rgb * gc, axis=0, keepdims=True)   # [1, A]
-        wc = (w.reshape(1, A) * cdotg).reshape(SC, R)
+        wc = (w.reshape(1, A) * cdotg).reshape(SC, r)
 
         # suffix after sample i: S_total - inclusive prefix of w*(c.g)
         P_in = state_ref[0, 1:2, :] + jax.lax.dot_general(
@@ -610,12 +612,12 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                              # [SC, R]
-        S_tiled = jnp.concatenate([S_total] * SC, axis=1).reshape(SC, R)
+        S_tiled = jnp.concatenate([S_total] * SC, axis=1).reshape(SC, r)
         suffix = S_tiled - P_in
 
         # dL/dtau_i = T_i e^{-tau_i} (c_i . g) - suffix_i
         Te = Tpref * jnp.exp(-tau)
-        gtau = Te * cdotg.reshape(SC, R) - suffix
+        gtau = Te * cdotg.reshape(SC, r) - suffix
         gsig = (gtau * step_world * active_f).reshape(1, A) * sig_pos
         if sparsity_scale > 0:
             gsig = gsig + sparsity_scale * (
@@ -694,7 +696,7 @@ def _bwd_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
          _group(pack, tg)),
     )
     return (
-        state.reshape(-1, 8, R)[:T_full],
+        state.reshape(-1, 8, pack.shape[-1])[:T_full],
         gd.reshape((-1,) + gd.shape[2:])[:T_full],
         gsh.reshape((-1,) + gsh.shape[2:])[:T_full],
     )
@@ -704,6 +706,7 @@ def _bwd_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
                basis_dim, sparsity_scale):
     T = pack.shape[0]
     C = n_chunks
+    r = pack.shape[-1]
 
     def dspec(k):
         return pl.BlockSpec(
@@ -724,7 +727,7 @@ def _bwd_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         grid=(T, C),
         in_specs=[
             pl.BlockSpec(
-                (1, PACK_ROWS, R),
+                (1, PACK_ROWS, r),
                 lambda t, c, rows, orig, basisf: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -733,7 +736,7 @@ def _bwd_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, 8, R),
+                (1, 8, r),
                 lambda t, c, rows, orig, basisf: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -750,10 +753,10 @@ def _bwd_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         ),
     )
     return pl.pallas_call(
-        _make_bwd_kernel(basis_dim, sparsity_scale),
+        _make_bwd_kernel(basis_dim, sparsity_scale, r),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((T, 8, R), jnp.float32),
+            jax.ShapeDtypeStruct((T, 8, r), jnp.float32),
             jax.ShapeDtypeStruct((T, C, 8, 8, 64), jnp.float32),
             jax.ShapeDtypeStruct((T, C, 8, basis_dim, 8, 192), jnp.float32),
         ),
@@ -788,8 +791,8 @@ def render_fused_tiles_pallas(
     sparsity loss gradients are fused exactly as the CUDA kernel fuses
     them (beta scaled 1/N_rays; Cauchy sparsity per sample).
     """
-    if rays.origins.shape[1] != R:
-        raise ValueError(f"tile size must be {R} rays")
+    if rays.origins.shape[1] not in (128, 256):
+        raise ValueError("tile size must be 128 or 256 rays")
     from nerf_projects_tpu.ops.tile_render import default_chunks
 
     if n_chunks:
@@ -852,6 +855,6 @@ def render_fused_tiles_pallas(
         "acc": acc,
         "log_transmit": -fwd[:, 5],
         "sparsity_sum": fwd[:, 6],
-        "window_miss": jnp.sum(fwd[:, 7]) / (T * R * SC * C),
+        "window_miss": jnp.sum(fwd[:, 7]) / (T * rays.origins.shape[1] * SC * C),
     }
     return rgb_out, grad_density, grad_sh, aux

@@ -20,7 +20,8 @@ from nerf_projects_tpu.ops.pallas.tile_march import render_tiles_pallas
 
 RESO = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 TILES = int(sys.argv[2]) if len(sys.argv) > 2 else 40
-USE_OCC = len(sys.argv) > 3 and sys.argv[3] == "occ"
+USE_OCC = "occ" in sys.argv[3:]
+R_TILE = 256 if "r256" in sys.argv[3:] else 128
 
 
 def main():
@@ -32,6 +33,12 @@ def main():
     bg = make_bg()
     opts = GridRenderOptions(step_size=0.5)
     rays_pool = make_tile_rays(jax.random.PRNGKey(2), TILES)
+    if R_TILE == 256:
+        # fold pairs of 128-ray tiles into 256-ray tiles (coherence is
+        # weaker but adequate for a throughput probe)
+        import jax.tree_util as tu
+        rays_pool = tu.tree_map(
+            lambda x: x.reshape(TILES // 2, 256, 3), rays_pool)
 
     def build(n):
         def f():

@@ -1,0 +1,198 @@
+"""Hardware quality check for the Plenoxels and NeRF-SH families on the
+hermetic synthetic scene (the vanilla-NeRF result lives in
+quality_check_tpu.py: 31.2 dB held-out on TPU v5e).
+
+Each family trains on 15 views and scores held-out view 0
+(PSNR / SSIM). Select with argv[1] in {plenoxels, nerf_sh, all}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as tu
+import numpy as np
+
+from nerf_projects_tpu.core.rays import Rays, camera_rays
+from nerf_projects_tpu.data.synthetic import make_dataset
+from nerf_projects_tpu.obs.metrics import compute_metrics
+
+WHICH = sys.argv[1] if len(sys.argv) > 1 else "all"
+PLENOXEL_STEPS = int(os.environ.get("QUALITY_PLENOXEL_STEPS", 4000))
+PLENOXEL_RESO = int(os.environ.get("QUALITY_PLENOXEL_RESO", 128))
+SH_CHUNKS = int(os.environ.get("QUALITY_SH_CHUNKS", 6))
+H = W = 96
+N_VIEWS = 16
+
+
+def dataset():
+    ds = make_dataset(n_views=N_VIEWS, image_size=H, seed=3)
+    return ds
+
+
+def held_out_rays(ds):
+    return camera_rays(H, W, ds["intrinsics"], jnp.asarray(ds["poses"][0]))
+
+
+def quality_plenoxels(ds):
+    """Tile-based Pallas training at 128^3 with the published-config
+    loss set (TV + sparsity), progressive from 64^3."""
+    from dataclasses import replace
+
+    from nerf_projects_tpu.models.sparse_grid import SparseGrid
+    from nerf_projects_tpu.ops.brick_grid import from_sparse_grid
+    from nerf_projects_tpu.ops.grid import GridRenderOptions
+    from nerf_projects_tpu.ops.tile_render import (
+        render_image_tiles,
+        tiles_from_image_rays,
+        untile_image,
+    )
+    from nerf_projects_tpu.ops.pallas.tile_march import render_tiles_pallas
+    from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
+
+    # train pool excludes view 0; coherent 8x16 tiles
+    images = ds["images"][1:]
+    rays_all = tu.tree_map(
+        lambda x: x.reshape(N_VIEWS, H * W, 3)[1:], ds["rays"]
+    )
+    pixels = ds["pixels"].reshape(N_VIEWS, H * W, 3)[1:]
+
+    def draw(key, n_tiles=40, th=8, tw=16):
+        kv, ky, kx = jax.random.split(key, 3)
+        v = jax.random.randint(kv, (n_tiles,), 0, N_VIEWS - 1)
+        y0 = jax.random.randint(ky, (n_tiles,), 0, H - th + 1)
+        x0 = jax.random.randint(kx, (n_tiles,), 0, W - tw + 1)
+        dy, dx = jnp.meshgrid(jnp.arange(th), jnp.arange(tw), indexing="ij")
+        flat = (y0[:, None] + dy.reshape(-1)[None]) * W + (
+            x0[:, None] + dx.reshape(-1)[None]
+        )
+        r = tu.tree_map(
+            lambda a: a[v[:, None], flat], rays_all
+        )
+        return r, pixels[v[:, None], flat]
+
+    g = SparseGrid.create(
+        PLENOXEL_RESO, basis_dim=9, radius=1.3, use_sphere_bound=True,
+        init_density=0.1,
+    )
+    bg = from_sparse_grid(g)
+    opts = GridRenderOptions(step_size=0.5)
+    trainer = PlenoxelsTrainer(
+        opts, n_iters=8000, lr_sigma=3e1, lr_sigma_delay_steps=0,
+        lr_sh=1e-2, lambda_tv=1e-5, lambda_tv_sh=1e-3,
+        lambda_sparsity=1e-7,
+    )
+    rms = trainer.init_rms_bricks(bg)
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    for i in range(PLENOXEL_STEPS):
+        key, kd, kt = jax.random.split(key, 3)
+        rays, target = draw(kd)
+        bg, rms, st = trainer.train_step_tiles_pallas(
+            bg, rms, rays, target, jnp.asarray(float(i)), kt
+        )
+        if i % 500 == 0:
+            print(f"plenoxels step {i}: train psnr "
+                  f"{float(st['psnr']):.2f}", flush=True)
+    dt = time.time() - t0
+
+    # held-out render through the Pallas path (8x16 tiles)
+    rays0 = held_out_rays(ds)
+    flat = tu.tree_map(lambda x: x.reshape(-1, 3), rays0)
+    tiles = tiles_from_image_rays(flat, H, W, 8, 16)
+    out = render_tiles_pallas(bg, tiles, opts)
+    img = untile_image(out["rgb"], H, W, 8, 16)
+    m = compute_metrics(img, ds["images"][0])
+    print("plenoxels held-out:", json.dumps(
+        {k: round(float(v), 3) for k, v in m.items()}
+        | {"train_minutes": round(dt / 60, 1)}), flush=True)
+    return m
+
+
+def quality_nerf_sh(ds):
+    from nerf_projects_tpu.models.nerf_sh import NeRFSHModel
+    from nerf_projects_tpu.train.nerf_sh_trainer import NeRFSHTrainer
+
+    model = NeRFSHModel(
+        sh_deg=2,
+        num_coarse_samples=64,
+        num_fine_samples=128,
+        near=2.0,
+        far=6.0,
+        white_bkgd=True,
+        use_fused_trunk=True,
+    )
+    trainer = NeRFSHTrainer(model, lr_delay_steps=500, max_steps=20000)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    view_rays = tu.tree_map(
+        lambda x: x.reshape(N_VIEWS, -1, 3)[1:], ds["rays"]
+    )
+    view_rgb = ds["pixels"].reshape(N_VIEWS, -1, 3)[1:]
+    ys, xs = np.meshgrid(np.arange(H // 4, 3 * H // 4),
+                         np.arange(W // 4, 3 * W // 4), indexing="ij")
+    crop = (ys * W + xs).reshape(-1)
+    crop_rays = tu.tree_map(
+        lambda x: x[:, crop].reshape(-1, 3), view_rays
+    )
+    crop_rgb = view_rgb[:, crop].reshape(-1, 3)
+    full_rays = tu.tree_map(lambda x: x.reshape(-1, 3), view_rays)
+    full_rgb = view_rgb.reshape(-1, 3)
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+
+    def batches(rays_pool, rgb_pool, n_steps, bs=1024):
+        nonlocal state, key
+        n = rgb_pool.shape[0]
+        stats = None
+        for i in range(n_steps):
+            key, k = jax.random.split(key)
+            idx = jax.random.randint(k, (bs,), 0, n)
+            r = tu.tree_map(lambda a: a[idx], rays_pool)
+            state, stats = trainer.train_step(state, r, rgb_pool[idx])
+        return stats
+
+    stats = batches(crop_rays, crop_rgb, 500)
+    print(f"nerf_sh precrop end psnr {float(stats['psnr']):.2f}",
+          flush=True)
+    for chunk in range(SH_CHUNKS):
+        stats = batches(full_rays, full_rgb, 1000)
+        print(f"nerf_sh step {(chunk + 1) * 1000 + 500}: "
+              f"{float(stats['psnr']):.2f}", flush=True)
+    dt = time.time() - t0
+
+    rays0 = held_out_rays(ds)
+    flat = tu.tree_map(lambda x: x.reshape(-1, 3), rays0)
+    outs = []
+    chunk = 4608
+    n = flat.origins.shape[0]
+    for i in range(0, n, chunk):
+        sl = tu.tree_map(lambda x: x[i : i + chunk], flat)
+        pad = chunk - sl.origins.shape[0]
+        if pad:
+            sl = tu.tree_map(
+                lambda x: jnp.pad(x, ((0, pad), (0, 0)), mode="edge"), sl
+            )
+        out = trainer.render_eval(state.params, sl)
+        rgb = out["rgb"]
+        outs.append(rgb[: chunk - pad] if pad else rgb)
+    img = jnp.concatenate(outs).reshape(H, W, 3)
+    m = compute_metrics(img, ds["images"][0])
+    print("nerf_sh held-out:", json.dumps(
+        {k: round(float(v), 3) for k, v in m.items()}
+        | {"train_minutes": round(dt / 60, 1)}), flush=True)
+    return m
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices(), flush=True)
+    ds = dataset()
+    if WHICH in ("plenoxels", "all"):
+        quality_plenoxels(ds)
+    if WHICH in ("nerf_sh", "all"):
+        quality_nerf_sh(ds)
