@@ -148,10 +148,14 @@ class SparseGrid:
 
     # -- persistence -------------------------------------------------------
 
-    def save(self, path: str):
-        """npz snapshot with the svox2 key schema (svox2.py:1526-1576)."""
-        np.savez_compressed(
-            path,
+    def save(self, path: str, background=None):
+        """npz snapshot with the svox2 key schema (svox2.py:1526-1576).
+
+        `background`: optional ops.background.ReferenceBackground saved
+        under the reference's background_data/background_links keys
+        (svox2.py:1546-1548) so checkpoints round-trip with svox2.
+        """
+        data = dict(
             radius=self.radius,
             center=self.center,
             links=np.asarray(self.links),
@@ -160,6 +164,14 @@ class SparseGrid:
             basis_type=0,  # BASIS_TYPE_SH
             basis_dim=self.basis_dim,
         )
+        if background is not None:
+            data["background_data"] = np.asarray(
+                background.data, np.float32
+            )
+            data["background_links"] = np.asarray(
+                background.links, np.int32
+            )
+        np.savez_compressed(path, **data)
 
     @staticmethod
     def load(path: str) -> "SparseGrid":

@@ -153,6 +153,39 @@ def default_max_steps(grid: SparseGrid, step_size: float) -> int:
     return int(np.ceil(diag / step_size)) + 1
 
 
+def _composite_background(out_rgb, acc, rays, grid, background, opts):
+    """Composite whatever background model was passed behind the
+    foreground: our equirect BackgroundMSI, a svox2-checkpoint
+    ReferenceBackground (rendered with the reference-faithful MSI march,
+    ops/background.py), or None (solid background_brightness)."""
+    if background is None:
+        return out_rgb + (1.0 - acc[:, None]) * opts.background_brightness
+    from nerf_projects_tpu.ops.background import (
+        ReferenceBackground,
+        render_background,
+        render_background_reference,
+    )
+
+    if isinstance(background, ReferenceBackground):
+        return out_rgb + render_background_reference(
+            background,
+            rays.origins,
+            rays.directions,
+            1.0 - acc,
+            radius=grid.radius,
+            center=grid.center,
+            step_size=opts.step_size,
+            background_brightness=opts.background_brightness,
+        )
+    return out_rgb + render_background(
+        background,
+        rays.origins,
+        rays.directions,
+        1.0 - acc,
+        background_brightness=opts.background_brightness,
+    )
+
+
 def volume_render_grid(
     grid: SparseGrid,
     rays: Rays,
@@ -292,18 +325,7 @@ def volume_render_grid(
     else:
         log_transmit = -jnp.sum(jnp.where(active, tau, 0.0), axis=-1)
     acc = jnp.sum(weights, axis=-1)
-    if background is not None:
-        from nerf_projects_tpu.ops.background import render_background
-
-        out_rgb = out_rgb + render_background(
-            background,
-            rays.origins,
-            rays.directions,
-            1.0 - acc,
-            background_brightness=opts.background_brightness,
-        )
-    else:
-        out_rgb = out_rgb + (1.0 - acc[:, None]) * opts.background_brightness
+    out_rgb = _composite_background(out_rgb, acc, rays, grid, background, opts)
 
     result = {
         "rgb": out_rgb,
@@ -417,15 +439,7 @@ def _render_top_k(
 
     out_rgb = jnp.einsum("rk,rkc->rc", top_w, rgb)
     acc = jnp.sum(weights, axis=-1)
-    if background is not None:
-        from nerf_projects_tpu.ops.background import render_background
-
-        out_rgb = out_rgb + render_background(
-            background, rays.origins, rays.directions, 1.0 - acc,
-            background_brightness=opts.background_brightness,
-        )
-    else:
-        out_rgb = out_rgb + (1.0 - acc[:, None]) * opts.background_brightness
+    out_rgb = _composite_background(out_rgb, acc, rays, grid, background, opts)
     result = {
         "rgb": out_rgb,
         "acc": acc,
