@@ -112,12 +112,12 @@ def bench_nerf_train():
 def _plenoxels_setup(reso):
     from dataclasses import replace
 
-    from nerf_projects_tpu.models.sparse_grid import SparseGrid
-    from nerf_projects_tpu.ops.brick_grid import from_sparse_grid
+    from nerf_projects_tpu.ops.brick_grid import create_brick_grid
 
-    g = SparseGrid.create(reso, basis_dim=9, use_sphere_bound=True,
-                          init_density=0.0)
-    bg = from_sparse_grid(g)
+    # direct on-device construction: SparseGrid.create at 512^3 builds
+    # multi-GB host arrays and times out through the TPU relay
+    bg = create_brick_grid(reso, basis_dim=9, use_sphere_bound=True,
+                           init_density=0.0)
     dens = jax.random.uniform(
         jax.random.PRNGKey(0), bg.density_bricks.shape
     ) * 2.0 * bg.cell_mask

@@ -150,6 +150,92 @@ def from_sparse_grid(grid: SparseGrid) -> BrickGrid:
     )
 
 
+def create_brick_grid(
+    reso,
+    *,
+    basis_dim: int = 9,
+    radius=1.0,
+    center=(0.0, 0.0, 0.0),
+    use_sphere_bound: bool = True,
+    init_density: float = 0.0,
+    data_dtype=jnp.float32,
+) -> BrickGrid:
+    """Build a BrickGrid directly, with the heavy per-cell arrays created
+    ON DEVICE (no [reso^3] host numpy, no multi-GB host->HBM transfer —
+    SparseGrid.create + from_sparse_grid at 512^3 moves ~16 GB through
+    the host, which times out through the TPU relay).
+
+    Brick-level occupancy is computed host-side at brick resolution
+    (tiny); the exact cell-level sphere mask (same semantics as
+    SparseGrid.create's use_sphere_bound, svox2 ctor svox2.py:420-447)
+    is computed on device per active brick row.
+    """
+    if isinstance(reso, int):
+        reso = (reso, reso, reso)
+    X, Y, Z = (int(r) for r in reso)
+    if any(r % BRICK for r in (X, Y, Z)):
+        raise ValueError(f"reso {reso} must be brick-aligned ({BRICK})")
+    BX, BY, BZ = X // BRICK, Y // BRICK, Z // BRICK
+    rs = np.asarray([X, Y, Z], np.float64)
+    voxel_diag = float(np.linalg.norm(2.0 / rs)) * 0.5
+    thresh2 = (1.0 + voxel_diag) ** 2
+
+    if use_sphere_bound:
+        # brick is active iff its CLOSEST point to the sphere center is
+        # inside the threshold sphere (superset of the per-cell test)
+        bi, bj, bk = np.meshgrid(
+            np.arange(BX), np.arange(BY), np.arange(BZ), indexing="ij"
+        )
+        lo = (np.stack([bi, bj, bk], -1) * BRICK + 0.5) / rs * 2.0 - 1.0
+        hi = (np.stack([bi, bj, bk], -1) * BRICK + BRICK - 0.5) / rs * 2 - 1
+        closest = np.clip(0.0, lo, hi)
+        active = (closest**2).sum(-1) <= thresh2
+    else:
+        active = np.ones((BX, BY, BZ), bool)
+
+    nb = int(active.sum())
+    brick_links = np.full((BX, BY, BZ), -1, np.int32)
+    brick_links[active] = np.arange(nb, dtype=np.int32)
+    brick_coords = np.argwhere(active).astype(np.int32)
+
+    # device-side exact cell mask
+    coords = jnp.asarray(brick_coords)
+    off = jnp.arange(BRICK**3, dtype=jnp.int32)
+    oi = off // (BRICK * BRICK)
+    oj = (off // BRICK) % BRICK
+    ok = off % BRICK
+    cell = (
+        coords[:, None, :] * BRICK
+        + jnp.stack([oi, oj, ok], axis=-1)[None, :, :]
+    )  # [nb, 512, 3]
+    if use_sphere_bound:
+        c = (cell.astype(jnp.float32) + 0.5) / jnp.asarray(
+            rs, jnp.float32
+        ) * 2.0 - 1.0
+        mask = jnp.sum(c * c, axis=-1) <= thresh2
+    else:
+        mask = jnp.ones((nb, BRICK**3), bool)
+
+    density = (
+        jnp.full((nb, BRICK**3), init_density, data_dtype)
+        * mask.astype(data_dtype)
+    )
+    sh = jnp.zeros((nb, BRICK**3, 3 * basis_dim), data_dtype)
+    return BrickGrid(
+        brick_links=jnp.asarray(brick_links),
+        density_bricks=density,
+        sh_bricks=sh,
+        cell_mask=mask,
+        brick_coords=coords,
+        reso=(X, Y, Z),
+        radius=np.broadcast_to(
+            np.asarray(radius, np.float32), (3,)
+        ).copy(),
+        center=np.asarray(center, np.float32).copy(),
+        basis_dim=basis_dim,
+    )
+
+
 def to_sparse_grid(bg: BrickGrid) -> SparseGrid:
     """Inverse conversion (exact round-trip via cell_mask)."""
     BX, BY, BZ = bg.bricks_shape

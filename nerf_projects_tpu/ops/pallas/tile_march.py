@@ -171,7 +171,8 @@ def _plan_windows(bg: BrickGrid, geom, n_chunks: int):
     return wb, rows
 
 
-def _make_fwd_kernel(basis_dim: int, r: int = R):
+def _make_fwd_kernel(basis_dim: int, r: int = R,
+                     color_mode: str = "bias"):
     def kernel(rows_ref, orig_ref, basis_ref, pack_ref, *rest):
         bricks = rest[:8]         # density (1, 8, 64) each
         sh = rest[8:16]           # SH (1, B, 8, 192) each
@@ -268,7 +269,10 @@ def _make_fwd_kernel(basis_dim: int, r: int = R):
 
         sigma = sigma_acc                            # [1, A]
         sigma = jnp.where(sigma > _SIGMA_THRESH, sigma, 0.0)
-        rgb = jnp.maximum(rgb_acc4 + 0.5, 0.0)       # [3, A]
+        if color_mode == "sigmoid":                  # PlenOctree decode
+            rgb = 1.0 / (1.0 + jnp.exp(-rgb_acc4))   # [3, A]
+        else:                                        # Plenoxels +0.5 clamp
+            rgb = jnp.maximum(rgb_acc4 + 0.5, 0.0)   # [3, A]
 
         tau = (sigma.reshape(SC, r)) * step_world    # [SC, R]
         # exclusive prefix over steps: strictly-lower-triangular matmul
@@ -322,9 +326,11 @@ def _kernel_arrays(bg: BrickGrid):
     return density_z, sh_z
 
 
-@functools.partial(jax.jit, static_argnames=("n_chunks", "basis_dim"))
+@functools.partial(
+    jax.jit, static_argnames=("n_chunks", "basis_dim", "color_mode")
+)
 def _march_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
-                basis_dim):
+                basis_dim, color_mode="bias"):
     """density_z [nb+1, 8, 64]; sh_z [nb+1, B, 8, 192] (kernel layout).
 
     Tiles are processed in SMEM-sized groups via lax.map (see
@@ -350,7 +356,7 @@ def _march_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         rows_g, orig_g, basisf_g, pack_g = args
         return _march_group(
             density_z, sh_z, rows_g, orig_g, basisf_g, pack_g,
-            n_chunks, basis_dim,
+            n_chunks, basis_dim, color_mode,
         )
 
     outs = jax.lax.map(
@@ -362,7 +368,7 @@ def _march_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
 
 
 def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
-                 basis_dim):
+                 basis_dim, color_mode="bias"):
     T = pack.shape[0]
     r = pack.shape[-1]
 
@@ -401,7 +407,7 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         ),
     )
     return pl.pallas_call(
-        _make_fwd_kernel(basis_dim, r),
+        _make_fwd_kernel(basis_dim, r, color_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, 8, r), jnp.float32),
         interpret=INTERPRET,
@@ -446,8 +452,10 @@ def render_tiles_pallas(
     """
     if rays.origins.shape[1] not in (128, 256):
         raise ValueError("tile size must be 128 or 256 rays")
-    if opts.color_mode != "bias":
-        raise NotImplementedError("pallas march: bias color mode only")
+    if opts.color_mode not in ("bias", "sigmoid"):
+        raise NotImplementedError(
+            f"pallas march: unknown color mode {opts.color_mode!r}"
+        )
     from nerf_projects_tpu.ops.tile_render import default_chunks
 
     if n_chunks:
@@ -467,7 +475,7 @@ def render_tiles_pallas(
     ).astype(jnp.float32)
 
     out = _march_call(density_z, sh_z, rows, orig, basisf, pack, C,
-                      bg.basis_dim)
+                      bg.basis_dim, opts.color_mode)
     world_len = geom[6]
     acc = out[:, 3]
     result = {
@@ -497,7 +505,8 @@ def render_tiles_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R):
+def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
+                     color_mode: str = "bias"):
     def kernel(rows_ref, orig_ref, basis_ref, pack_ref, *rest):
         bricks = rest[:8]
         sh = rest[8:16]
@@ -583,8 +592,12 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R):
 
         sig_pos = (sigma_acc > _SIGMA_THRESH).astype(jnp.float32)
         sigma = sigma_acc * sig_pos                   # [1, A]
-        rgb_pos = (rgb_acc + 0.5 > 0.0).astype(jnp.float32)
-        rgb = jnp.maximum(rgb_acc + 0.5, 0.0)         # [3, A]
+        if color_mode == "sigmoid":
+            rgb = 1.0 / (1.0 + jnp.exp(-rgb_acc))     # [3, A]
+            rgb_gate = rgb * (1.0 - rgb)              # d sigmoid
+        else:
+            rgb_gate = (rgb_acc + 0.5 > 0.0).astype(jnp.float32)
+            rgb = jnp.maximum(rgb_acc + 0.5, 0.0)     # [3, A]
 
         tau = sigma.reshape(SC, r) * step_world       # [SC, R]
         r_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 0)
@@ -624,8 +637,9 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R):
                 4.0 * sigma / (1.0 + 2.0 * sigma * sigma)
             ) * sig_pos
 
-        # rgb gradient per sample, gated by the +0.5 clamp
-        g_rgb = w.reshape(1, A) * gc * rgb_pos         # [3, A]
+        # rgb gradient per sample, gated by the decode derivative
+        # (+0.5-clamp indicator, or sigmoid' = rgb*(1-rgb))
+        g_rgb = w.reshape(1, A) * gc * rgb_gate        # [3, A]
 
         # ---- transposed trilerp: per-corner gradient blocks
         for k, (dx, dy, dz) in enumerate(_CORNERS):
@@ -661,10 +675,12 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_chunks", "basis_dim", "sparsity_scale")
+    jax.jit,
+    static_argnames=("n_chunks", "basis_dim", "sparsity_scale",
+                     "color_mode"),
 )
 def _bwd_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
-              basis_dim, sparsity_scale):
+              basis_dim, sparsity_scale, color_mode="bias"):
     """SMEM-sized tile grouping like _march_call."""
     T_full = pack.shape[0]
     tg, padn = _tile_groups(T_full, n_chunks)
@@ -687,7 +703,7 @@ def _bwd_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         rows_g, orig_g, basisf_g, pack_g = args
         return _bwd_group(
             density_z, sh_z, rows_g, orig_g, basisf_g, pack_g,
-            n_chunks, basis_dim, sparsity_scale,
+            n_chunks, basis_dim, sparsity_scale, color_mode,
         )
 
     state, gd, gsh = jax.lax.map(
@@ -703,7 +719,7 @@ def _bwd_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
 
 
 def _bwd_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
-               basis_dim, sparsity_scale):
+               basis_dim, sparsity_scale, color_mode="bias"):
     T = pack.shape[0]
     C = n_chunks
     r = pack.shape[-1]
@@ -753,7 +769,7 @@ def _bwd_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         ),
     )
     return pl.pallas_call(
-        _make_bwd_kernel(basis_dim, sparsity_scale, r),
+        _make_bwd_kernel(basis_dim, sparsity_scale, r, color_mode),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((T, 8, r), jnp.float32),
@@ -793,6 +809,10 @@ def render_fused_tiles_pallas(
     """
     if rays.origins.shape[1] not in (128, 256):
         raise ValueError("tile size must be 128 or 256 rays")
+    if opts.color_mode not in ("bias", "sigmoid"):
+        raise NotImplementedError(
+            f"pallas march: unknown color mode {opts.color_mode!r}"
+        )
     from nerf_projects_tpu.ops.tile_render import default_chunks
 
     if n_chunks:
@@ -811,7 +831,7 @@ def render_fused_tiles_pallas(
 
     # forward for rgb_out
     fwd = _march_call(density_z, sh_z, rows, orig, basisf, pack, C,
-                      bg.basis_dim)
+                      bg.basis_dim, opts.color_mode)
     acc = fwd[:, 3]
     rgb_out = (
         jnp.moveaxis(fwd[:, 0:3], 1, 2)
@@ -834,7 +854,7 @@ def render_fused_tiles_pallas(
 
     state, gd_blocks, gsh_blocks = _bwd_call(
         density_z, sh_z, rows, orig, basisf, pack, C, bg.basis_dim,
-        float(sparsity_loss),
+        float(sparsity_loss), opts.color_mode,
     )
 
     # scatter-add per-corner blocks into the compact brick arrays

@@ -15,6 +15,7 @@ straight into the first MLP matmul so XLA fuses it into the MXU pipeline.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def posenc_dim(in_dim: int, num_freqs: int, include_input: bool = True) -> int:
@@ -47,24 +48,37 @@ def posenc(
     """
     if num_freqs == 0:
         return x
+    D = x.shape[-1]
     if log_sampling:
-        freqs = 2.0 ** jnp.arange(min_deg, min_deg + num_freqs, dtype=x.dtype)
+        freqs = 2.0 ** np.arange(min_deg, min_deg + num_freqs, dtype=np.float64)
     else:
-        freqs = jnp.linspace(
-            2.0 ** min_deg, 2.0 ** (min_deg + num_freqs - 1), num_freqs, dtype=x.dtype
+        freqs = np.linspace(
+            2.0 ** min_deg, 2.0 ** (min_deg + num_freqs - 1), num_freqs,
+            dtype=np.float64,
         )
 
-    # xb: [..., F, D]
-    xb = x[..., None, :] * freqs[:, None]
+    # TPU layout note: the naive [..., F, 2, D] intermediate puts D (=3)
+    # on the lane dimension — 3/128 lane occupancy made posenc ~4 ms/step
+    # at 295k points (round-2 bisect). Instead compute the whole encoding
+    # in one flat [..., 2*F*D] op: both output orderings have the input
+    # dim innermost, so tile(x) * freq_vec + phase_vec followed by one
+    # fused sin gives bit-identical values at full lane occupancy.
+    j = np.arange(2 * num_freqs * D)
     if ordering == "interleaved":
-        # [..., F, 2, D] -> flatten to sin/cos interleaved per frequency.
-        four = jnp.sin(jnp.stack([xb, xb + 0.5 * jnp.pi], axis=-2))
-        four = four.reshape(x.shape[:-1] + (2 * num_freqs * x.shape[-1],))
+        # col j = ((f*2 + sc) * D + d): [sin(2^0 x), cos(2^0 x), ...]
+        f_idx = (j // D) // 2
+        sc = (j // D) % 2
     elif ordering == "block":
-        flat = xb.reshape(x.shape[:-1] + (num_freqs * x.shape[-1],))
-        four = jnp.sin(jnp.concatenate([flat, flat + 0.5 * jnp.pi], axis=-1))
+        # col j = sc*(F*D) + f*D + d: [sin(2^0 x .. 2^(F-1) x), cos(...)]
+        sc = j // (num_freqs * D)
+        f_idx = (j // D) % num_freqs
     else:
         raise ValueError(f"unknown posenc ordering: {ordering!r}")
+    freq_vec = jnp.asarray(freqs[f_idx], x.dtype)
+    phase_vec = jnp.asarray(sc * (0.5 * np.pi), x.dtype)
+
+    xt = jnp.tile(x, (1,) * (x.ndim - 1) + (2 * num_freqs,))
+    four = jnp.sin(xt * freq_vec + phase_vec)
 
     if include_input:
         return jnp.concatenate([x, four], axis=-1)

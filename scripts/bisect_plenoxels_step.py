@@ -1,0 +1,142 @@
+"""Attribute plenoxels train_step_tiles_pallas time on TPU (slope-fit).
+
+Variants (256^3, 40x128-ray tiles, the bench shape):
+  full         — the whole step (render+bwd kernels, TV, RMSprop)
+  fwd_kernel   — forward march kernel only
+  fused_kernels— fused fwd+bwd call (render_fused_tiles_pallas) only
+  no_tv        — full step with both TV lambdas zero
+  optim_only   — RMSprop over precomputed grads (no kernels)
+  scatter_only — the grad scatter-add + layout conversion alone
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+RESO = int(os.environ.get("BISECT_RESO", 256))
+TILES = int(os.environ.get("BISECT_TILES", 40))
+
+
+def slope(fn, lo=4, hi=16):
+    fn(lo); fn(hi)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter(); fn(lo); t1 = time.perf_counter()
+        fn(hi); t2 = time.perf_counter()
+        s = ((t2 - t1) - (t1 - t0)) / (hi - lo)
+        if s > 0:
+            best = s if best is None else min(best, s)
+    return best
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench as B
+
+    bg = B._plenoxels_setup(RESO)
+    rays = B._tile_rays(jax.random.PRNGKey(2), TILES)
+    target = jnp.full(rays.origins.shape[:2] + (3,), 0.4)
+
+    from nerf_projects_tpu.ops.grid import GridRenderOptions
+    from nerf_projects_tpu.ops.pallas.tile_march import (
+        render_fused_tiles_pallas,
+        render_tiles_pallas,
+    )
+    from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
+
+    opts = GridRenderOptions(step_size=0.5)
+    results = {}
+
+    def report(name, sec):
+        results[name] = round(sec * 1e3, 2)
+        print(json.dumps({"variant": name, "ms": round(sec * 1e3, 3)}),
+              flush=True)
+
+    # --- full step
+    def make_trainer(**kw):
+        base = dict(n_iters=128_000, lambda_tv=1e-5, lambda_tv_sh=1e-3)
+        base.update(kw)
+        return PlenoxelsTrainer(opts, **base)
+
+    def step_runner(trainer):
+        rms = trainer.init_rms_bricks(bg)
+        holder = {"bg": bg, "rms": rms}
+
+        def run(k):
+            b, r = holder["bg"], holder["rms"]
+            st = None
+            for i in range(k):
+                b, r, st = trainer.train_step_tiles_pallas(
+                    b, r, rays, target, jnp.asarray(float(i)),
+                    jax.random.PRNGKey(i))
+            _ = float(st["mse"])
+            holder["bg"], holder["rms"] = b, r
+        return run
+
+    report("full", slope(step_runner(make_trainer())))
+    report("no_tv", slope(step_runner(
+        make_trainer(lambda_tv=0.0, lambda_tv_sh=0.0))))
+    report("sgd_optim", slope(step_runner(
+        make_trainer(sigma_optim="sgd", sh_optim="sgd"))))
+
+    # --- forward only
+    fwd = jax.jit(lambda r: render_tiles_pallas(bg, r, opts)["rgb"])
+
+    def run_fwd(k):
+        out = None
+        for i in range(k):
+            out = fwd(rays._replace(origins=rays.origins + i * 1e-6))
+        _ = float(out.sum())
+
+    report("fwd_kernel", slope(run_fwd))
+
+    # --- fused fwd+bwd (kernels + scatter, no TV/optim)
+    fused = jax.jit(lambda r: render_fused_tiles_pallas(
+        bg, r, target, opts))
+
+    def run_fused(k):
+        out = None
+        for i in range(k):
+            out = fused(rays._replace(origins=rays.origins + i * 1e-6))
+        _ = float(out[0].sum())
+
+    report("fused_kernels+scatter", slope(run_fused))
+
+    # --- optimizer only (dense RMSprop over brick arrays)
+    trainer = make_trainer()
+
+    @jax.jit
+    def optim_only(b, rms, gd, gsh, i):
+        lr_sigma = trainer.lr_sigma_fn(i)
+        lr_sh = trainer.lr_sh_fn(i)
+        nd, rd = trainer._optim("rmsprop", b.density_bricks, gd,
+                                rms.rms_density, lr_sigma)
+        ns, rs = trainer._optim("rmsprop", b.sh_bricks, gsh, rms.rms_sh,
+                                lr_sh)
+        return nd.sum() + ns.sum() + rd.sum() + rs.sum()
+
+    rms = trainer.init_rms_bricks(bg)
+    gd = jnp.zeros_like(bg.density_bricks)
+    gsh = jnp.zeros_like(bg.sh_bricks)
+
+    def run_optim(k):
+        s = None
+        for i in range(k):
+            s = optim_only(bg, rms, gd, gsh, jnp.asarray(float(i)))
+        _ = float(s)
+
+    report("optim_only", slope(run_optim))
+
+    print(json.dumps({"summary": results, "reso": RESO, "tiles": TILES}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices(), flush=True)
+    main()

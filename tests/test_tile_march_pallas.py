@@ -162,6 +162,38 @@ class TestFusedBackward:
         np.testing.assert_allclose(gsh / scale_s, ws / scale_s,
                                    atol=3e-2)
 
+    def test_sigmoid_mode_matches_twin(self):
+        """PlenOctree decode (sigmoid) fwd + grads vs the einsum twin —
+        the mode finetune_fast trains octree-baked grids with."""
+        bg, rays, gt = self._setup(seed=7)
+        opts = GridRenderOptions(color_mode="sigmoid")
+
+        got = tm.render_tiles_pallas(bg, rays, opts)
+        want = render_tiles(bg, rays, opts, steps_per_chunk=tm.SC)
+        np.testing.assert_allclose(
+            np.asarray(got["rgb"]), np.asarray(want["rgb"]),
+            rtol=2e-2, atol=2e-2,
+        )
+
+        rgb, gd, gsh, aux = tm.render_fused_tiles_pallas(
+            bg, rays, gt, opts
+        )
+
+        def loss_fn(dens, sh):
+            b = replace(bg, density_bricks=dens, sh_bricks=sh)
+            out = render_tiles(b, rays, opts, steps_per_chunk=tm.SC)
+            return jnp.mean((out["rgb"] - gt) ** 2)
+
+        want_d, want_s = jax.grad(loss_fn, argnums=(0, 1))(
+            bg.density_bricks, bg.sh_bricks
+        )
+        wd, ws = np.asarray(want_d), np.asarray(want_s)
+        gd, gsh = np.asarray(gd), np.asarray(gsh)
+        scale_d = max(np.abs(wd).max(), 1e-12)
+        scale_s = max(np.abs(ws).max(), 1e-12)
+        np.testing.assert_allclose(gd / scale_d, wd / scale_d, atol=3e-2)
+        np.testing.assert_allclose(gsh / scale_s, ws / scale_s, atol=3e-2)
+
     def test_grad_direction_reduces_loss(self):
         bg, rays, gt = self._setup(seed=5)
         loss_fn = self._twin_loss(bg, rays, gt)

@@ -51,6 +51,32 @@ class TestBrickGrid:
         s2 = np.asarray(g2.sh_data)[L2[act]]
         np.testing.assert_allclose(s1, s2, rtol=1e-6)
 
+    def test_create_brick_grid_matches_from_sparse(self):
+        """Direct on-device construction == SparseGrid.create round trip
+        (cell occupancy + init values); bench 512^3 setup relies on it."""
+        from nerf_projects_tpu.ops.brick_grid import create_brick_grid
+
+        g = SparseGrid.create(
+            32, basis_dim=4, use_sphere_bound=True, init_density=0.7
+        )
+        bg_direct = create_brick_grid(32, basis_dim=4, init_density=0.7)
+        g2 = to_sparse_grid(bg_direct)
+        np.testing.assert_array_equal(
+            np.asarray(g2.links) >= 0, np.asarray(g.links) >= 0
+        )
+        L1, L2 = np.asarray(g.links), np.asarray(g2.links)
+        act = L1 >= 0
+        np.testing.assert_allclose(
+            np.asarray(g.density_data)[L1[act]],
+            np.asarray(g2.density_data)[L2[act]],
+            atol=1e-6,
+        )
+        # brick actives are a superset of from_sparse_grid's (closest-
+        # point test); every data-carrying brick is present
+        bg_rt = from_sparse_grid(g)
+        assert bg_direct.n_bricks >= bg_rt.n_bricks
+        assert bg_direct.reso == bg_rt.reso
+
     def test_gather_windows_matches_dense(self):
         g = random_grid(32, 4)
         bg = from_sparse_grid(g)
