@@ -788,7 +788,7 @@ def kernel_layout_to_sh(gsh_kernel: jnp.ndarray, basis_dim: int):
     return x.reshape(nb, 512, 3 * basis_dim)
 
 
-def render_fused_tiles_pallas(
+def fused_grad_blocks(
     bg: BrickGrid,
     rays: Rays,
     rgb_gt: jnp.ndarray,
@@ -798,14 +798,16 @@ def render_fused_tiles_pallas(
     sparsity_loss: float = 0.0,
     n_chunks: Optional[int] = None,
     use_occupancy: bool = False,
+    kernel_arrays=None,
 ):
-    """Fused render + gradient over [T, 128] tiles — the reference
-    volume_render_fused: returns (rgb_out [T,128,3],
-    grad_density_bricks [nb,512], grad_sh_bricks [nb,512,ch], aux dict).
+    """Fused render + gradient, stopping BEFORE the dense scatter:
+    returns (rgb_out [T,128,3], gd_blocks [T,C,8,8,64],
+    gsh_blocks [T,C,8,B,8,192], rows [T,C,8] (nb = sentinel), aux).
 
-    The MSE gradient 2*(rgb-gt)/(3N) is generated internally; beta and
-    sparsity loss gradients are fused exactly as the CUDA kernel fuses
-    them (beta scaled 1/N_rays; Cauchy sparsity per sample).
+    `kernel_arrays`: optional prebuilt (density_z, sh_z) bf16
+    kernel-layout arrays with sentinel row — skips the per-step
+    full-grid relayout (the sparse trainer maintains them
+    incrementally).
     """
     if rays.origins.shape[1] not in (128, 256):
         raise ValueError("tile size must be 128 or 256 rays")
@@ -827,7 +829,10 @@ def render_fused_tiles_pallas(
     basisf = eval_sh_bases(bg.basis_dim, _mean_viewdirs(rays)).astype(
         jnp.float32
     )
-    density_z, sh_z = _kernel_arrays(bg)
+    if kernel_arrays is not None:
+        density_z, sh_z = kernel_arrays
+    else:
+        density_z, sh_z = _kernel_arrays(bg)
 
     # forward for rgb_out
     fwd = _march_call(density_z, sh_z, rows, orig, basisf, pack, C,
@@ -857,6 +862,39 @@ def render_fused_tiles_pallas(
         float(sparsity_loss), opts.color_mode,
     )
 
+    aux = {
+        "acc": acc,
+        "log_transmit": -fwd[:, 5],
+        "sparsity_sum": fwd[:, 6],
+        "window_miss": jnp.sum(fwd[:, 7]) / (T * rays.origins.shape[1] * SC * C),
+    }
+    return rgb_out, gd_blocks, gsh_blocks, rows, aux
+
+
+def render_fused_tiles_pallas(
+    bg: BrickGrid,
+    rays: Rays,
+    rgb_gt: jnp.ndarray,
+    opts: GridRenderOptions = GridRenderOptions(),
+    *,
+    beta_loss: float = 0.0,
+    sparsity_loss: float = 0.0,
+    n_chunks: Optional[int] = None,
+    use_occupancy: bool = False,
+):
+    """Fused render + gradient over [T, 128] tiles — the reference
+    volume_render_fused: returns (rgb_out [T,128,3],
+    grad_density_bricks [nb,512], grad_sh_bricks [nb,512,ch], aux dict).
+
+    The MSE gradient 2*(rgb-gt)/(3N) is generated internally; beta and
+    sparsity loss gradients are fused exactly as the CUDA kernel fuses
+    them (beta scaled 1/N_rays; Cauchy sparsity per sample).
+    """
+    rgb_out, gd_blocks, gsh_blocks, rows, aux = fused_grad_blocks(
+        bg, rays, rgb_gt, opts,
+        beta_loss=beta_loss, sparsity_loss=sparsity_loss,
+        n_chunks=n_chunks, use_occupancy=use_occupancy,
+    )
     # scatter-add per-corner blocks into the compact brick arrays
     flat_rows = rows.reshape(-1)                       # [T*C*8]
     nb = bg.n_bricks
@@ -871,10 +909,4 @@ def render_fused_tiles_pallas(
 
     grad_density = gd.reshape(nb, 512)
     grad_sh = kernel_layout_to_sh(gsh_k, bg.basis_dim)
-    aux = {
-        "acc": acc,
-        "log_transmit": -fwd[:, 5],
-        "sparsity_sum": fwd[:, 6],
-        "window_miss": jnp.sum(fwd[:, 7]) / (T * rays.origins.shape[1] * SC * C),
-    }
     return rgb_out, grad_density, grad_sh, aux

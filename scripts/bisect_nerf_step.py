@@ -205,6 +205,31 @@ def main():
 
     report("fwd+compositing_bwd_only", slope(scan_runner(build_stopgrad)))
 
+    # ---- g. raw fused kernel (in-kernel posenc) fwd+bwd on fixed points
+    from nerf_projects_tpu.ops.pallas.fused_mlp import fused_apply_raw
+
+    d_rep = jnp.repeat(d, N_SAMPLES, axis=0)
+
+    def build_raw(n):
+        def f():
+            def body(p, i):
+                def loss_fn(p):
+                    raw = fused_apply_raw(
+                        pack_params(p), pts_flat + i * 1e-9, d_rep
+                    )
+                    return jnp.mean(raw ** 2)
+
+                l, g = jax.value_and_grad(loss_fn)(p)
+                p = jax.tree_util.tree_map(lambda a, b: a - 5e-4 * b, p, g)
+                return p, l
+
+            p, ls = jax.lax.scan(body, params,
+                                 jnp.arange(n, dtype=jnp.float32))
+            return ls[-1]
+        return f
+
+    report("mlp_grad_raw(in-kernel posenc)", slope(scan_runner(build_raw)))
+
     print(json.dumps({"summary": results}), flush=True)
 
 
