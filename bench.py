@@ -32,9 +32,23 @@ import numpy as np
 
 BASELINE_NERF_RAYS_PER_S = 6800.0  # reference ship config (BASELINE.md)
 
-N_RAND = 1024
-N_SAMPLES = 96
-N_IMPORTANCE = 192
+# BENCH_SMOKE=1: tiny shapes + Pallas interpret mode — validates the
+# workload wiring on CPU (numbers meaningless).
+SMOKE = os.environ.get("BENCH_SMOKE", "") == "1"
+
+N_RAND = 256 if SMOKE else 1024
+N_SAMPLES = 8 if SMOKE else 96
+N_IMPORTANCE = 16 if SMOKE else 192
+
+if SMOKE:
+    import nerf_projects_tpu.ops.pallas.fused_mlp as _fm
+    import nerf_projects_tpu.ops.pallas.fused_sh_mlp as _fsh
+    import nerf_projects_tpu.ops.pallas.tile_march as _tm
+
+    jax.config.update("jax_platforms", "cpu")
+    _tm.INTERPRET = True
+    _fm.INTERPRET = True
+    _fsh.INTERPRET = True
 
 
 def emit(metric, value, unit, vs_baseline=None, **extra):
@@ -52,6 +66,8 @@ def emit(metric, value, unit, vs_baseline=None, **extra):
 
 def slope_timed(run, lo=10, hi=60, repeats=3):
     """run(k) executes k steps ending in a host readback."""
+    if SMOKE:
+        lo, hi, repeats = 1, 2, 1
     run(lo)
     run(hi)
     slopes = []
@@ -156,8 +172,12 @@ def _tile_rays(key, n_tiles, radius=3.0, focal_px=800.0):
 
 
 def bench_plenoxels_train(reso=256, tiles=40):
+    if SMOKE:
+        reso, tiles = 32, 2
     from nerf_projects_tpu.ops.grid import GridRenderOptions
     from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
+
+    import functools
 
     bg = _plenoxels_setup(reso)
     trainer = PlenoxelsTrainer(
@@ -168,18 +188,28 @@ def bench_plenoxels_train(reso=256, tiles=40):
     rays = _tile_rays(jax.random.PRNGKey(2), tiles)
     target = jnp.full(rays.origins.shape[:2] + (3,), 0.4)
 
+    # scan-wrapped steps: per-dispatch host cost (~15-30 ms through the
+    # relay) would otherwise swamp the step time
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def scan_steps(k, b, r, key):
+        def body(carry, i):
+            b, r = carry
+            b, r, stats = trainer.train_step_tiles_pallas(
+                b, r, rays, target, i, jax.random.fold_in(key, i.astype(jnp.int32)),
+            )
+            return (b, r), stats["mse"]
+
+        (b, r), mses = jax.lax.scan(
+            body, (b, r), jnp.arange(k, dtype=jnp.float32)
+        )
+        return b, r, mses
+
     holder = {"bg": bg, "rms": rms}
 
     def run(k):
-        b, r = holder["bg"], holder["rms"]
-        last = None
-        for i in range(k):
-            b, r, stats = trainer.train_step_tiles_pallas(
-                b, r, rays, target, jnp.asarray(float(i)),
-                jax.random.PRNGKey(i),
-            )
-            last = stats
-        _ = float(last["mse"])
+        b, r, mses = scan_steps(k, holder["bg"], holder["rms"],
+                                jax.random.PRNGKey(k))
+        _ = float(mses[-1])
         holder["bg"], holder["rms"] = b, r
 
     per_step = slope_timed(run, lo=5, hi=25)
@@ -195,26 +225,50 @@ def bench_plenoxels_train(reso=256, tiles=40):
 
 # ---------------------------------------------------------------------------
 def bench_grid_render_fps(reso=512, frame=(800, 800)):
+    if SMOKE:
+        reso = 32
     from nerf_projects_tpu.ops.grid import GridRenderOptions
-    from nerf_projects_tpu.ops.pallas.tile_march import render_tiles_pallas
+    from nerf_projects_tpu.ops.pallas.tile_march import (
+        build_kernel_arrays,
+        geometry_only,
+        render_tiles_pallas,
+    )
 
     bg = _plenoxels_setup(reso)
     opts = GridRenderOptions(step_size=0.5)
     n_rays = frame[0] * frame[1]
     tiles = n_rays // 128
     # render in batches of tiles under one jitted callable
-    batch = 125  # tiles per call -> 16k rays
+    batch = 2 if SMOKE else 125  # tiles per call -> 16k rays
     rays = _tile_rays(jax.random.PRNGKey(3), batch, focal_px=800.0)
 
-    call = jax.jit(lambda r: render_tiles_pallas(bg, r, opts)["rgb"])
+    # prebuild the bf16 kernel-layout arrays ONCE (the eval-path setup
+    # cost, like the reference's renderer init) and free the fp32
+    # masters — per-frame work is then march-only.
+    ka = jax.block_until_ready(build_kernel_arrays(bg))
+    bg = geometry_only(bg)
+
+    def scan_call(k):
+        def body(acc, i):
+            out = render_tiles_pallas(
+                bg,
+                rays._replace(origins=rays.origins + i * 1e-6),
+                opts,
+                kernel_arrays=ka,
+            )["rgb"]
+            return acc + out.sum(), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros(()), jnp.arange(k, dtype=jnp.float32)
+        )
+        return acc
+
+    calls = {}
 
     def run(k):
-        out = None
-        for i in range(k):
-            out = call(
-                rays._replace(origins=rays.origins + i * 1e-6)
-            )
-        _ = float(out.sum())
+        if k not in calls:
+            calls[k] = jax.jit(lambda k=k: scan_call(k))
+        _ = float(calls[k]())
 
     per_batch = slope_timed(run, lo=3, hi=12)
     frame_s = per_batch * (tiles / batch)
@@ -229,19 +283,19 @@ def bench_grid_render_fps(reso=512, frame=(800, 800)):
 
 # ---------------------------------------------------------------------------
 def bench_nerf_sh_train():
+    from nerf_projects_tpu.models.nerf_sh import NeRFSHModel
     from nerf_projects_tpu.train.nerf_sh_trainer import NeRFSHTrainer
 
-    try:
-        trainer = NeRFSHTrainer(
-            batch_size=N_RAND,
-            num_coarse_samples=64,
-            num_fine_samples=128,
-            sh_deg=2,
-            use_fused_trunk=True,
-        )
-    except TypeError:
-        # constructor signature drift guard
-        trainer = NeRFSHTrainer()
+    model = NeRFSHModel(
+        sh_deg=2,
+        num_coarse_samples=8 if SMOKE else 64,
+        num_fine_samples=16 if SMOKE else 128,
+        near=2.0,
+        far=6.0,
+        white_bkgd=True,
+        use_fused_trunk=True,
+    )
+    trainer = NeRFSHTrainer(model)
     state = trainer.init_state(jax.random.PRNGKey(0))
     d = jax.random.normal(jax.random.PRNGKey(1), (N_RAND, 3))
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
@@ -250,14 +304,21 @@ def bench_nerf_sh_train():
     rays = Rays(jnp.zeros((N_RAND, 3)), d, d)
     target = jnp.full((N_RAND, 3), 0.4)
 
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def scan_steps(k, s):
+        def body(s, _):
+            s, stats = trainer.train_step(s, rays, target)
+            return s, stats["loss"]
+
+        return jax.lax.scan(body, s, None, length=k)
+
     holder = {"state": state}
 
     def run(k):
-        s = holder["state"]
-        stats = None
-        for i in range(k):
-            s, stats = trainer.train_step(s, rays, target)
-        _ = float(stats["loss"])
+        s, losses = scan_steps(k, holder["state"])
+        _ = float(losses[-1])
         holder["state"] = s
 
     per_step = slope_timed(run, lo=5, hi=25)

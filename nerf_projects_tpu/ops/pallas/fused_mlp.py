@@ -219,31 +219,37 @@ def _block_perm(n_freqs: int, dims: int = 3) -> list:
     return perm
 
 
-def _fwd_tile(x, v, W):
-    """Forward for one [T, 64]/[T, 32] tile; returns activations dict."""
+def _fwd_tile(x, v, W, stash_dtype=None):
+    """Forward for one [T, 64]/[T, 32] tile; returns activations dict.
+
+    stash_dtype: cast stashed activations (e.g. bf16 to halve the VMEM
+    stash in a fwd+bwd mega-kernel); the backward only consumes them as
+    bf16 matmul operands and sign masks, so bf16 loses nothing but the
+    mask threshold resolution."""
+    st = (lambda a: a.astype(stash_dtype)) if stash_dtype else (lambda a: a)
     acts = {}
     h = jnp.maximum(_mm(x, W.w0) + W.b0.astype(jnp.float32), 0.0)
-    acts["a0"] = h
+    acts["a0"] = st(h)
     for i, (w, b) in enumerate(
         [(W.w1, W.b1), (W.w2, W.b2), (W.w3, W.b3), (W.w4, W.b4)], start=1
     ):
         h = jnp.maximum(_mm(h, w) + b.astype(jnp.float32), 0.0)
-        acts[f"a{i}"] = h
+        acts[f"a{i}"] = st(h)
     cat = jnp.concatenate([x.astype(jnp.float32), h], axis=-1)  # [T, 320]
-    acts["cat"] = cat
+    acts["cat"] = st(cat)
     h = jnp.maximum(_mm(cat, W.w5) + W.b5.astype(jnp.float32), 0.0)
-    acts["a5"] = h
+    acts["a5"] = st(h)
     h = jnp.maximum(_mm(h, W.w6) + W.b6.astype(jnp.float32), 0.0)
-    acts["a6"] = h
+    acts["a6"] = st(h)
     h = jnp.maximum(_mm(h, W.w7) + W.b7.astype(jnp.float32), 0.0)
-    acts["a7"] = h
+    acts["a7"] = st(h)
     sig = _mm(h, W.wsig) + W.bsig.astype(jnp.float32)       # [T, 128]
     bneck = _mm(h, W.wb) + W.bb.astype(jnp.float32)          # [T, 256]
-    acts["bneck"] = bneck
+    acts["bneck"] = st(bneck)
     catv = jnp.concatenate([bneck, v.astype(jnp.float32)], axis=-1)  # [T, 288]
-    acts["catv"] = catv
+    acts["catv"] = st(catv)
     hv = jnp.maximum(_mm(catv, W.wv) + W.bv.astype(jnp.float32), 0.0)
-    acts["hv"] = hv
+    acts["hv"] = st(hv)
     rgb = _mm(hv, W.wrgb) + W.brgb.astype(jnp.float32)       # [T, 128]
     return rgb, sig, acts
 
@@ -297,6 +303,14 @@ def _bwd_body(x, v, refs):
     g_rgb = jnp.where(col < 4, g_rgb, 0.0)
     g_sig = jnp.where(col < 4, g_sig, 0.0)
 
+    _mlp_backward(x, v, W, acts, g_rgb, g_sig, gw_refs)
+
+
+def _mlp_backward(x, v, W, acts, g_rgb, g_sig, gw_refs):
+    """Weight-gradient backward from head gradients (g_rgb/g_sig
+    [T, 128], live cols 0..3) over stashed activations; accumulates
+    into gw_refs across grid programs. Shared by the standalone
+    backward kernels and the fused train-step mega-kernel."""
     bf = jnp.bfloat16
 
     def mmT(a, b):  # a[T, I]^T @ b[T, O] -> [I, O] f32

@@ -326,6 +326,23 @@ def _kernel_arrays(bg: BrickGrid):
     return density_z, sh_z
 
 
+build_kernel_arrays = jax.jit(_kernel_arrays)
+
+
+def geometry_only(bg: BrickGrid) -> BrickGrid:
+    """Shrink the fp32 master data arrays to free HBM, keeping the
+    geometry (links/coords/mask) and n_bricks intact — valid wherever
+    prebuilt `kernel_arrays` are supplied (eval/render paths)."""
+    import dataclasses
+
+    nb = bg.n_bricks
+    return dataclasses.replace(
+        bg,
+        density_bricks=jnp.zeros((nb, 1), bg.density_bricks.dtype),
+        sh_bricks=jnp.zeros((nb, 1, 1), bg.sh_bricks.dtype),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_chunks", "basis_dim", "color_mode")
 )
@@ -443,13 +460,20 @@ def render_tiles_pallas(
     n_chunks: Optional[int] = None,
     use_occupancy: bool = False,
     return_depth: bool = False,
+    kernel_arrays=None,
 ):
     """Fused Pallas forward render of [T, 128] coherent ray tiles.
 
     Semantics match ops/tile_render.render_tiles(steps_per_chunk=16)
     with the analytic window plan. sigma_thresh/stop_thresh are the
     GridRenderOptions defaults (compiled into the kernel).
-    """
+
+    `kernel_arrays`: optional prebuilt (density_z, sh_z) bf16
+    kernel-layout arrays (see `_kernel_arrays` / `build_kernel_arrays`)
+    — skips the per-call full-grid relayout, which at large reso
+    dominates a frame render. With prebuilt arrays the data fields of
+    `bg` are never read, so callers may pass a geometry-only grid
+    (masters shrunk to free HBM)."""
     if rays.origins.shape[1] not in (128, 256):
         raise ValueError("tile size must be 128 or 256 rays")
     if opts.color_mode not in ("bias", "sigmoid"):
@@ -468,7 +492,10 @@ def render_tiles_pallas(
     wb, rows = _plan_windows(bg, geom, C)
     orig = (wb * BRICK).astype(jnp.int32)
 
-    density_z, sh_z = _kernel_arrays(bg)
+    if kernel_arrays is not None:
+        density_z, sh_z = kernel_arrays
+    else:
+        density_z, sh_z = _kernel_arrays(bg)
     basisf = eval_sh_bases(
         bg.basis_dim,
         _mean_viewdirs(rays),

@@ -46,30 +46,41 @@ def _neighbor_rows(bg: BrickGrid, rows: jnp.ndarray, axis: int):
     return jnp.where(oob, -1, nbr)
 
 
-def tv_grad_bricks(
+def tv_grad_brick_blocks(
     bg: BrickGrid,
     data: jnp.ndarray,
     rows: jnp.ndarray,
     *,
     scale: float,
     ignore_edge: bool,
-) -> jnp.ndarray:
-    """TV gradient contribution, scatter-added into zeros_like(data).
+):
+    """Block form of `tv_grad_bricks`: returns (rows4 [4w], vals4
+    [4w, 512, C]) where rows4 may contain -1 (no neighbor; the matching
+    vals are zero). Row ids repeat; contributions are additive. The
+    row-sparse trainer consumes this directly without materialising an
+    O(nb) gradient array.
 
-    data: [nb, 512] (density) or [nb, 512, C] (SH). rows: sampled brick
-    row ids [w]. ignore_edge matches the reference flag (False for
-    density, True for SH: empty-neighbor diffs are zeroed).
+    data: [nb, 512] (density) or [nb, 512, C] (SH), OR a callable
+    fetch(rows [w]) -> [w, 512, C] (the sparse trainer reads rows out
+    of its kernel-layout state without a master-layout array existing).
+    rows: sampled brick row ids [w]. ignore_edge matches the reference
+    flag (False for density, True for SH: empty-neighbor diffs are
+    zeroed).
     """
-    squeeze = data.ndim == 2
-    if squeeze:
-        data = data[..., None]
-    nb, _, C = data.shape
+    if callable(data):
+        fetch = data
+    else:
+        if data.ndim == 2:
+            data = data[..., None]
+        fetch = lambda r: data[r]  # noqa: E731
     w = rows.shape[0]
     B = BRICK
 
     def brick_vals(r):
         safe = jnp.maximum(r, 0)
-        vals = jnp.where((r >= 0)[:, None, None], data[safe], 0.0)
+        vals = fetch(safe)
+        C = vals.shape[-1]
+        vals = jnp.where((r >= 0)[:, None, None], vals, 0.0)
         mask = jnp.where(
             (r >= 0)[:, None], bg.cell_mask[safe], False
         )
@@ -79,6 +90,7 @@ def tv_grad_bricks(
         )
 
     v, m = brick_vals(rows)
+    C, vdtype = v.shape[-1], v.dtype
     nxr = _neighbor_rows(bg, rows, 0)
     nyr = _neighbor_rows(bg, rows, 1)
     nzr = _neighbor_rows(bg, rows, 2)
@@ -126,22 +138,44 @@ def tv_grad_bricks(
     # cross-brick face parts: last plane of g goes to the neighbor's
     # first plane
     def face_brick(plane, axis):
-        buf = jnp.zeros((w, B, B, B, C), data.dtype)
+        buf = jnp.zeros((w, B, B, B, C), vdtype)
         if axis == 0:
             return buf.at[:, 0].set(plane)
         if axis == 1:
             return buf.at[:, :, 0].set(plane)
         return buf.at[:, :, :, 0].set(plane)
 
-    grad = jnp.zeros_like(data)
+    rows4 = jnp.concatenate([rows, nxr, nyr, nzr])
+    vals4 = jnp.concatenate(
+        [
+            local.reshape(w, B**3, C),
+            face_brick(gx[:, -1], 0).reshape(w, B**3, C),
+            face_brick(gy[:, :, -1], 1).reshape(w, B**3, C),
+            face_brick(gz[:, :, :, -1], 2).reshape(w, B**3, C),
+        ]
+    )
+    vals4 = jnp.where((rows4 >= 0)[:, None, None], vals4, 0.0)
+    return rows4, vals4
 
-    def add_rows(grad, r, vals):
-        safe = jnp.maximum(r, 0)
-        vals = jnp.where((r >= 0)[:, None, None], vals.reshape(w, B**3, C), 0.0)
-        return grad.at[safe].add(vals)
 
-    grad = add_rows(grad, rows, local)
-    grad = add_rows(grad, nxr, face_brick(gx[:, -1], 0))
-    grad = add_rows(grad, nyr, face_brick(gy[:, :, -1], 1))
-    grad = add_rows(grad, nzr, face_brick(gz[:, :, :, -1], 2))
+def tv_grad_bricks(
+    bg: BrickGrid,
+    data: jnp.ndarray,
+    rows: jnp.ndarray,
+    *,
+    scale: float,
+    ignore_edge: bool,
+) -> jnp.ndarray:
+    """TV gradient contribution, scatter-added into zeros_like(data).
+
+    See `tv_grad_brick_blocks` for the block form and argument docs.
+    """
+    squeeze = data.ndim == 2
+    rows4, vals4 = tv_grad_brick_blocks(
+        bg, data, rows, scale=scale, ignore_edge=ignore_edge
+    )
+    grad = jnp.zeros(
+        data.shape if not squeeze else data.shape + (1,), data.dtype
+    )
+    grad = grad.at[jnp.maximum(rows4, 0)].add(vals4)
     return grad[..., 0] if squeeze else grad

@@ -1,0 +1,313 @@
+"""Row-sparse Plenoxels training: O(touched bricks) per step.
+
+The dense tile step (`PlenoxelsTrainer.train_step_tiles_pallas`) pays
+three O(grid)-sized costs every step: the fp32->bf16 kernel-layout
+relayout, the dense gradient scatter (zeros + add), and the full-array
+RMSprop sweep. At the reference's post-upsample 512^3 those sweeps move
+tens of GB of HBM per step. This module removes all three:
+
+  * the bf16 kernel-layout arrays (`density_z`/`sh_z`) are maintained
+    INCREMENTALLY — only rows touched this step are rewritten;
+  * render + TV gradients stay in per-row block form
+    (`fused_grad_blocks`, `tv_grad_brick_blocks`) and are segment-summed
+    onto the step's unique touched rows — no dense gradient array ever
+    exists;
+  * RMSprop runs only on touched rows, with EXACT lazy decay
+    compensation: a row untouched for D steps has zero gradient there,
+    so the dense recursion rms <- b*rms degenerates to rms *= b^D —
+    applied in closed form from a per-row `last_step` stamp. The result
+    is bit-for-bit the dense optimizer semantics (reference
+    optim_kernel.cu:20-27) at sparse cost.
+
+Unsupported here (use the dense step): lambda_l2_sh and
+lambda_tv_lumisphere — both touch every cell every step by definition.
+
+Parity target: reference svox2/opt/opt.py:699-842 fused step; the CUDA
+original is also sparse in exactly this sense (atomics into touched
+cells only), but pairs it with a full-grid optimizer sweep
+(svox2.py:1540-1557) that a TPU cannot afford at 512^3.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nerf_projects_tpu.core.rays import Rays
+from nerf_projects_tpu.ops.brick_grid import BrickGrid
+from nerf_projects_tpu.ops.pallas.tile_march import (
+    fused_grad_blocks,
+    kernel_layout_to_sh,
+    sh_to_kernel_layout,
+)
+from nerf_projects_tpu.ops.tv_bricks import (
+    sample_brick_window,
+    tv_grad_brick_blocks,
+)
+
+
+class SparseBrickState(NamedTuple):
+    """Trainable grid state in kernel layout, with a sentinel row at
+    index nb (always zero in the z-arrays; marching reads it for empty
+    bricks)."""
+
+    density_k: jnp.ndarray   # f32 [nb+1, 8, 64] master
+    sh_k: jnp.ndarray        # f32 [nb+1, B, 8, 192] master
+    density_z: jnp.ndarray   # bf16 copy of density_k (kernel input)
+    sh_z: jnp.ndarray        # bf16 copy of sh_k (kernel input)
+    rms_density: jnp.ndarray  # f32 [nb+1, 8, 64]
+    rms_sh: jnp.ndarray       # f32 [nb+1, B, 8, 192]
+    last_step: jnp.ndarray    # int32 [nb+1]
+
+    @property
+    def n_bricks(self) -> int:
+        return self.density_k.shape[0] - 1
+
+    @property
+    def basis_dim(self) -> int:
+        return self.sh_k.shape[1]
+
+
+def _append_row(x):
+    return jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+
+
+def sparse_state_from_grid(bg: BrickGrid) -> SparseBrickState:
+    """Build the incremental state from a BrickGrid's fp32 masters."""
+    nb, B = bg.n_bricks, bg.basis_dim
+    dk = _append_row(
+        bg.density_bricks.reshape(nb, 8, 64).astype(jnp.float32)
+    )
+    sk = _append_row(
+        sh_to_kernel_layout(bg.sh_bricks.astype(jnp.float32), B)
+    )
+    return SparseBrickState(
+        density_k=dk,
+        sh_k=sk,
+        density_z=dk.astype(jnp.bfloat16),
+        sh_z=sk.astype(jnp.bfloat16),
+        rms_density=jnp.zeros_like(dk),
+        rms_sh=jnp.zeros_like(sk),
+        last_step=jnp.full((nb + 1,), -1, jnp.int32),
+    )
+
+
+def grid_from_sparse_state(bg: BrickGrid, st: SparseBrickState) -> BrickGrid:
+    """Write the trained masters back into (a copy of) `bg`."""
+    from dataclasses import replace
+
+    nb, B = st.n_bricks, st.basis_dim
+    density = st.density_k[:nb].reshape(nb, 512)
+    sh = kernel_layout_to_sh(st.sh_k[:nb], B)
+    return replace(bg, density_bricks=density, sh_bricks=sh)
+
+
+def _mask_kernel_layouts(cell_mask_rows: jnp.ndarray, basis_dim: int):
+    """cell_mask rows [K, 512] -> kernel-layout masks
+    ([K, 8, 64] f32, [K, B, 8, 192] f32)."""
+    k = cell_mask_rows.shape[0]
+    m = cell_mask_rows.astype(jnp.float32)
+    md = m.reshape(k, 8, 64)
+    msh = jnp.broadcast_to(
+        m.reshape(k, 1, 8, 8, 8, 1), (k, basis_dim, 8, 8, 8, 3)
+    ).reshape(k, basis_dim, 8, 192)
+    return md, msh
+
+
+def _finalize_rms(trainer, optim, data, grad, rms, decay, lr, minval=None):
+    """The dense `_optim` recursion with the closed-form b^D lazy decay
+    folded in (exact: untouched steps have g == 0)."""
+    if optim == "rmsprop":
+        b = trainer.rms_beta
+        rms = decay * rms + (1.0 - b) * grad * grad
+        new = data - lr * grad / (jnp.sqrt(rms) + 1e-8)
+    else:  # sgd
+        new = data - lr * grad
+    if minval is not None:
+        new = jnp.maximum(new, minval)
+    return new, rms
+
+
+def train_step_tiles_sparse(
+    trainer,
+    bg: BrickGrid,
+    st: SparseBrickState,
+    rays: Rays,
+    target: jnp.ndarray,
+    step: jnp.ndarray,
+    key: jax.Array,
+    *,
+    max_touched: Optional[int] = None,
+    use_occupancy: bool = False,
+):
+    """One row-sparse fused train step. `bg` supplies geometry only (may
+    be `geometry_only`-slimmed); all data lives in `st`.
+
+    `step` must be an int32 scalar (the global step counter).
+    `max_touched`: static bound on unique touched bricks per step
+    (default: exact — total contribution count, never overflows).
+    Contributions beyond the bound are dropped and reported in
+    stats["touched_overflow"].
+    """
+    if trainer.lambda_l2_sh > 0 or trainer.lambda_tv_lumisphere > 0:
+        raise ValueError(
+            "sparse step does not support lambda_l2_sh / "
+            "lambda_tv_lumisphere (full-grid regularizers); use "
+            "train_step_tiles_pallas"
+        )
+    nb, B = st.n_bricks, st.basis_dim
+    fstep = step.astype(jnp.float32)
+
+    rgb, gd_blocks, gsh_blocks, rows, aux = fused_grad_blocks(
+        bg, rays, target, trainer.opts,
+        beta_loss=trainer.lambda_beta,
+        sparsity_loss=trainer.lambda_sparsity,
+        use_occupancy=use_occupancy,
+        kernel_arrays=(st.density_z, st.sh_z),
+    )
+    mse = jnp.mean((rgb - target) ** 2)
+
+    rows_r = rows.reshape(-1)                               # [M1]
+    gd_flat = gd_blocks.reshape(-1, 8, 64)
+    gsh_flat = gsh_blocks.reshape(-1, B, 8, 192)
+
+    # ---- sampled TV in block form ------------------------------------
+    k_tv, k_sh = jax.random.split(key)
+    tv_parts = []
+
+    def fetch_density(r):
+        return st.density_k[r].reshape(-1, 512, 1)
+
+    def fetch_sh(r):
+        return kernel_layout_to_sh(st.sh_k[r], B)
+
+    if trainer.lambda_tv > 0:
+        w = max(int(trainer.tv_sparsity * nb), 1)
+        srows = sample_brick_window(k_tv, nb, w)
+        r4, v4 = tv_grad_brick_blocks(
+            bg, fetch_density, srows,
+            scale=trainer.lambda_tv, ignore_edge=False,
+        )
+        tv_parts.append(("d", r4, v4))
+    if trainer.lambda_tv_sh > 0:
+        w = max(int(trainer.tv_sh_sparsity * nb), 1)
+        srows = sample_brick_window(k_sh, nb, w)
+        r4, v4 = tv_grad_brick_blocks(
+            bg, fetch_sh, srows,
+            scale=trainer.lambda_tv_sh, ignore_edge=True,
+        )
+        tv_parts.append(("s", r4, v4))
+
+    # combined row list (sentinel nb replaces "no row")
+    all_rows = [rows_r]
+    for _, r4, _v in tv_parts:
+        all_rows.append(jnp.where(r4 < 0, nb, r4).astype(rows_r.dtype))
+    rows_all = jnp.concatenate(all_rows)
+    m_total = int(rows_all.shape[0])
+    k_cap = max_touched if max_touched is not None else min(
+        m_total, nb + 1
+    )
+
+    uniq = jnp.unique(rows_all, size=k_cap, fill_value=nb)
+    pos_all = jnp.clip(
+        jnp.searchsorted(uniq, rows_all), 0, k_cap - 1
+    ).astype(jnp.int32)
+    valid_all = uniq[pos_all] == rows_all
+    overflow = 1.0 - jnp.mean(valid_all.astype(jnp.float32))
+
+    # segment-sum the render blocks
+    m1 = rows_r.shape[0]
+    pos_r, ok_r = pos_all[:m1], valid_all[:m1]
+    acc_d = jnp.zeros((k_cap, 8, 64), jnp.float32).at[pos_r].add(
+        jnp.where(ok_r[:, None, None], gd_flat, 0.0)
+    )
+    acc_sh = jnp.zeros((k_cap, B, 8, 192), jnp.float32).at[pos_r].add(
+        jnp.where(ok_r[:, None, None, None], gsh_flat, 0.0)
+    )
+    # + TV blocks (converted to kernel layout)
+    off = m1
+    for kind, r4, v4 in tv_parts:
+        n4 = r4.shape[0]
+        p, ok = pos_all[off : off + n4], valid_all[off : off + n4]
+        off += n4
+        if kind == "d":
+            blk = v4[..., 0].reshape(n4, 8, 64)
+            acc_d = acc_d.at[p].add(
+                jnp.where(ok[:, None, None], blk, 0.0)
+            )
+        else:
+            blk = sh_to_kernel_layout(v4, B)
+            acc_sh = acc_sh.at[p].add(
+                jnp.where(ok[:, None, None, None], blk, 0.0)
+            )
+
+    # ---- lazy-exact optimizer on the touched rows --------------------
+    mask_rows = jnp.concatenate(
+        [bg.cell_mask, jnp.zeros_like(bg.cell_mask[:1])]
+    )[uniq]
+    md, msh = _mask_kernel_layouts(mask_rows, B)
+    acc_d = acc_d * md
+    acc_sh = acc_sh * msh
+
+    delta = (step - st.last_step[uniq]).astype(jnp.float32)
+    if trainer.sigma_optim == "rmsprop" or trainer.sh_optim == "rmsprop":
+        decay = jnp.power(trainer.rms_beta, delta)
+    else:
+        decay = jnp.ones_like(delta)
+
+    lr_sigma = trainer.lr_sigma_fn(fstep)
+    lr_sh = trainer.lr_sh_fn(fstep)
+
+    d_rows = st.density_k[uniq]
+    new_d, rms_d = _finalize_rms(
+        trainer, trainer.sigma_optim, d_rows, acc_d,
+        st.rms_density[uniq], decay[:, None, None], lr_sigma,
+        minval=trainer.density_minval,
+    )
+    new_d = new_d * md
+    s_rows = st.sh_k[uniq]
+    new_s, rms_s = _finalize_rms(
+        trainer, trainer.sh_optim, s_rows, acc_sh,
+        st.rms_sh[uniq], decay[:, None, None, None], lr_sh,
+    )
+
+    # ---- scatter back (unique indices; sentinel re-zeroed) -----------
+    def put(arr, vals):
+        return arr.at[uniq].set(vals).at[nb].set(0.0)
+
+    new_st = SparseBrickState(
+        density_k=put(st.density_k, new_d),
+        sh_k=put(st.sh_k, new_s),
+        density_z=put(st.density_z, new_d.astype(jnp.bfloat16)),
+        sh_z=put(st.sh_z, new_s.astype(jnp.bfloat16)),
+        rms_density=st.rms_density.at[uniq].set(rms_d),
+        rms_sh=st.rms_sh.at[uniq].set(rms_s),
+        last_step=st.last_step.at[uniq].set(step).at[nb].set(-1),
+    )
+    psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)
+    stats = {
+        "loss": mse,
+        "mse": mse,
+        "psnr": psnr,
+        "window_miss": aux["window_miss"],
+        "touched_overflow": overflow,
+    }
+    return new_st, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("max_touched", "use_occupancy"),
+    donate_argnums=(2,),
+)
+def train_step_tiles_sparse_jit(
+    trainer, bg, st, rays, target, step, key, *,
+    max_touched=None, use_occupancy=False,
+):
+    return train_step_tiles_sparse(
+        trainer, bg, st, rays, target, step, key,
+        max_touched=max_touched, use_occupancy=use_occupancy,
+    )

@@ -83,6 +83,20 @@ class TestPallasMarch:
             rtol=5e-2, atol=5e-2,
         )
 
+    def test_prebuilt_kernel_arrays_match(self):
+        """Prebuilt (density_z, sh_z) + geometry-only grid == default."""
+        g = random_grid(32, seed=5)
+        bg = from_sparse_grid(g)
+        rays = tile_rays(2, seed=5)
+        opts = GridRenderOptions(step_size=0.5)
+        want = tm.render_tiles_pallas(bg, rays, opts)
+        ka = tm.build_kernel_arrays(bg)
+        slim = tm.geometry_only(bg)
+        got = tm.render_tiles_pallas(slim, rays, opts, kernel_arrays=ka)
+        np.testing.assert_array_equal(
+            np.asarray(got["rgb"]), np.asarray(want["rgb"])
+        )
+
     def test_sparsity_and_log_transmit(self):
         g = random_grid(16)
         bg = from_sparse_grid(g)
