@@ -50,6 +50,7 @@ class NeRFTrainer:
         compute_dtype=jnp.float32,
         separate_fine: bool = True,
         use_fused_mlp: bool = False,
+        use_mega: bool = False,
         mesh=None,
     ):
         self.cfg = cfg
@@ -116,6 +117,26 @@ class NeRFTrainer:
         else:
             self._apply_fn = None
         self.separate_fine = separate_fine and cfg.num_fine_samples > 0
+        # The fused train-step mega-kernel (fwd + compositing + loss
+        # grad + bwd in one pallas_call per level) replaces
+        # value_and_grad entirely; same architecture gate as the fused
+        # MLP, plus no sigma noise (the loss grad is generated
+        # in-kernel).
+        self.use_mega = bool(
+            use_mega
+            and depth == 8
+            and width == 256
+            and cfg.use_viewdirs
+            and cfg.multires == 10
+            and cfg.multires_views == 4
+            and cfg.raw_noise_std == 0.0
+        )
+        self.mesh = mesh
+        # rays per mega-kernel tile: coarse S=96 -> 768-row tiles; fine
+        # S=288 -> 576-row tiles (VMEM: bf16 act stash + f32 grads +
+        # the [TILE, TILE] prefix matrix must co-reside)
+        self.mega_rc = 8
+        self.mega_rf = 2
         self.schedule = exponential_decay(lrate, lrate_decay)
         self.tx = optax.adam(
             learning_rate=self.schedule, b1=0.9, b2=0.999, eps=1e-7
@@ -170,12 +191,152 @@ class NeRFTrainer:
             loss = loss + jnp.mean((out["rgb0"] - target) ** 2)
         return loss, psnr_mse
 
+    def _mega_level(self, packed, x, v, meta, *, S, R, n_rays_total,
+                    bkgd, want_weights):
+        """One mega-kernel level; under a mesh the pallas_call is
+        wrapped in shard_map over the ray axis (kernels are opaque to
+        GSPMD) with an explicit psum of the weight grads."""
+        from nerf_projects_tpu.ops.pallas.fused_train import (
+            fused_train_level,
+        )
+
+        if self.mesh is None:
+            return fused_train_level(
+                packed, x, v, meta, S=S, R=R,
+                n_rays_total=n_rays_total, bkgd=bkgd,
+                want_weights=want_weights,
+            )
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from nerf_projects_tpu.parallel.mesh import RAY_AXIS
+
+        def local(w, xx, vv, mm):
+            rgb, acc, ws, g = fused_train_level(
+                w, xx, vv, mm, S=S, R=R, n_rays_total=n_rays_total,
+                bkgd=bkgd, want_weights=want_weights,
+            )
+            g = jax.tree_util.tree_map(
+                lambda a: jax.lax.psum(a, RAY_AXIS), g
+            )
+            return (rgb, acc, ws, g) if want_weights else (rgb, acc, g)
+
+        in_specs = (P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS))
+        if want_weights:
+            out = shard_map(
+                local, mesh=self.mesh, in_specs=in_specs,
+                out_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P()),
+                check_rep=False,
+            )(packed, x, v, meta)
+            return out
+        rgb, acc, g = shard_map(
+            local, mesh=self.mesh, in_specs=in_specs,
+            out_specs=(P(RAY_AXIS), P(RAY_AXIS), P()),
+            check_rep=False,
+        )(packed, x, v, meta)
+        return rgb, acc, None, g
+
+    def _mega_value_and_grad(self, params, key, rays, target):
+        """value_and_grad replacement via the fused train-level
+        mega-kernel (ops/pallas/fused_train.py): sampling/posenc in XLA,
+        MLP fwd + compositing + MSE grad + MLP bwd in one pallas_call
+        per level. Numerics: the same fused-MLP bf16 matmuls and
+        volumetric_rendering compositing as the autograd path
+        (parity-tested in tests/test_fused_train.py)."""
+        from nerf_projects_tpu.ops.pallas.fused_mlp import (
+            pack_params,
+            unpack_grads,
+        )
+        from nerf_projects_tpu.ops.pallas.fused_train import (
+            pack_level_inputs,
+        )
+        from nerf_projects_tpu.ops.sampling import (
+            cast_rays,
+            piecewise_constant_pdf,
+            stratified_sample,
+        )
+
+        cfg = self.cfg
+        n_rays = rays.origins.shape[0]
+        bkgd = 1.0 if cfg.white_bkgd else 0.0
+        Sc = cfg.num_coarse_samples
+
+        if cfg.perturb:
+            key, k_strat = jax.random.split(key)
+        else:
+            k_strat = None
+        z_vals = stratified_sample(
+            k_strat, Sc, self.near, self.far, (n_rays,),
+            lindisp=cfg.lindisp, randomized=cfg.perturb,
+        )
+        pts = cast_rays(z_vals, rays.origins, rays.directions)
+        packed_c = pack_params(params[0])
+        x, v, meta = pack_level_inputs(
+            pts, rays.viewdirs, z_vals, rays.directions, target,
+            Sc, self.mega_rc,
+            multires=cfg.multires, multires_views=cfg.multires_views,
+        )
+        rgb0, acc0, w0, gc = self._mega_level(
+            packed_c, x, v, meta, S=Sc, R=self.mega_rc,
+            n_rays_total=n_rays, bkgd=bkgd,
+            want_weights=cfg.num_fine_samples > 0,
+        )
+        mse0 = jnp.mean((rgb0 - target) ** 2)
+        grads_c = unpack_grads(gc, params[0])
+        if cfg.num_fine_samples == 0:
+            return (mse0, mse0), (grads_c, None)
+
+        if cfg.perturb:
+            key, k_pdf = jax.random.split(key)
+        else:
+            k_pdf = None
+        z_mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = piecewise_constant_pdf(
+            k_pdf, z_mids, w0[..., 1:-1], cfg.num_fine_samples,
+            randomized=cfg.perturb, mode=cfg.pdf_mode,
+        )
+        z_comb = jnp.sort(
+            jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1
+        )
+        pts_f = cast_rays(z_comb, rays.origins, rays.directions)
+        Sf = Sc + cfg.num_fine_samples
+        pf = params[1] if params[1] is not None else params[0]
+        packed_f = pack_params(pf)
+        xf, vf, metaf = pack_level_inputs(
+            pts_f, rays.viewdirs, z_comb, rays.directions, target,
+            Sf, self.mega_rf,
+            multires=cfg.multires, multires_views=cfg.multires_views,
+        )
+        rgb, acc, _, gf = self._mega_level(
+            packed_f, xf, vf, metaf, S=Sf, R=self.mega_rf,
+            n_rays_total=n_rays, bkgd=bkgd, want_weights=False,
+        )
+        mse = jnp.mean((rgb - target) ** 2)
+        grads_f = unpack_grads(gf, pf)
+        if params[1] is None:
+            grads = (
+                jax.tree_util.tree_map(
+                    lambda a, b: a + b, grads_c, grads_f
+                ),
+                None,
+            )
+        else:
+            grads = (grads_c, grads_f)
+        return (mse + mse0, mse), grads
+
+    def _value_and_grad(self, params, key, rays, target):
+        if self.use_mega:
+            return self._mega_value_and_grad(params, key, rays, target)
+        return jax.value_and_grad(self.loss_fn, has_aux=True)(
+            params, key, rays, target
+        )
+
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: TrainState, rays: Rays, target: jnp.ndarray):
         key, sub = jax.random.split(state.key)
-        (loss, psnr_mse), grads = jax.value_and_grad(
-            self.loss_fn, has_aux=True
-        )(state.params, sub, rays, target)
+        (loss, psnr_mse), grads = self._value_and_grad(
+            state.params, sub, rays, target
+        )
         updates, opt_state = self.tx.update(grads, state.opt_state)
         params = optax.apply_updates(state.params, updates)
         psnr = -10.0 * jnp.log(psnr_mse) / jnp.log(10.0)
@@ -209,9 +370,9 @@ class NeRFTrainer:
             idx = jax.random.randint(k_draw, (batch_size,), 0, n_pool)
             rays = jax.tree_util.tree_map(lambda x: x[idx], pool_rays)
             target = pool_rgb[idx]
-            (loss, psnr_mse), grads = jax.value_and_grad(
-                self.loss_fn, has_aux=True
-            )(st.params, k_step, rays, target)
+            (loss, psnr_mse), grads = self._value_and_grad(
+                st.params, k_step, rays, target
+            )
             updates, opt_state = self.tx.update(grads, st.opt_state)
             params = optax.apply_updates(st.params, updates)
             new_state = TrainState(

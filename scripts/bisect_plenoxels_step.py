@@ -65,8 +65,10 @@ def main():
         return PlenoxelsTrainer(opts, **base)
 
     def step_runner(trainer):
-        rms = trainer.init_rms_bricks(bg)
-        holder = {"bg": bg, "rms": rms}
+        # the step DONATES its inputs; give each runner its own copies
+        my_bg = jax.tree_util.tree_map(jnp.copy, bg)
+        rms = trainer.init_rms_bricks(my_bg)
+        holder = {"bg": my_bg, "rms": rms}
 
         def run(k):
             b, r = holder["bg"], holder["rms"]
@@ -79,7 +81,35 @@ def main():
             holder["bg"], holder["rms"] = b, r
         return run
 
+    def sparse_runner(trainer, use_occupancy=False):
+        import functools
+
+        from nerf_projects_tpu.train import plenoxels_sparse as ps
+
+        geom = jax.tree_util.tree_map(jnp.copy, bg)
+        holder = {"st": ps.sparse_state_from_grid(bg)}
+
+        @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+        def scan_steps(k, st, key):
+            def body(st, i):
+                st, stats = ps.train_step_tiles_sparse(
+                    trainer, geom, st, rays, target,
+                    i, jax.random.fold_in(key, i),
+                    use_occupancy=use_occupancy)
+                return st, stats["mse"]
+
+            return jax.lax.scan(body, st, jnp.arange(k, dtype=jnp.int32))
+
+        def run(k):
+            st, mses = scan_steps(k, holder["st"], jax.random.PRNGKey(k))
+            _ = float(mses[-1])
+            holder["st"] = st
+        return run
+
     report("full", slope(step_runner(make_trainer())))
+    report("sparse", slope(sparse_runner(make_trainer())))
+    report("sparse_occ", slope(sparse_runner(make_trainer(),
+                                             use_occupancy=True)))
     report("no_tv", slope(step_runner(
         make_trainer(lambda_tv=0.0, lambda_tv_sh=0.0))))
     report("sgd_optim", slope(step_runner(

@@ -1,0 +1,186 @@
+"""Mega-kernel (fused fwd+compositing+loss-grad+bwd) vs autograd twin.
+
+Twin: the existing custom-vjp Pallas MLP (`fused_nerf_mlp`) + XLA
+compositing (`ops/render.volumetric_rendering`) + MSE, differentiated
+with jax.grad — i.e. the round-1 train path. The mega-kernel must
+reproduce its loss value, per-ray outputs, sample weights, and all 24
+weight gradients.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nerf_projects_tpu.ops.pallas.fused_mlp as fm
+import nerf_projects_tpu.ops.pallas.fused_train as ft
+from nerf_projects_tpu.models.nerf import NeRFMLP
+from nerf_projects_tpu.ops.render import volumetric_rendering
+
+S, R = 8, 8
+N_RAYS = 96  # 12 tiles; N = 768 rows = one fwd/bwd tile of the twin
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    old_a, old_b = fm.INTERPRET, ft.INTERPRET
+    fm.INTERPRET = True
+    ft.INTERPRET = True
+    yield
+    fm.INTERPRET, ft.INTERPRET = old_a, old_b
+
+
+def setup(seed=0, bkgd=1.0):
+    key = jax.random.PRNGKey(seed)
+    model = NeRFMLP(depth=8, width=256, use_viewdirs=True)
+    pe = jnp.zeros((1, 63))
+    ve = jnp.zeros((1, 27))
+    params = model.init(key, pe, ve)
+    packed = fm.pack_params(params)
+
+    kd, kt, kz = jax.random.split(jax.random.PRNGKey(seed + 1), 3)
+    d = jax.random.normal(kd, (N_RAYS, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    origins = jnp.zeros((N_RAYS, 3))
+    z = jnp.linspace(2.0, 6.0, S)[None, :] + 0.1 * jax.random.uniform(
+        kz, (N_RAYS, S)
+    )
+    pts = origins[:, None, :] + z[..., None] * d[:, None, :]
+    target = jax.random.uniform(kt, (N_RAYS, 3))
+    return packed, pts, d, z, target
+
+
+def twin_loss(packed, pts, d, z, target, bkgd):
+    """Round-1 path: Pallas MLP + XLA compositing, same row order."""
+    x_enc, v_enc, _meta = ft.pack_level_inputs(
+        pts, d, z, d, target, S, R
+    )
+    raw = fm.fused_nerf_mlp(packed, x_enc, v_enc)  # [N, 8]
+    T = N_RAYS // R
+    # rows are (tile, sample, ray): invert to [n_rays, S, c]
+    def from_rows(a):
+        c = a.shape[-1]
+        return (
+            a.reshape(T, S, R, c).transpose(0, 2, 1, 3).reshape(
+                N_RAYS, S, c
+            )
+        )
+
+    rgb = jax.nn.sigmoid(from_rows(raw[:, 0:3]))
+    sigma = jax.nn.relu(from_rows(raw[:, 4:5])[..., 0])
+    out = volumetric_rendering(
+        rgb, sigma, z, d, white_bkgd=(bkgd == 1.0)
+    )
+    loss = jnp.mean((out.rgb - target) ** 2)
+    return loss, out
+
+
+class TestFusedTrainLevel:
+    @pytest.mark.parametrize("bkgd", [1.0, 0.0])
+    def test_matches_autograd_twin(self, bkgd):
+        packed, pts, d, z, target = setup(bkgd=bkgd)
+
+        (loss, out), grads_twin = jax.value_and_grad(
+            lambda p: twin_loss(p, pts, d, z, target, bkgd),
+            has_aux=True,
+        )(packed)
+
+        x_enc, v_enc, meta = ft.pack_level_inputs(
+            pts, d, z, d, target, S, R
+        )
+        rgb_k, acc_k, w_k, grads_k = ft.fused_train_level(
+            packed, x_enc, v_enc, meta,
+            S=S, R=R, n_rays_total=N_RAYS, bkgd=bkgd,
+            want_weights=True,
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(rgb_k), np.asarray(out.rgb), rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(acc_k), np.asarray(out.acc), rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(w_k), np.asarray(out.weights),
+            rtol=2e-3, atol=2e-3,
+        )
+        mse_k = float(jnp.mean((rgb_k - target) ** 2))
+        np.testing.assert_allclose(mse_k, float(loss), rtol=1e-4)
+
+        for name, gk, gt in zip(
+            fm.FusedMLPWeights._fields, grads_k, grads_twin
+        ):
+            gk, gt = np.asarray(gk), np.asarray(gt)
+            scale = np.abs(gt).max() + 1e-12
+            np.testing.assert_allclose(
+                gk / scale, gt / scale, rtol=0, atol=5e-3,
+                err_msg=f"grad mismatch: {name}",
+            )
+
+    def test_trainer_hierarchical_parity(self):
+        """NeRFTrainer mega path vs its autograd loss_fn: identical
+        sampling RNG (key-split order mirrors render_rays), so loss and
+        grads must agree to bf16 tolerance through the full
+        coarse->pdf->fine pipeline."""
+        from nerf_projects_tpu.models.pipeline import NeRFRenderConfig
+        from nerf_projects_tpu.train.nerf_trainer import NeRFTrainer
+
+        cfg = NeRFRenderConfig(
+            num_coarse_samples=8,
+            num_fine_samples=8,
+            multires=10,
+            multires_views=4,
+            use_viewdirs=True,
+            white_bkgd=True,
+            perturb=True,
+        )
+        trainer = NeRFTrainer(
+            cfg, depth=8, width=256, use_fused_mlp=True, use_mega=True,
+        )
+        assert trainer.use_mega
+        state = trainer.init_state(jax.random.PRNGKey(0))
+
+        n = 64
+        d = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        from nerf_projects_tpu.core.rays import Rays
+
+        rays = Rays(jnp.zeros((n, 3)), d, d)
+        target = jax.random.uniform(jax.random.PRNGKey(2), (n, 3))
+        key = jax.random.PRNGKey(7)
+
+        (loss_m, mse_m), grads_m = trainer._mega_value_and_grad(
+            state.params, key, rays, target
+        )
+        (loss_a, mse_a), grads_a = jax.value_and_grad(
+            trainer.loss_fn, has_aux=True
+        )(state.params, key, rays, target)
+
+        np.testing.assert_allclose(
+            float(loss_m), float(loss_a), rtol=3e-3
+        )
+        flat_m = jax.tree_util.tree_leaves(grads_m)
+        flat_a = jax.tree_util.tree_leaves(grads_a)
+        assert len(flat_m) == len(flat_a)
+        # The pdf resample amplifies bf16-level weight differences into
+        # shifted fine-sample bins for a handful of rays, so a few grad
+        # entries legitimately drift past a tight elementwise bound.
+        for gm, ga in zip(flat_m, flat_a):
+            gm, ga = np.asarray(gm), np.asarray(ga)
+            scale = np.abs(ga).max() + 1e-12
+            close = np.isclose(gm / scale, ga / scale, rtol=0, atol=1e-2)
+            assert close.mean() > 0.99, f"only {close.mean():.4f} close"
+            assert np.abs(gm / scale - ga / scale).max() < 0.06
+
+    def test_no_weights_output(self):
+        packed, pts, d, z, target = setup(seed=3)
+        x_enc, v_enc, meta = ft.pack_level_inputs(
+            pts, d, z, d, target, S, R
+        )
+        rgb_k, acc_k, w_k, grads_k = ft.fused_train_level(
+            packed, x_enc, v_enc, meta,
+            S=S, R=R, n_rays_total=N_RAYS, bkgd=1.0,
+            want_weights=False,
+        )
+        assert w_k is None
+        assert rgb_k.shape == (N_RAYS, 3)
+        assert all(jnp.all(jnp.isfinite(g)) for g in grads_k)
