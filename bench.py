@@ -145,7 +145,7 @@ def _plenoxels_setup(reso):
     return replace(bg, density_bricks=dens, sh_bricks=sh)
 
 
-def _tile_rays(key, n_tiles, radius=3.0, focal_px=800.0):
+def _tile_rays(key, n_tiles, radius=3.0, focal_px=800.0, tile_shape=(8, 16)):
     from nerf_projects_tpu.core.rays import Rays
 
     ks = jax.random.split(key, 2)
@@ -158,7 +158,11 @@ def _tile_rays(key, n_tiles, radius=3.0, focal_px=800.0):
         jnp.linalg.norm(right, axis=-1, keepdims=True), 1e-6
     )
     up2 = jnp.cross(right, fwd)
-    ii, jj = jnp.meshgrid(jnp.arange(8.0), jnp.arange(16.0), indexing="ij")
+    ii, jj = jnp.meshgrid(
+        jnp.arange(float(tile_shape[0])),
+        jnp.arange(float(tile_shape[1])),
+        indexing="ij",
+    )
     base = jax.random.uniform(ks[1], (n_tiles, 2), minval=-300, maxval=300)
     px = base[:, 0:1] + jj.reshape(-1)[None]
     py = base[:, 1:2] + ii.reshape(-1)[None]

@@ -680,7 +680,7 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                          # [8, 64]
-            gd_ref[0, 0, k] = Gd
+            gd_ref[0, 0, k] = Gd.astype(gd_ref.dtype)
             Byzc = (
                 Ayk[:, None, None, :]
                 * Azk[None, :, None, :]
@@ -692,7 +692,9 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
                 preferred_element_type=jnp.float32,
             )                                          # [8, 192]
             for b in range(basis_dim):
-                gsh_ref[0, 0, k, b] = H * basis_ref[t, b]
+                gsh_ref[0, 0, k, b] = (
+                    H * basis_ref[t, b]
+                ).astype(gsh_ref.dtype)
 
         # carry updates
         state_ref[0, 0:1, :] += jnp.sum(active_f * tau, axis=0)[None]
@@ -704,10 +706,11 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
 @functools.partial(
     jax.jit,
     static_argnames=("n_chunks", "basis_dim", "sparsity_scale",
-                     "color_mode"),
+                     "color_mode", "grad_dtype"),
 )
 def _bwd_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
-              basis_dim, sparsity_scale, color_mode="bias"):
+              basis_dim, sparsity_scale, color_mode="bias",
+              grad_dtype=jnp.float32):
     """SMEM-sized tile grouping like _march_call."""
     T_full = pack.shape[0]
     tg, padn = _tile_groups(T_full, n_chunks)
@@ -731,6 +734,7 @@ def _bwd_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         return _bwd_group(
             density_z, sh_z, rows_g, orig_g, basisf_g, pack_g,
             n_chunks, basis_dim, sparsity_scale, color_mode,
+            grad_dtype,
         )
 
     state, gd, gsh = jax.lax.map(
@@ -746,7 +750,8 @@ def _bwd_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
 
 
 def _bwd_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
-               basis_dim, sparsity_scale, color_mode="bias"):
+               basis_dim, sparsity_scale, color_mode="bias",
+               grad_dtype=jnp.float32):
     T = pack.shape[0]
     C = n_chunks
     r = pack.shape[-1]
@@ -800,8 +805,10 @@ def _bwd_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((T, 8, r), jnp.float32),
-            jax.ShapeDtypeStruct((T, C, 8, 8, 64), jnp.float32),
-            jax.ShapeDtypeStruct((T, C, 8, basis_dim, 8, 192), jnp.float32),
+            jax.ShapeDtypeStruct((T, C, 8, 8, 64), grad_dtype),
+            jax.ShapeDtypeStruct(
+                (T, C, 8, basis_dim, 8, 192), grad_dtype
+            ),
         ),
         interpret=INTERPRET,
     )(rows, orig, basisf, pack, *([density_z] * 8), *([sh_z] * 8))
@@ -826,6 +833,7 @@ def fused_grad_blocks(
     n_chunks: Optional[int] = None,
     use_occupancy: bool = False,
     kernel_arrays=None,
+    grad_dtype=jnp.float32,
 ):
     """Fused render + gradient, stopping BEFORE the dense scatter:
     returns (rgb_out [T,128,3], gd_blocks [T,C,8,8,64],
@@ -886,7 +894,7 @@ def fused_grad_blocks(
 
     state, gd_blocks, gsh_blocks = _bwd_call(
         density_z, sh_z, rows, orig, basisf, pack, C, bg.basis_dim,
-        float(sparsity_loss), opts.color_mode,
+        float(sparsity_loss), opts.color_mode, grad_dtype,
     )
 
     aux = {
@@ -908,6 +916,7 @@ def render_fused_tiles_pallas(
     sparsity_loss: float = 0.0,
     n_chunks: Optional[int] = None,
     use_occupancy: bool = False,
+    grad_dtype=jnp.float32,
 ):
     """Fused render + gradient over [T, 128] tiles — the reference
     volume_render_fused: returns (rgb_out [T,128,3],
@@ -921,17 +930,18 @@ def render_fused_tiles_pallas(
         bg, rays, rgb_gt, opts,
         beta_loss=beta_loss, sparsity_loss=sparsity_loss,
         n_chunks=n_chunks, use_occupancy=use_occupancy,
+        grad_dtype=grad_dtype,
     )
     # scatter-add per-corner blocks into the compact brick arrays
     flat_rows = rows.reshape(-1)                       # [T*C*8]
     nb = bg.n_bricks
     gd = jnp.zeros((nb + 1, 8, 64), jnp.float32).at[flat_rows].add(
-        gd_blocks.reshape(-1, 8, 64)
+        gd_blocks.reshape(-1, 8, 64).astype(jnp.float32)
     )[:nb]
     gsh_k = jnp.zeros(
         (nb + 1, bg.basis_dim, 8, 192), jnp.float32
     ).at[flat_rows].add(
-        gsh_blocks.reshape(-1, bg.basis_dim, 8, 192)
+        gsh_blocks.reshape(-1, bg.basis_dim, 8, 192).astype(jnp.float32)
     )[:nb]
 
     grad_density = gd.reshape(nb, 512)

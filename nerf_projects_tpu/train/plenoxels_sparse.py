@@ -166,12 +166,13 @@ def train_step_tiles_sparse(
         sparsity_loss=trainer.lambda_sparsity,
         use_occupancy=use_occupancy,
         kernel_arrays=(st.density_z, st.sh_z),
+        grad_dtype=trainer.grad_block_dtype,
     )
     mse = jnp.mean((rgb - target) ** 2)
 
     rows_r = rows.reshape(-1)                               # [M1]
-    gd_flat = gd_blocks.reshape(-1, 8, 64)
-    gsh_flat = gsh_blocks.reshape(-1, B, 8, 192)
+    gd_flat = gd_blocks.reshape(-1, 8, 64).astype(jnp.float32)
+    gsh_flat = gsh_blocks.reshape(-1, B, 8, 192).astype(jnp.float32)
 
     # ---- sampled TV in block form ------------------------------------
     k_tv, k_sh = jax.random.split(key)

@@ -123,6 +123,8 @@ class PlenoxelsTrainer:
         sh_optim: str = "rmsprop",
         rms_beta: float = 0.95,
         density_minval: float = -1e9,
+        bf16_grad_blocks: bool = False,
+        use_occupancy: bool = False,
     ):
         self.opts = opts
         self.lambda_tv = lambda_tv
@@ -139,6 +141,17 @@ class PlenoxelsTrainer:
         self.sh_optim = sh_optim
         self.rms_beta = rms_beta
         self.density_minval = density_minval
+        # bf16 per-corner gradient blocks halve the backward kernel's
+        # HBM emission (the dominant cost at scale); accumulation stays
+        # fp32 in the scatter-add. Deviation from the reference's fp32
+        # atomics is per-block rounding only.
+        self.grad_block_dtype = (
+            jnp.bfloat16 if bf16_grad_blocks else jnp.float32
+        )
+        # restrict the static chunk count to the active bricks' bound
+        # (helps real scenes whose occupied region is much smaller than
+        # the grid; no-op for a grid-filling sphere)
+        self.use_occupancy = use_occupancy
         self.lr_sigma_fn = log_linear_decay(
             lr_sigma,
             lr_sigma_final,
@@ -487,6 +500,8 @@ class PlenoxelsTrainer:
             bg, rays, target, self.opts,
             beta_loss=self.lambda_beta,
             sparsity_loss=self.lambda_sparsity,
+            grad_dtype=self.grad_block_dtype,
+            use_occupancy=self.use_occupancy,
         )
         mse = jnp.mean((rgb - target) ** 2)
 

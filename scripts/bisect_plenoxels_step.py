@@ -107,7 +107,11 @@ def main():
         return run
 
     report("full", slope(step_runner(make_trainer())))
+    report("full_bf16g", slope(step_runner(
+        make_trainer(bf16_grad_blocks=True))))
     report("sparse", slope(sparse_runner(make_trainer())))
+    report("sparse_bf16g", slope(sparse_runner(
+        make_trainer(bf16_grad_blocks=True))))
     report("sparse_occ", slope(sparse_runner(make_trainer(),
                                              use_occupancy=True)))
     report("no_tv", slope(step_runner(
@@ -162,6 +166,31 @@ def main():
         _ = float(s)
 
     report("optim_only", slope(run_optim))
+
+    # ---- 256-ray tiles (halves grid steps and grad-block count)
+    rays256 = B._tile_rays(jax.random.PRNGKey(2), TILES // 2,
+                           tile_shape=(16, 16))
+    target256 = jnp.full(rays256.origins.shape[:2] + (3,), 0.4)
+
+    def step_runner_256(trainer):
+        my_bg = jax.tree_util.tree_map(jnp.copy, bg)
+        rms = trainer.init_rms_bricks(my_bg)
+        holder = {"bg": my_bg, "rms": rms}
+
+        def run(k):
+            b, r = holder["bg"], holder["rms"]
+            st = None
+            for i in range(k):
+                b, r, st = trainer.train_step_tiles_pallas(
+                    b, r, rays256, target256, jnp.asarray(float(i)),
+                    jax.random.PRNGKey(i))
+            _ = float(st["mse"])
+            holder["bg"], holder["rms"] = b, r
+        return run
+
+    report("full_256", slope(step_runner_256(make_trainer())))
+    report("full_256_bf16g", slope(step_runner_256(
+        make_trainer(bf16_grad_blocks=True))))
 
     print(json.dumps({"summary": results, "reso": RESO, "tiles": TILES}),
           flush=True)

@@ -176,6 +176,24 @@ class TestFusedBackward:
         np.testing.assert_allclose(gsh / scale_s, ws / scale_s,
                                    atol=3e-2)
 
+    def test_bf16_grad_blocks_close_to_f32(self):
+        """bf16 per-corner block emission: accumulation stays fp32, so
+        the scattered grads track the f32-block path closely."""
+        bg, rays, gt = self._setup(seed=5)
+        _, gd32, gsh32, _ = tm.render_fused_tiles_pallas(
+            bg, rays, gt, GridRenderOptions()
+        )
+        _, gd16, gsh16, _ = tm.render_fused_tiles_pallas(
+            bg, rays, gt, GridRenderOptions(),
+            grad_dtype=jnp.bfloat16,
+        )
+        for a, b in ((gd16, gd32), (gsh16, gsh32)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(b).max(), 1e-12)
+            np.testing.assert_allclose(
+                a / scale, b / scale, atol=1.2e-2
+            )
+
     def test_sigmoid_mode_matches_twin(self):
         """PlenOctree decode (sigmoid) fwd + grads vs the einsum twin —
         the mode finetune_fast trains octree-baked grids with."""
