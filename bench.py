@@ -253,13 +253,19 @@ def bench_grid_render_fps(reso=512, frame=(800, 800)):
     ka = jax.block_until_ready(build_kernel_arrays(bg))
     bg = geometry_only(bg)
 
-    def scan_call(k):
+    # NB: grid/kernel arrays must be jit ARGUMENTS — closed-over
+    # arrays become jaxpr constants that the remote compile helper
+    # serializes (GBs -> compile stall).
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def scan_call(k, b, kad, kas, r):
         def body(acc, i):
             out = render_tiles_pallas(
-                bg,
-                rays._replace(origins=rays.origins + i * 1e-6),
+                b,
+                r._replace(origins=r.origins + i * 1e-6),
                 opts,
-                kernel_arrays=ka,
+                kernel_arrays=(kad, kas),
             )["rgb"]
             return acc + out.sum(), None
 
@@ -268,12 +274,8 @@ def bench_grid_render_fps(reso=512, frame=(800, 800)):
         )
         return acc
 
-    calls = {}
-
     def run(k):
-        if k not in calls:
-            calls[k] = jax.jit(lambda k=k: scan_call(k))
-        _ = float(calls[k]())
+        _ = float(scan_call(k, bg, ka[0], ka[1], rays))
 
     per_batch = slope_timed(run, lo=3, hi=12)
     frame_s = per_batch * (tiles / batch)

@@ -91,6 +91,21 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--max_grid_elements", type=int, default=44_000_000)
     g.add_argument("--thresh_type", choices=["weight", "sigma"], default="weight")
     g = parser.add_argument_group("rendering")
+    g.add_argument("--step_mode", choices=["cell", "tiles", "sparse"],
+                   default="cell",
+                   help="cell: per-ray XLA step (reference-exact); "
+                   "tiles: fused Pallas tile-march step on a BrickGrid; "
+                   "sparse: row-sparse tile step (O(touched bricks), "
+                   "for large grids)")
+    g.add_argument("--bf16_grad_blocks", action="store_true", default=False,
+                   help="bf16 backward-kernel gradient blocks (halves "
+                   "grad emission HBM traffic; fp32 accumulation)")
+    g.add_argument("--use_occupancy", action="store_true", default=False,
+                   help="restrict tile-march chunk count to the active "
+                   "brick bound")
+    g.add_argument("--tile_shape", type=str, default="8,16",
+                   help="tile rows,cols for tile/sparse step modes "
+                   "(rows*cols must be 128 or 256)")
     g.add_argument("--step_size", type=float, default=0.5)
     g.add_argument("--sigma_thresh", type=float, default=1e-8)
     g.add_argument("--stop_thresh", type=float, default=1e-7)
@@ -219,6 +234,8 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
             sigma_optim=args.sigma_optim,
             sh_optim=args.sh_optim,
             rms_beta=args.rms_beta,
+            bf16_grad_blocks=args.bf16_grad_blocks,
+            use_occupancy=args.use_occupancy,
         )
 
     trainer = make_trainer(True)
@@ -231,6 +248,59 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
     def draw(key):
         idx = jax.random.randint(key, (args.batch_size,), 0, n_pool)
         return jax.tree_util.tree_map(lambda x: x[idx], pool), pixels[idx]
+
+    # ---- tile/sparse step modes: brick-grid state + coherent-tile draws
+    tile_mode = args.step_mode in ("tiles", "sparse")
+    bg = sst = rms_b = None
+    if tile_mode:
+        from nerf_projects_tpu.ops.brick_grid import (
+            from_sparse_grid,
+            to_sparse_grid,
+        )
+        from nerf_projects_tpu.train import plenoxels_sparse as ps
+
+        th, tw = (int(x) for x in args.tile_shape.split(","))
+        if th * tw not in (128, 256):
+            raise SystemExit("--tile_shape rows*cols must be 128 or 256")
+        V = scene.images.shape[0]
+        H, Wd = scene.height, scene.width
+        pool_v = jax.tree_util.tree_map(
+            lambda x: x.reshape(V, H * Wd, 3), pool
+        )
+        pix_v = pixels.reshape(V, H * Wd, 3)
+        n_t = max(args.batch_size // (th * tw), 1)
+
+        @jax.jit
+        def draw_tiles(key):
+            kv, ky, kx = jax.random.split(key, 3)
+            v = jax.random.randint(kv, (n_t,), 0, V)
+            y0 = jax.random.randint(ky, (n_t,), 0, H - th + 1)
+            x0 = jax.random.randint(kx, (n_t,), 0, Wd - tw + 1)
+            dy, dx = jnp.meshgrid(
+                jnp.arange(th), jnp.arange(tw), indexing="ij"
+            )
+            flat = (y0[:, None] + dy.reshape(-1)[None]) * Wd + (
+                x0[:, None] + dx.reshape(-1)[None]
+            )
+            r = jax.tree_util.tree_map(
+                lambda a: a[v[:, None], flat], pool_v
+            )
+            return r, pix_v[v[:, None], flat]
+
+        def build_tile_state(g):
+            nonlocal bg, sst, rms_b
+            bg = from_sparse_grid(g)
+            if args.step_mode == "sparse":
+                sst = ps.sparse_state_from_grid(bg)
+            else:
+                rms_b = trainer.init_rms_bricks(bg)
+
+        def materialize_grid():
+            if args.step_mode == "sparse":
+                return to_sparse_grid(ps.grid_from_sparse_state(bg, sst))
+            return to_sparse_grid(bg)
+
+        build_tile_state(grid)
 
     logger = MetricsLogger(args.train_dir)
     tracker = MemoryTracker()
@@ -248,10 +318,25 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
     upsampled = False
     for step in range(1, n_iters + 1):
         key, sub, k_tv = jax.random.split(key, 3)
-        rays, target = draw(sub)
-        grid, rms, stats = trainer.train_step(
-            grid, rms, rays, target, jnp.asarray(step, jnp.float32), k_tv
-        )
+        if args.step_mode == "cell":
+            rays, target = draw(sub)
+            grid, rms, stats = trainer.train_step(
+                grid, rms, rays, target, jnp.asarray(step, jnp.float32),
+                k_tv,
+            )
+        elif args.step_mode == "tiles":
+            rays, target = draw_tiles(sub)
+            bg, rms_b, stats = trainer.train_step_tiles_pallas(
+                bg, rms_b, rays, target, jnp.asarray(step, jnp.float32),
+                k_tv,
+            )
+        else:  # sparse
+            rays, target = draw_tiles(sub)
+            sst, stats = ps.train_step_tiles_sparse_jit(
+                trainer, bg, sst, rays, target,
+                jnp.asarray(step, jnp.int32), k_tv,
+                use_occupancy=args.use_occupancy,
+            )
         if step % args.print_every == 0:
             tb.scalar("train/mse", stats["mse"], step)
             tb.scalar("train/psnr", stats["psnr"], step)
@@ -274,6 +359,8 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
                               weight_thresh=args.weight_thresh / 512)
             else:
                 kwargs.update(sigma_thresh=args.density_thresh)
+            if tile_mode:
+                grid = materialize_grid()
             grid = resample(grid, tuple(reso_schedule[reso_idx]), **kwargs)
             if args.upsample_density_add:
                 grid = replace(
@@ -284,7 +371,11 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
             if args.tv_early_only:
                 trainer = make_trainer(tv_on=False)
             rms = trainer.init_rms(grid)
+            if tile_mode:
+                build_tile_state(grid)
     # final eval + save (opt.py:889-898)
+    if tile_mode:
+        grid = materialize_grid()
     psnr = eval_step(trainer, grid, test_scene or scene)
     if args.log_floater_viz:
         from nerf_projects_tpu.obs.floater_viz import log_floater_visualizations

@@ -119,25 +119,27 @@ def main():
     report("sgd_optim", slope(step_runner(
         make_trainer(sigma_optim="sgd", sh_optim="sgd"))))
 
-    # --- forward only
-    fwd = jax.jit(lambda r: render_tiles_pallas(bg, r, opts)["rgb"])
+    # --- forward only (bg as ARG: a closed-over grid becomes a jit
+    # constant that the remote compile helper serializes -> stalls)
+    fwd = jax.jit(lambda b, r: render_tiles_pallas(b, r, opts)["rgb"])
 
     def run_fwd(k):
         out = None
         for i in range(k):
-            out = fwd(rays._replace(origins=rays.origins + i * 1e-6))
+            out = fwd(bg, rays._replace(origins=rays.origins + i * 1e-6))
         _ = float(out.sum())
 
     report("fwd_kernel", slope(run_fwd))
 
     # --- fused fwd+bwd (kernels + scatter, no TV/optim)
-    fused = jax.jit(lambda r: render_fused_tiles_pallas(
-        bg, r, target, opts))
+    fused = jax.jit(lambda b, r: render_fused_tiles_pallas(
+        b, r, target, opts))
 
     def run_fused(k):
         out = None
         for i in range(k):
-            out = fused(rays._replace(origins=rays.origins + i * 1e-6))
+            out = fused(bg,
+                        rays._replace(origins=rays.origins + i * 1e-6))
         _ = float(out[0].sum())
 
     report("fused_kernels+scatter", slope(run_fused))
