@@ -313,6 +313,12 @@ def _mlp_backward(x, v, W, acts, g_rgb, g_sig, gw_refs):
     backward kernels and the fused train-step mega-kernel."""
     bf = jnp.bfloat16
 
+    def pos(a):
+        # relu mask; the compare must be f32 — Mosaic on v5e rejects
+        # bf16 vector cmpf ("Target does not support this comparison"),
+        # hit when activations are stashed in bf16. No-op cast for f32.
+        return a.astype(jnp.float32) > 0
+
     def mmT(a, b):  # a[T, I]^T @ b[T, O] -> [I, O] f32
         return jax.lax.dot_general(
             a.astype(bf), b.astype(bf),
@@ -331,7 +337,7 @@ def _mlp_backward(x, v, W, acts, g_rgb, g_sig, gw_refs):
     # rgb head
     grads["wrgb"] = mmT(acts["hv"], g_rgb)
     grads["brgb"] = jnp.sum(g_rgb, axis=0, keepdims=True)
-    g_hv = mmBT(g_rgb, W.wrgb) * (acts["hv"] > 0)
+    g_hv = mmBT(g_rgb, W.wrgb) * pos(acts["hv"])
     # view layer
     grads["wv"] = mmT(acts["catv"], g_hv)
     grads["bv"] = jnp.sum(g_hv, axis=0, keepdims=True)
@@ -342,32 +348,32 @@ def _mlp_backward(x, v, W, acts, g_rgb, g_sig, gw_refs):
     grads["bb"] = jnp.sum(g_bneck, axis=0, keepdims=True)
     grads["wsig"] = mmT(acts["a7"], g_sig)
     grads["bsig"] = jnp.sum(g_sig, axis=0, keepdims=True)
-    g_h = (mmBT(g_bneck, W.wb) + mmBT(g_sig, W.wsig)) * (acts["a7"] > 0)
+    g_h = (mmBT(g_bneck, W.wb) + mmBT(g_sig, W.wsig)) * pos(acts["a7"])
     # trunk 7, 6
     grads["w7"] = mmT(acts["a6"], g_h)
     grads["b7"] = jnp.sum(g_h, axis=0, keepdims=True)
-    g_h = mmBT(g_h, W.w7) * (acts["a6"] > 0)
+    g_h = mmBT(g_h, W.w7) * pos(acts["a6"])
     grads["w6"] = mmT(acts["a5"], g_h)
     grads["b6"] = jnp.sum(g_h, axis=0, keepdims=True)
-    g_h = mmBT(g_h, W.w6) * (acts["a5"] > 0)
+    g_h = mmBT(g_h, W.w6) * pos(acts["a5"])
     # trunk 5 (consumes cat = [x | a4])
     grads["w5"] = mmT(acts["cat"], g_h)
     grads["b5"] = jnp.sum(g_h, axis=0, keepdims=True)
     g_cat = mmBT(g_h, W.w5)                        # [T, 320]
-    g_h = g_cat[:, 64:320] * (acts["a4"] > 0)
+    g_h = g_cat[:, 64:320] * pos(acts["a4"])
     # trunk 4..1
     grads["w4"] = mmT(acts["a3"], g_h)
     grads["b4"] = jnp.sum(g_h, axis=0, keepdims=True)
-    g_h = mmBT(g_h, W.w4) * (acts["a3"] > 0)
+    g_h = mmBT(g_h, W.w4) * pos(acts["a3"])
     grads["w3"] = mmT(acts["a2"], g_h)
     grads["b3"] = jnp.sum(g_h, axis=0, keepdims=True)
-    g_h = mmBT(g_h, W.w3) * (acts["a2"] > 0)
+    g_h = mmBT(g_h, W.w3) * pos(acts["a2"])
     grads["w2"] = mmT(acts["a1"], g_h)
     grads["b2"] = jnp.sum(g_h, axis=0, keepdims=True)
-    g_h = mmBT(g_h, W.w2) * (acts["a1"] > 0)
+    g_h = mmBT(g_h, W.w2) * pos(acts["a1"])
     grads["w1"] = mmT(acts["a0"], g_h)
     grads["b1"] = jnp.sum(g_h, axis=0, keepdims=True)
-    g_h = mmBT(g_h, W.w1) * (acts["a0"] > 0)
+    g_h = mmBT(g_h, W.w1) * pos(acts["a0"])
     # trunk 0
     grads["w0"] = mmT(x.astype(jnp.float32), g_h)
     grads["b0"] = jnp.sum(g_h, axis=0, keepdims=True)
