@@ -668,32 +668,48 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
         # (+0.5-clamp indicator, or sigmoid' = rgb*(1-rgb))
         g_rgb = w.reshape(1, A) * gc * rgb_gate        # [3, A]
 
-        # ---- transposed trilerp: per-corner gradient blocks
-        for k, (dx, dy, dz) in enumerate(_CORNERS):
+        # ---- transposed trilerp: per-corner gradient blocks.
+        # Factor the 4-way contraction sum_s Ax Ay Az g as
+        # dot(Axg[(a,ch), s], Byz[(b,c), s]) per corner: the y/z hat
+        # planes are shared by corner PAIRS and built once (4 x [64, A])
+        # and the per-corner [192, A] Byzc materialization + bf16 cast
+        # (the old VPU hot spot) disappears — per corner it's one MXU
+        # dot emitting [(a,ch)=24, (b,c)=64] blocks
+        # (kernel_grad24_to_sh converts after the XLA scatter).
+        byz = []
+        for dy in range(2):
+            for dz in range(2):
+                Ayk = Ay[dy * 8 : dy * 8 + 8]
+                Azk = Az[dz * 8 : dz * 8 + 8]
+                byz.append(
+                    (Ayk[:, None, :] * Azk[None, :, :])
+                    .reshape(64, A).astype(jnp.bfloat16)
+                )
+        axg = []
+        axs = []
+        for dx in range(2):
             Axk = Ax[dx * 8 : dx * 8 + 8]
-            Ayk = Ay[dy * 8 : dy * 8 + 8]
-            Azk = Az[dz * 8 : dz * 8 + 8]
-            Byz = (Ayk[:, None, :] * Azk[None, :, :]).reshape(64, A)
+            axg.append(
+                (Axk[:, None, :] * g_rgb[None, :, :])
+                .reshape(24, A).astype(jnp.bfloat16)
+            )
+            axs.append((Axk * gsig).astype(jnp.bfloat16))
+        for k, (dx, dy, dz) in enumerate(_CORNERS):
+            Byz = byz[dy * 2 + dz]
             Gd = jax.lax.dot_general(
-                (Axk * gsig).astype(jnp.bfloat16),
-                Byz.astype(jnp.bfloat16),
+                axs[dx], Byz,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                          # [8, 64]
             gd_ref[0, 0, k] = Gd.astype(gd_ref.dtype)
-            Byzc = (
-                Ayk[:, None, None, :]
-                * Azk[None, :, None, :]
-                * g_rgb[None, None, :, :]
-            ).reshape(192, A)
-            H = jax.lax.dot_general(
-                Axk.astype(jnp.bfloat16), Byzc.astype(jnp.bfloat16),
+            H2 = jax.lax.dot_general(
+                axg[dx], Byz,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                          # [8, 192]
+            )                                          # [24, 64]
             for b in range(basis_dim):
                 gsh_ref[0, 0, k, b] = (
-                    H * basis_ref[t, b]
+                    H2 * basis_ref[t, b]
                 ).astype(gsh_ref.dtype)
 
         # carry updates
@@ -794,7 +810,7 @@ def _bwd_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 8, basis_dim, 8, 192),
+                (1, 1, 8, basis_dim, 24, 64),
                 lambda t, c, rows, orig, basisf: (t, c, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -807,11 +823,20 @@ def _bwd_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
             jax.ShapeDtypeStruct((T, 8, r), jnp.float32),
             jax.ShapeDtypeStruct((T, C, 8, 8, 64), grad_dtype),
             jax.ShapeDtypeStruct(
-                (T, C, 8, basis_dim, 8, 192), grad_dtype
+                (T, C, 8, basis_dim, 24, 64), grad_dtype
             ),
         ),
         interpret=INTERPRET,
     )(rows, orig, basisf, pack, *([density_z] * 8), *([sh_z] * 8))
+
+
+def kernel_grad24_to_sh(g: jnp.ndarray, basis_dim: int):
+    """Backward-kernel gradient layout [nb, B, 24(a,ch), 64(b,c)] ->
+    master [nb, 512, 3*B] (cells lx-major, channels (ch, basis))."""
+    nb = g.shape[0]
+    x = g.reshape(nb, basis_dim, 8, 3, 8, 8)
+    x = jnp.transpose(x, (0, 2, 4, 5, 3, 1))
+    return x.reshape(nb, 512, 3 * basis_dim)
 
 
 def kernel_layout_to_sh(gsh_kernel: jnp.ndarray, basis_dim: int):
@@ -837,7 +862,9 @@ def fused_grad_blocks(
 ):
     """Fused render + gradient, stopping BEFORE the dense scatter:
     returns (rgb_out [T,128,3], gd_blocks [T,C,8,8,64],
-    gsh_blocks [T,C,8,B,8,192], rows [T,C,8] (nb = sentinel), aux).
+    gsh_blocks [T,C,8,B,24,64] (grad24 layout: rows (lx,ch), cols
+    (ly,lz); see kernel_grad24_to_sh), rows [T,C,8] (nb = sentinel),
+    aux).
 
     `kernel_arrays`: optional prebuilt (density_z, sh_z) bf16
     kernel-layout arrays with sentinel row — skips the per-step
@@ -939,11 +966,11 @@ def render_fused_tiles_pallas(
         gd_blocks.reshape(-1, 8, 64).astype(jnp.float32)
     )[:nb]
     gsh_k = jnp.zeros(
-        (nb + 1, bg.basis_dim, 8, 192), jnp.float32
+        (nb + 1, bg.basis_dim, 24, 64), jnp.float32
     ).at[flat_rows].add(
-        gsh_blocks.reshape(-1, bg.basis_dim, 8, 192).astype(jnp.float32)
+        gsh_blocks.reshape(-1, bg.basis_dim, 24, 64).astype(jnp.float32)
     )[:nb]
 
     grad_density = gd.reshape(nb, 512)
-    grad_sh = kernel_layout_to_sh(gsh_k, bg.basis_dim)
+    grad_sh = kernel_grad24_to_sh(gsh_k, bg.basis_dim)
     return rgb_out, grad_density, grad_sh, aux
