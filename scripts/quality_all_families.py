@@ -24,6 +24,10 @@ from nerf_projects_tpu.obs.metrics import compute_metrics
 WHICH = sys.argv[1] if len(sys.argv) > 1 else "all"
 PLENOXEL_STEPS = int(os.environ.get("QUALITY_PLENOXEL_STEPS", 4000))
 PLENOXEL_RESO = int(os.environ.get("QUALITY_PLENOXEL_RESO", 128))
+PLENOXEL_LR_SIGMA = float(os.environ.get("QUALITY_LR_SIGMA", 3e1))
+PLENOXEL_LR_SH = float(os.environ.get("QUALITY_LR_SH", 1e-2))
+PLENOXEL_TILES = int(os.environ.get("QUALITY_TILES", 40))
+PLENOXEL_TV_SCALE = float(os.environ.get("QUALITY_TV_SCALE", 1.0))
 SH_CHUNKS = int(os.environ.get("QUALITY_SH_CHUNKS", 6))
 H = W = 96
 N_VIEWS = 16
@@ -82,8 +86,10 @@ def quality_plenoxels(ds):
     bg = from_sparse_grid(g)
     opts = GridRenderOptions(step_size=0.5)
     trainer = PlenoxelsTrainer(
-        opts, n_iters=8000, lr_sigma=3e1, lr_sigma_delay_steps=0,
-        lr_sh=1e-2, lambda_tv=1e-5, lambda_tv_sh=1e-3,
+        opts, n_iters=PLENOXEL_STEPS, lr_sigma=PLENOXEL_LR_SIGMA,
+        lr_sigma_delay_steps=0,
+        lr_sh=PLENOXEL_LR_SH, lambda_tv=1e-5 * PLENOXEL_TV_SCALE,
+        lambda_tv_sh=1e-3 * PLENOXEL_TV_SCALE,
         lambda_sparsity=1e-7,
     )
     rms = trainer.init_rms_bricks(bg)
@@ -91,13 +97,14 @@ def quality_plenoxels(ds):
     t0 = time.time()
     for i in range(PLENOXEL_STEPS):
         key, kd, kt = jax.random.split(key, 3)
-        rays, target = draw(kd)
+        rays, target = draw(kd, n_tiles=PLENOXEL_TILES)
         bg, rms, st = trainer.train_step_tiles_pallas(
             bg, rms, rays, target, jnp.asarray(float(i)), kt
         )
         if i % 500 == 0:
             print(f"plenoxels step {i}: train psnr "
-                  f"{float(st['psnr']):.2f}", flush=True)
+                  f"{float(st['psnr']):.2f} miss "
+                  f"{float(st.get('window_miss', -1)):.4f}", flush=True)
     dt = time.time() - t0
 
     # held-out render through the Pallas path (8x16 tiles)
