@@ -32,6 +32,18 @@ import numpy as np
 
 BASELINE_NERF_RAYS_PER_S = 6800.0  # reference ship config (BASELINE.md)
 
+# persistent compile cache: XLA graph compiles through the axon remote
+# helper take minutes; cached reruns return in seconds
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
+
 # BENCH_SMOKE=1: tiny shapes + Pallas interpret mode — validates the
 # workload wiring on CPU (numbers meaningless).
 SMOKE = os.environ.get("BENCH_SMOKE", "") == "1"
