@@ -138,23 +138,30 @@ def bench_nerf_train():
 
 
 # ---------------------------------------------------------------------------
-def _plenoxels_setup(reso):
+def _plenoxels_setup(reso, dtype=jnp.float32):
     from dataclasses import replace
 
     from nerf_projects_tpu.ops.brick_grid import create_brick_grid
 
     # direct on-device construction: SparseGrid.create at 512^3 builds
-    # multi-GB host arrays and times out through the TPU relay
+    # multi-GB host arrays and times out through the TPU relay.
+    # dtype=bf16 for render-only workloads: fp32 masters at 512^3 peak
+    # ~16 GB during random init (HBM edge); bf16 halves it.
     bg = create_brick_grid(reso, basis_dim=9, use_sphere_bound=True,
-                           init_density=0.0)
-    dens = jax.random.uniform(
-        jax.random.PRNGKey(0), bg.density_bricks.shape
-    ) * 2.0 * bg.cell_mask
+                           init_density=0.0, data_dtype=dtype)
+    dens = (
+        jax.random.uniform(
+            jax.random.PRNGKey(0), bg.density_bricks.shape, dtype
+        ) * 2.0 * bg.cell_mask
+    ).astype(dtype)
+    bg = replace(bg, density_bricks=dens)
+    del dens
     sh = (
-        jax.random.normal(jax.random.PRNGKey(1), bg.sh_bricks.shape) * 0.2
-        * bg.cell_mask[..., None]
-    )
-    return replace(bg, density_bricks=dens, sh_bricks=sh)
+        jax.random.normal(
+            jax.random.PRNGKey(1), bg.sh_bricks.shape, dtype
+        ) * 0.2 * bg.cell_mask[..., None]
+    ).astype(dtype)
+    return replace(bg, sh_bricks=sh)
 
 
 def _tile_rays(key, n_tiles, radius=3.0, focal_px=800.0, tile_shape=(8, 16)):
@@ -251,7 +258,7 @@ def bench_grid_render_fps(reso=512, frame=(800, 800)):
         render_tiles_pallas,
     )
 
-    bg = _plenoxels_setup(reso)
+    bg = _plenoxels_setup(reso, dtype=jnp.bfloat16)
     opts = GridRenderOptions(step_size=0.5)
     n_rays = frame[0] * frame[1]
     tiles = n_rays // 128
