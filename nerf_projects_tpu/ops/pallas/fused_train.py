@@ -221,6 +221,12 @@ def fused_train_level(
     outs = pl.pallas_call(
         _make_kernel(S, R, n_rays_total, bkgd, want_weights),
         grid=(T,),
+        # the default 16 MiB scoped-vmem limit is exactly marginal for
+        # the 768-row coarse tile (act stash + grads + prefix matrix);
+        # v5e VMEM is far larger — raise the cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
         in_specs=[
             tspec(64), tspec(32), tspec(8),
             _full_spec((TILE, TILE)),

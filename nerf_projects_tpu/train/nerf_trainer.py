@@ -133,10 +133,11 @@ class NeRFTrainer:
         )
         self.mesh = mesh
         # rays per mega-kernel tile: coarse S=96 -> 768-row tiles; fine
-        # S=288 -> 576-row tiles (VMEM: bf16 act stash + f32 grads +
-        # the [TILE, TILE] prefix matrix must co-reside)
+        # S=288 -> 1152-row tiles (bf16 act stash + f32 grads + the
+        # [TILE, TILE] prefix matrix co-reside; the pallas_call raises
+        # the scoped-vmem cap)
         self.mega_rc = 8
-        self.mega_rf = 2
+        self.mega_rf = 4
         self.schedule = exponential_decay(lrate, lrate_decay)
         self.tx = optax.adam(
             learning_rate=self.schedule, b1=0.9, b2=0.999, eps=1e-7

@@ -29,8 +29,8 @@ PLENOXEL_LR_SH = float(os.environ.get("QUALITY_LR_SH", 1e-2))
 PLENOXEL_TILES = int(os.environ.get("QUALITY_TILES", 40))
 PLENOXEL_TV_SCALE = float(os.environ.get("QUALITY_TV_SCALE", 1.0))
 SH_CHUNKS = int(os.environ.get("QUALITY_SH_CHUNKS", 6))
-H = W = 96
-N_VIEWS = 16
+H = W = int(os.environ.get("QUALITY_IMG", 96))
+N_VIEWS = int(os.environ.get("QUALITY_VIEWS", 16))
 
 
 def dataset():
