@@ -55,12 +55,14 @@ N_IMPORTANCE = 16 if SMOKE else 192
 if SMOKE:
     import nerf_projects_tpu.ops.pallas.fused_mlp as _fm
     import nerf_projects_tpu.ops.pallas.fused_sh_mlp as _fsh
+    import nerf_projects_tpu.ops.pallas.fused_train as _ftr
     import nerf_projects_tpu.ops.pallas.tile_march as _tm
 
     jax.config.update("jax_platforms", "cpu")
     _tm.INTERPRET = True
     _fm.INTERPRET = True
     _fsh.INTERPRET = True
+    _ftr.INTERPRET = True
 
 
 def emit(metric, value, unit, vs_baseline=None, **extra):
