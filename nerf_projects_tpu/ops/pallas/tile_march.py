@@ -172,11 +172,13 @@ def _plan_windows(bg: BrickGrid, geom, n_chunks: int):
 
 
 def _make_fwd_kernel(basis_dim: int, r: int = R,
-                     color_mode: str = "bias"):
+                     color_mode: str = "bias",
+                     emit_samples: bool = False):
     def kernel(rows_ref, orig_ref, basis_ref, pack_ref, *rest):
         bricks = rest[:8]         # density (1, 8, 64) each
         sh = rest[8:16]           # SH (1, B, 8, 192) each
         out_ref = rest[16]
+        samp_ref = rest[17] if emit_samples else None
         t = pl.program_id(0)
         c = pl.program_id(1)
 
@@ -267,6 +269,13 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
                 V2c.reshape(8, 3, A) * Azk[:, None, :], axis=0
             )                                        # [3, A]
 
+        if emit_samples:
+            # pre-activation per-sample fields for the fetch-free
+            # backward: row 0 sigma_acc, rows 1..3 rgb_acc
+            samp_ref[0, 0] = jnp.concatenate(
+                [sigma_acc, rgb_acc4, jnp.zeros((4, A), jnp.float32)],
+                axis=0,
+            )
         sigma = sigma_acc                            # [1, A]
         sigma = jnp.where(sigma > _SIGMA_THRESH, sigma, 0.0)
         if color_mode == "sigmoid":                  # PlenOctree decode
@@ -344,10 +353,12 @@ def geometry_only(bg: BrickGrid) -> BrickGrid:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_chunks", "basis_dim", "color_mode")
+    jax.jit,
+    static_argnames=("n_chunks", "basis_dim", "color_mode",
+                     "emit_samples"),
 )
 def _march_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
-                basis_dim, color_mode="bias"):
+                basis_dim, color_mode="bias", emit_samples=False):
     """density_z [nb+1, 8, 64]; sh_z [nb+1, B, 8, 192] (kernel layout).
 
     Tiles are processed in SMEM-sized groups via lax.map (see
@@ -373,7 +384,7 @@ def _march_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         rows_g, orig_g, basisf_g, pack_g = args
         return _march_group(
             density_z, sh_z, rows_g, orig_g, basisf_g, pack_g,
-            n_chunks, basis_dim, color_mode,
+            n_chunks, basis_dim, color_mode, emit_samples,
         )
 
     outs = jax.lax.map(
@@ -381,13 +392,20 @@ def _march_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         (_group(rows, tg), _group(orig, tg), _group(basisf, tg),
          _group(pack, tg)),
     )
+    if emit_samples:
+        out, samp = outs
+        return (
+            out.reshape(-1, 8, pack.shape[-1])[:T_full],
+            samp.reshape((-1,) + samp.shape[2:])[:T_full],
+        )
     return outs.reshape(-1, 8, pack.shape[-1])[:T_full]
 
 
 def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
-                 basis_dim, color_mode="bias"):
+                 basis_dim, color_mode="bias", emit_samples=False):
     T = pack.shape[0]
     r = pack.shape[-1]
+    A = SC * r
 
     def dspec(k):
         # full-brick blocks; sublane dim 8 (TPU requires the
@@ -417,18 +435,42 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
             *[dspec(k) for k in range(8)],
             *[sspec(k) for k in range(8)],
         ],
-        out_specs=pl.BlockSpec(
-            (1, 8, r),
-            lambda t, c, rows, orig, basisf: (t, 0, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            (
+                pl.BlockSpec(
+                    (1, 8, r),
+                    lambda t, c, rows, orig, basisf: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, 8, A),
+                    lambda t, c, rows, orig, basisf: (t, c, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            )
+            if emit_samples
+            else pl.BlockSpec(
+                (1, 8, r),
+                lambda t, c, rows, orig, basisf: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         ),
     )
-    return pl.pallas_call(
-        _make_fwd_kernel(basis_dim, r, color_mode),
+    out_shape = (
+        jax.ShapeDtypeStruct((T, 8, r), jnp.float32),
+        *(
+            [jax.ShapeDtypeStruct((T, n_chunks, 8, A), jnp.float32)]
+            if emit_samples
+            else []
+        ),
+    )
+    res = pl.pallas_call(
+        _make_fwd_kernel(basis_dim, r, color_mode, emit_samples),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, 8, r), jnp.float32),
+        out_shape=out_shape if emit_samples else out_shape[0],
         interpret=INTERPRET,
     )(rows, orig, basisf, pack, *([density_z] * 8), *([sh_z] * 8))
+    return res
 
 
 def sh_to_kernel_layout(sh_bricks: jnp.ndarray, basis_dim: int):
@@ -534,12 +576,14 @@ def render_tiles_pallas(
 
 def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
                      color_mode: str = "bias"):
-    def kernel(rows_ref, orig_ref, basis_ref, pack_ref, *rest):
-        bricks = rest[:8]
-        sh = rest[8:16]
-        state_ref = rest[16]      # (1, 8, 128): row 0 cum_tau, row 1 P
-        gd_ref = rest[17]         # (1, 1, 8, 8, 64)
-        gsh_ref = rest[18]        # (1, 1, 8, B, 8, 192)
+    """Fetch-free backward: consumes the forward's per-sample
+    (sigma_acc, rgb_acc) stream instead of re-fetching the 16 brick
+    windows and re-marching — the gradient emission needs only ray
+    geometry (hat weights) and those fields."""
+    def kernel(orig_ref, basis_ref, pack_ref, samp_ref, *rest):
+        state_ref = rest[0]       # (1, 8, 128): row 0 cum_tau, row 1 P
+        gd_ref = rest[1]          # (1, 1, 8, 8, 64)
+        gsh_ref = rest[2]         # (1, 1, 8, B, 24, 64)
         t = pl.program_id(0)
         c = pl.program_id(1)
 
@@ -589,33 +633,10 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
         Ay = jnp.maximum(0.0, 1.0 - jnp.abs(ly - iota16))
         Az = jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota16))
 
-        # ---- recompute forward (sigma, raw rgb) exactly as the fwd kernel
-        sigma_acc = jnp.zeros((1, A), jnp.float32)
-        rgb_acc = jnp.zeros((3, A), jnp.float32)
-        for k, (dx, dy, dz) in enumerate(_CORNERS):
-            dens_k = bricks[k][0]
-            Wc = sh[k][0, 0].astype(jnp.float32) * basis_ref[t, 0]
-            for b in range(1, basis_dim):
-                Wc = Wc + sh[k][0, b].astype(jnp.float32) * basis_ref[t, b]
-            Axk = Ax[dx * 8 : dx * 8 + 8]
-            Ayk = Ay[dy * 8 : dy * 8 + 8]
-            Azk = Az[dz * 8 : dz * 8 + 8]
-            V1d = jax.lax.dot_general(
-                dens_k.astype(jnp.bfloat16), Axk.astype(jnp.bfloat16),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            V2d = jnp.sum(V1d.reshape(8, 8, A) * Ayk[:, None, :], axis=0)
-            sigma_acc = sigma_acc + jnp.sum(V2d * Azk, axis=0)[None]
-            V1c = jax.lax.dot_general(
-                Wc.astype(jnp.bfloat16), Axk.astype(jnp.bfloat16),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            V2c = jnp.sum(V1c.reshape(8, 24, A) * Ayk[:, None, :], axis=0)
-            rgb_acc = rgb_acc + jnp.sum(
-                V2c.reshape(8, 3, A) * Azk[:, None, :], axis=0
-            )
+        # ---- per-sample fields from the forward pass (no recompute)
+        samp = samp_ref[0, 0]                        # [8, A]
+        sigma_acc = samp[0:1]
+        rgb_acc = samp[1:4]
 
         sig_pos = (sigma_acc > _SIGMA_THRESH).astype(jnp.float32)
         sigma = sigma_acc * sig_pos                   # [1, A]
@@ -724,16 +745,17 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
     static_argnames=("n_chunks", "basis_dim", "sparsity_scale",
                      "color_mode", "grad_dtype"),
 )
-def _bwd_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
+def _bwd_call(samples, orig, basisf, pack, n_chunks,
               basis_dim, sparsity_scale, color_mode="bias",
               grad_dtype=jnp.float32):
-    """SMEM-sized tile grouping like _march_call."""
+    """SMEM-sized tile grouping like _march_call. `samples` is the
+    forward pass's per-(tile, chunk) field stream [T, C, 8, A]."""
     T_full = pack.shape[0]
     tg, padn = _tile_groups(T_full, n_chunks)
     if padn:
-        nb = density_z.shape[0] - 1
-        rows = jnp.concatenate(
-            [rows, jnp.full((padn,) + rows.shape[1:], nb, rows.dtype)]
+        samples = jnp.concatenate(
+            [samples,
+             jnp.zeros((padn,) + samples.shape[1:], samples.dtype)]
         )
         orig = jnp.concatenate(
             [orig, jnp.zeros((padn,) + orig.shape[1:], orig.dtype)]
@@ -746,16 +768,16 @@ def _bwd_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         )
 
     def one_group(args):
-        rows_g, orig_g, basisf_g, pack_g = args
+        samp_g, orig_g, basisf_g, pack_g = args
         return _bwd_group(
-            density_z, sh_z, rows_g, orig_g, basisf_g, pack_g,
+            samp_g, orig_g, basisf_g, pack_g,
             n_chunks, basis_dim, sparsity_scale, color_mode,
             grad_dtype,
         )
 
     state, gd, gsh = jax.lax.map(
         one_group,
-        (_group(rows, tg), _group(orig, tg), _group(basisf, tg),
+        (_group(samples, tg), _group(orig, tg), _group(basisf, tg),
          _group(pack, tg)),
     )
     return (
@@ -765,53 +787,43 @@ def _bwd_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
     )
 
 
-def _bwd_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
+def _bwd_group(samples, orig, basisf, pack, n_chunks,
                basis_dim, sparsity_scale, color_mode="bias",
                grad_dtype=jnp.float32):
     T = pack.shape[0]
     C = n_chunks
     r = pack.shape[-1]
-
-    def dspec(k):
-        return pl.BlockSpec(
-            (1, 8, 64),
-            lambda t, c, rows, orig, basisf, k=k: (rows[t, c, k], 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    def sspec(k):
-        return pl.BlockSpec(
-            (1, basis_dim, 8, 192),
-            lambda t, c, rows, orig, basisf, k=k: (rows[t, c, k], 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+    A = SC * r
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(T, C),
         in_specs=[
             pl.BlockSpec(
                 (1, PACK_ROWS, r),
-                lambda t, c, rows, orig, basisf: (t, 0, 0),
+                lambda t, c, orig, basisf: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            *[dspec(k) for k in range(8)],
-            *[sspec(k) for k in range(8)],
+            pl.BlockSpec(
+                (1, 1, 8, A),
+                lambda t, c, orig, basisf: (t, c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=(
             pl.BlockSpec(
                 (1, 8, r),
-                lambda t, c, rows, orig, basisf: (t, 0, 0),
+                lambda t, c, orig, basisf: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, 8, 8, 64),
-                lambda t, c, rows, orig, basisf: (t, c, 0, 0, 0),
+                lambda t, c, orig, basisf: (t, c, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, 8, basis_dim, 24, 64),
-                lambda t, c, rows, orig, basisf: (t, c, 0, 0, 0, 0),
+                lambda t, c, orig, basisf: (t, c, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -827,7 +839,7 @@ def _bwd_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
             ),
         ),
         interpret=INTERPRET,
-    )(rows, orig, basisf, pack, *([density_z] * 8), *([sh_z] * 8))
+    )(orig, basisf, pack, samples)
 
 
 def kernel_grad24_to_sh(g: jnp.ndarray, basis_dim: int):
@@ -896,9 +908,11 @@ def fused_grad_blocks(
     else:
         density_z, sh_z = _kernel_arrays(bg)
 
-    # forward for rgb_out
-    fwd = _march_call(density_z, sh_z, rows, orig, basisf, pack, C,
-                      bg.basis_dim, opts.color_mode)
+    # forward for rgb_out + the per-sample field stream the fetch-free
+    # backward consumes
+    fwd, samples = _march_call(density_z, sh_z, rows, orig, basisf,
+                               pack, C, bg.basis_dim, opts.color_mode,
+                               emit_samples=True)
     acc = fwd[:, 3]
     rgb_out = (
         jnp.moveaxis(fwd[:, 0:3], 1, 2)
@@ -920,7 +934,7 @@ def fused_grad_blocks(
     pack = pack.at[:, 15].set(S_total)
 
     state, gd_blocks, gsh_blocks = _bwd_call(
-        density_z, sh_z, rows, orig, basisf, pack, C, bg.basis_dim,
+        samples, orig, basisf, pack, C, bg.basis_dim,
         float(sparsity_loss), opts.color_mode, grad_dtype,
     )
 
