@@ -14,8 +14,10 @@ gradient generated in-kernel from the per-ray target. Per 288-sample
 traffic of the round-1 path.
 
 Tile layout: rays are grouped R per tile, samples S per ray,
-sample-major rows (row = s*R + r). Ray-local prefix/suffix sums become
-matmuls against a kron(Lstrict[S,S], I[R]) 0/1 matrix, passed in as a
+RAY-major rows (row = r*S + s) — the natural [n_rays, S] order, so the
+XLA side feeds the kernel with pure reshapes (no [n_rays, S] ->
+(tile, sample, ray) transposes). Ray-local prefix/suffix sums become
+matmuls against a kron(I[R], Lstrict[S,S]) 0/1 matrix, passed in as a
 constant input (resident in VMEM like the weights) — Mosaic-safe: no
 small-lane reshapes anywhere; everything stays [TILE, c] column math.
 
@@ -51,13 +53,13 @@ _EPS = 1e-10
 
 def _prefix_matrices(S: int, R: int):
     """kron-structured ray-local prefix matrix: P[i, j] = 1 iff row j is
-    an EARLIER sample of the SAME ray as row i (sample-major rows).
+    an EARLIER sample of the SAME ray as row i (ray-major rows).
     logT = P @ l gives each row the sum of its ray's previous samples'
     log-transmittance terms; P^T @ x gives strict-suffix sums; and the
     full per-ray sum broadcast to every row is P@x + P^T@x + x (past +
     future + self), so one resident matrix serves all three."""
     idx = np.arange(S * R)
-    ri, si = idx % R, idx // R
+    ri, si = idx // S, idx % S
     same = ri[:, None] == ri[None, :]
     P = (same & (si[None, :] < si[:, None])).astype(np.float32)
     return P
@@ -139,13 +141,20 @@ def _make_kernel(S: int, R: int, n_rays_total: int, bkgd: float,
             [d_sig, jnp.zeros((TILE, 3), f32), zpad], axis=1
         )
 
-        # per-ray stats: first R sublane rows; lanes 0..2 rgb, 3 acc.
-        # Every row of a ray carries the ray sums; rows 0..R-1 are the
-        # s=0 samples of rays 0..R-1 in sample-major order.
+        # per-ray stats: every row of a ray carries the ray sums; pick
+        # row r*S per ray via a 0/1 selection matmul (ray-major rows;
+        # strided sublane slicing is not Mosaic-safe).
         stats = jnp.concatenate(
             [rgb_out_row, acc_row, jnp.zeros((TILE, 124), f32)], axis=1
         )
-        stats_ref[0] = stats[:8]
+        rsel = jax.lax.broadcasted_iota(jnp.int32, (8, TILE), 0)
+        csel = jax.lax.broadcasted_iota(jnp.int32, (8, TILE), 1)
+        sel = ((csel == rsel * S) & (rsel < R)).astype(f32)
+        stats_ref[0] = jax.lax.dot_general(
+            sel, stats,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
         if want_weights:
             w_ref[0] = jnp.concatenate(
                 [w, jnp.zeros((TILE, 7), f32)], axis=1
@@ -169,7 +178,7 @@ def _full_spec(shape):
 )
 def fused_train_level(
     weights: FusedMLPWeights,
-    x_enc: jnp.ndarray,   # [N, 64] sample-major per tile (row = s*R + r)
+    x_enc: jnp.ndarray,   # [N, 64] ray-major rows (row = r*S + s)
     v_enc: jnp.ndarray,   # [N, 32]
     meta: jnp.ndarray,    # [N, 8]: col0 dist*|d|, cols1..3 target rgb
     *,
@@ -243,10 +252,8 @@ def fused_train_level(
     k = 1
     w_samples = None
     if want_weights:
-        w_blk = outs[1][:, :, 0]     # [T, TILE]
-        w_samples = (
-            w_blk.reshape(T, S, R).transpose(0, 2, 1).reshape(n_rays, S)
-        )
+        w_blk = outs[1][:, :, 0]     # [T, TILE] ray-major
+        w_samples = w_blk.reshape(n_rays, S)
         k = 2
     grads = FusedMLPWeights(*outs[k:])
     return rgb_out, acc, w_samples, grads
@@ -254,21 +261,18 @@ def fused_train_level(
 
 def pack_level_inputs(pts, viewdirs, z_vals, dirs, target, S, R,
                       multires=10, multires_views=4):
-    """XLA-side input prep: posenc + sample-major tiling + meta pack.
+    """XLA-side input prep: posenc + meta pack. Rows are the natural
+    ray-major order (row = ray*S + sample) — pure reshapes, no
+    transposes.
 
     pts [n_rays, S, 3]; viewdirs/dirs [n_rays, 3]; z_vals [n_rays, S];
-    target [n_rays, 3]. Returns (x_enc, v_enc, meta) with rows ordered
-    (tile, sample, ray-in-tile)."""
+    target [n_rays, 3]."""
     from nerf_projects_tpu.ops.posenc import posenc
 
     n_rays = pts.shape[0]
-    T = n_rays // R
 
-    def to_rows(a):  # [n_rays, S, c] -> [T*S*R, c] sample-major tiles
-        c = a.shape[-1]
-        return (
-            a.reshape(T, R, S, c).transpose(0, 2, 1, 3).reshape(-1, c)
-        )
+    def to_rows(a):  # [n_rays, S, c] -> [n_rays*S, c]
+        return a.reshape(-1, a.shape[-1])
 
     x_enc = posenc(to_rows(pts), multires)
     pad = 64 - x_enc.shape[1]

@@ -55,15 +55,10 @@ def twin_loss(packed, pts, d, z, target, bkgd):
         pts, d, z, d, target, S, R
     )
     raw = fm.fused_nerf_mlp(packed, x_enc, v_enc)  # [N, 8]
-    T = N_RAYS // R
-    # rows are (tile, sample, ray): invert to [n_rays, S, c]
+
+    # ray-major rows: plain reshape back to [n_rays, S, c]
     def from_rows(a):
-        c = a.shape[-1]
-        return (
-            a.reshape(T, S, R, c).transpose(0, 2, 1, 3).reshape(
-                N_RAYS, S, c
-            )
-        )
+        return a.reshape(N_RAYS, S, a.shape[-1])
 
     rgb = jax.nn.sigmoid(from_rows(raw[:, 0:3]))
     sigma = jax.nn.relu(from_rows(raw[:, 4:5])[..., 0])
