@@ -137,7 +137,7 @@ class NeRFTrainer:
         # [TILE, TILE] prefix matrix co-reside; the pallas_call raises
         # the scoped-vmem cap)
         self.mega_rc = 8
-        self.mega_rf = 4
+        self.mega_rf = 8
         self.schedule = exponential_decay(lrate, lrate_decay)
         self.tx = optax.adam(
             learning_rate=self.schedule, b1=0.9, b2=0.999, eps=1e-7
