@@ -171,6 +171,66 @@ def _plan_windows(bg: BrickGrid, geom, n_chunks: int):
     return wb, rows
 
 
+def _orig_with_base(wb, rows, nb: int, C: int, compact: "Optional[int]"):
+    """[T, C, 4] kernel plan: window voxel origin + base step; applies
+    chunk compaction when `compact` is set below C. Returns
+    ((orig [T, C', 4], rows [T, C', 8]), C')."""
+    if compact is not None and compact < C:
+        wb, rows_c, base = _compact_chunks(wb, rows, nb, compact)
+        C = compact
+        orig = jnp.concatenate(
+            [(wb * BRICK).astype(jnp.int32), base[..., None]], axis=-1
+        )
+        return (orig, rows_c), C
+    T = wb.shape[0]
+    base = jnp.broadcast_to(
+        (jnp.arange(C, dtype=jnp.int32) * SC)[None, :], (T, C)
+    )
+    orig = jnp.concatenate(
+        [(wb * BRICK).astype(jnp.int32), base[..., None]], axis=-1
+    )
+    return (orig, rows), C
+
+
+def _compact_chunks(wb, rows, nb: int, c_keep: int):
+    """Pack each tile's ACTIVE chunks (any non-sentinel corner) to the
+    front, keeping front-to-back order, and truncate to c_keep. EXACT:
+    a fully-empty window contributes zero opacity, so skipping it does
+    not change compositing; chunks beyond c_keep are only dropped if
+    the tile has more than c_keep active chunks (callers size c_keep
+    from the scene; see required_chunks)."""
+    active = jnp.any(rows != nb, axis=-1)              # [T, C]
+    order = jnp.argsort(~active, axis=1, stable=True)  # actives first
+    idx = order[:, :c_keep]                            # [T, C']
+    rows_c = jnp.take_along_axis(rows, idx[..., None], axis=1)
+    wb_c = jnp.take_along_axis(wb, idx[..., None], axis=1)
+    base = (idx * SC).astype(jnp.int32)
+    return wb_c, rows_c, base
+
+
+def required_chunks(bg: BrickGrid, rays: Rays,
+                    opts: GridRenderOptions = GridRenderOptions(),
+                    *, use_occupancy: bool = False,
+                    multiple: int = 8) -> int:
+    """Host-side helper: the max ACTIVE chunk count any tile needs for
+    these rays (rounded up to `multiple` to bound recompiles). Run
+    OUTSIDE jit; pass the result as compact_chunks= to the render/train
+    entry points."""
+    C = default_chunks_for(bg, opts)
+    pack, geom = _pack_rays(bg, rays, opts, use_occupancy)
+    wb, rows = _plan_windows(bg, geom, C)
+    active = jnp.any(rows != bg.n_bricks, axis=-1)
+    need = int(jnp.max(jnp.sum(active.astype(jnp.int32), axis=1)))
+    need = max(need, 1)
+    return min(C, -(-need // multiple) * multiple)
+
+
+def default_chunks_for(bg: BrickGrid, opts: GridRenderOptions) -> int:
+    from nerf_projects_tpu.ops.tile_render import default_chunks
+
+    return default_chunks(bg, opts.step_size, SC)
+
+
 def _make_fwd_kernel(basis_dim: int, r: int = R,
                      color_mode: str = "bias",
                      emit_samples: bool = False):
@@ -196,9 +256,11 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
         step_world = pack[11:12]
 
         A = SC * r
-        # t values per (step, ray) in [SC, R]
+        # t values per (step, ray) in [SC, R]; the chunk's base step
+        # comes from the plan (orig col 3) so empty chunks can be
+        # compacted away without changing the t parametrization
         step_idx = (
-            c.astype(jnp.float32) * SC
+            orig_ref[t, c, 3].astype(jnp.float32)
             + jax.lax.broadcasted_iota(jnp.int32, (SC, r), 0).astype(
                 jnp.float32
             )
@@ -503,6 +565,7 @@ def render_tiles_pallas(
     use_occupancy: bool = False,
     return_depth: bool = False,
     kernel_arrays=None,
+    compact_chunks: Optional[int] = None,
 ):
     """Fused Pallas forward render of [T, 128] coherent ray tiles.
 
@@ -532,7 +595,9 @@ def render_tiles_pallas(
         C = default_chunks(bg, opts.step_size, SC)
     pack, geom = _pack_rays(bg, rays, opts, use_occupancy)
     wb, rows = _plan_windows(bg, geom, C)
-    orig = (wb * BRICK).astype(jnp.int32)
+    (orig, rows), C = _orig_with_base(
+        wb, rows, bg.n_bricks, C, compact_chunks
+    )
 
     if kernel_arrays is not None:
         density_z, sh_z = kernel_arrays
@@ -604,7 +669,7 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
 
         A = SC * r
         step_idx = (
-            c.astype(jnp.float32) * SC
+            orig_ref[t, c, 3].astype(jnp.float32)
             + jax.lax.broadcasted_iota(jnp.int32, (SC, r), 0).astype(
                 jnp.float32
             )
@@ -871,6 +936,7 @@ def fused_grad_blocks(
     use_occupancy: bool = False,
     kernel_arrays=None,
     grad_dtype=jnp.float32,
+    compact_chunks: Optional[int] = None,
 ):
     """Fused render + gradient, stopping BEFORE the dense scatter:
     returns (rgb_out [T,128,3], gd_blocks [T,C,8,8,64],
@@ -899,7 +965,9 @@ def fused_grad_blocks(
         C = default_chunks(bg, opts.step_size, SC)
     pack, geom = _pack_rays(bg, rays, opts, use_occupancy)
     wb, rows = _plan_windows(bg, geom, C)
-    orig = (wb * BRICK).astype(jnp.int32)
+    (orig, rows), C = _orig_with_base(
+        wb, rows, bg.n_bricks, C, compact_chunks
+    )
     basisf = eval_sh_bases(bg.basis_dim, _mean_viewdirs(rays)).astype(
         jnp.float32
     )
@@ -958,6 +1026,7 @@ def render_fused_tiles_pallas(
     n_chunks: Optional[int] = None,
     use_occupancy: bool = False,
     grad_dtype=jnp.float32,
+    compact_chunks: Optional[int] = None,
 ):
     """Fused render + gradient over [T, 128] tiles — the reference
     volume_render_fused: returns (rgb_out [T,128,3],
@@ -971,7 +1040,7 @@ def render_fused_tiles_pallas(
         bg, rays, rgb_gt, opts,
         beta_loss=beta_loss, sparsity_loss=sparsity_loss,
         n_chunks=n_chunks, use_occupancy=use_occupancy,
-        grad_dtype=grad_dtype,
+        grad_dtype=grad_dtype, compact_chunks=compact_chunks,
     )
     # scatter-add per-corner blocks into the compact brick arrays
     flat_rows = rows.reshape(-1)                       # [T*C*8]

@@ -331,3 +331,64 @@ class TestOccupancyRange:
             np.asarray(occ["rgb"]), np.asarray(full["rgb"]),
             rtol=5e-3, atol=5e-3,
         )
+
+
+def shell_grid(reso=48, basis_dim=1, seed=11, r_lo=0.75, r_hi=1.02):
+    """BrickGrid whose only ACTIVE bricks form a spherical shell —
+    interior bricks have no storage (links -1), so most march chunks
+    are fully-empty windows."""
+    g = random_grid(reso, basis_dim=basis_dim, seed=seed)
+    bg = from_sparse_grid(g)
+    links = np.asarray(bg.brick_links)
+    coords = np.argwhere(links >= 0)
+    centers = (coords * 8.0 + 4.0) / reso * 2.0 - 1.0
+    rad = np.linalg.norm(centers, axis=1)
+    keep = (rad >= r_lo) & (rad <= r_hi)
+    old_rows = links[coords[:, 0], coords[:, 1], coords[:, 2]]
+    new_links = np.full_like(links, -1)
+    new_rows = np.cumsum(keep) - 1
+    kept = coords[keep]
+    new_links[kept[:, 0], kept[:, 1], kept[:, 2]] = new_rows[keep]
+    sel = old_rows[keep]
+    return replace(
+        bg,
+        brick_links=jnp.asarray(new_links),
+        density_bricks=bg.density_bricks[sel],
+        sh_bricks=bg.sh_bricks[sel],
+        cell_mask=bg.cell_mask[sel],
+        brick_coords=bg.brick_coords[sel],
+    )
+
+
+class TestChunkCompaction:
+    def test_render_exact_match(self):
+        bg = shell_grid()
+        rays = tile_rays(2, seed=9)
+        opts = GridRenderOptions(step_size=0.5)
+        want = tm.render_tiles_pallas(bg, rays, opts)
+        ck = tm.required_chunks(bg, rays, opts, multiple=1)
+        assert ck < tm.default_chunks_for(bg, opts)
+        got = tm.render_tiles_pallas(bg, rays, opts, compact_chunks=ck)
+        np.testing.assert_array_equal(
+            np.asarray(got["rgb"]), np.asarray(want["rgb"])
+        )
+
+    def test_fused_grads_exact_match(self):
+        bg = shell_grid(seed=12)
+        rays = tile_rays(2, seed=10)
+        opts = GridRenderOptions(step_size=0.5)
+        gt = jnp.full(rays.origins.shape[:2] + (3,), 0.4)
+        rgb0, gd0, gsh0, _ = tm.render_fused_tiles_pallas(
+            bg, rays, gt, opts
+        )
+        ck = tm.required_chunks(bg, rays, opts, multiple=1)
+        rgb1, gd1, gsh1, _ = tm.render_fused_tiles_pallas(
+            bg, rays, gt, opts, compact_chunks=ck
+        )
+        np.testing.assert_array_equal(np.asarray(rgb0), np.asarray(rgb1))
+        np.testing.assert_allclose(
+            np.asarray(gd0), np.asarray(gd1), rtol=1e-6, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(gsh0), np.asarray(gsh1), rtol=1e-6, atol=1e-8
+        )
