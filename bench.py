@@ -358,10 +358,94 @@ def bench_nerf_sh_train():
     )
 
 
+def _shell_setup(reso, dtype=jnp.bfloat16, r_lo=0.85, r_hi=1.02):
+    """Surface-like scene: only a spherical SHELL of bricks is active —
+    representative of trained radiance fields (density on surfaces),
+    where chunk compaction pays."""
+    from dataclasses import replace
+
+    bg = _plenoxels_setup(reso, dtype)
+    links = np.asarray(bg.brick_links)
+    coords = np.argwhere(links >= 0)
+    centers = (coords * 8.0 + 4.0) / reso * 2.0 - 1.0
+    rad = np.linalg.norm(centers, axis=1)
+    keep = (rad >= r_lo) & (rad <= r_hi)
+    if not keep.any():  # tiny smoke grids: band may be empty
+        keep[:] = True
+    old_rows = links[coords[:, 0], coords[:, 1], coords[:, 2]]
+    new_links = np.full_like(links, -1)
+    new_rows = np.cumsum(keep) - 1
+    kept = coords[keep]
+    new_links[kept[:, 0], kept[:, 1], kept[:, 2]] = new_rows[keep]
+    sel = jnp.asarray(old_rows[keep])
+    return replace(
+        bg,
+        brick_links=jnp.asarray(new_links),
+        density_bricks=bg.density_bricks[sel],
+        sh_bricks=bg.sh_bricks[sel],
+        cell_mask=bg.cell_mask[sel],
+        brick_coords=bg.brick_coords[sel],
+    )
+
+
+def bench_grid_render_fps_shell(reso=512, frame=(800, 800)):
+    """Render FPS on the surface-like shell scene with exact
+    empty-chunk compaction — the octree/real-scene rendering regime."""
+    if SMOKE:
+        reso = 32
+    from nerf_projects_tpu.ops.grid import GridRenderOptions
+    from nerf_projects_tpu.ops.pallas.tile_march import (
+        build_kernel_arrays,
+        geometry_only,
+        render_tiles_pallas,
+        required_chunks,
+    )
+    import functools
+
+    bg = _shell_setup(reso)
+    opts = GridRenderOptions(step_size=0.5)
+    n_rays = frame[0] * frame[1]
+    tiles = n_rays // 128
+    batch = 2 if SMOKE else 125
+    rays = _tile_rays(jax.random.PRNGKey(3), batch, focal_px=800.0)
+
+    ck = required_chunks(bg, rays, opts)
+    ka = jax.block_until_ready(build_kernel_arrays(bg))
+    bg = geometry_only(bg)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def scan_call(k, b, kad, kas, r):
+        def body(acc, i):
+            out = render_tiles_pallas(
+                b, r._replace(origins=r.origins + i * 1e-6), opts,
+                kernel_arrays=(kad, kas), compact_chunks=ck,
+            )["rgb"]
+            return acc + out.sum(), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros(()), jnp.arange(k, dtype=jnp.float32)
+        )
+        return acc
+
+    def run(k):
+        _ = float(scan_call(k, bg, ka[0], ka[1], rays))
+
+    per_batch = slope_timed(run, lo=3, hi=12)
+    frame_s = per_batch * (tiles / batch)
+    emit(
+        "grid_render_fps_800_shell", 1.0 / frame_s, "frames/s",
+        vs_baseline=None, reso=reso, compact_chunks=ck,
+        sec_per_frame=round(frame_s, 4),
+        baseline_note="surface-topology scene + exact chunk "
+        "compaction; the real-scene rendering regime",
+    )
+
+
 WORKLOADS = {
     "nerf_train": bench_nerf_train,
     "plenoxels_train": bench_plenoxels_train,
     "grid_render_fps": bench_grid_render_fps,
+    "grid_render_fps_shell": bench_grid_render_fps_shell,
     "nerf_sh_train": bench_nerf_sh_train,
 }
 
