@@ -69,7 +69,7 @@ def _make_kernel(S: int, R: int, n_rays_total: int, bkgd: float,
                  want_weights: bool):
     TILE = S * R
 
-    def kernel(x_ref, v_ref, meta_ref, pmat_ref, *refs):
+    def kernel(x_ref, vt_ref, pmat_ref, *refs):
         w_refs = refs[:24]
         if want_weights:
             stats_ref, w_ref = refs[24], refs[25]
@@ -79,16 +79,29 @@ def _make_kernel(S: int, R: int, n_rays_total: int, bkgd: float,
             gw_refs = refs[25:]
 
         x = x_ref[:]
-        v = v_ref[:]
-        meta = meta_ref[:]
         P = pmat_ref[:]
         W = _weights_from_refs(w_refs)
+
+        f32 = jnp.float32
+
+        # per-ray data arrives as ONE [8, 32] block (view encoding in
+        # cols 0..26, target rgb in cols 28..30) and is broadcast to
+        # rows by a tiny 0/1 matmul — the XLA side no longer builds or
+        # streams per-SAMPLE view encodings (288x smaller input).
+        vt = vt_ref[0]                                   # [8, 32]
+        riota = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 0)
+        ciota = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 1)
+        selv = ((riota // S) == ciota).astype(f32)       # [TILE, 8]
+        per_ray = jax.lax.dot_general(
+            selv, vt,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )                                                # [TILE, 32]
+        v = per_ray
 
         rgb_raw, sig_raw, acts = _fwd_tile(
             x, v, W, stash_dtype=jnp.bfloat16
         )
-
-        f32 = jnp.float32
 
         def rdot(mat, col):  # [TILE, TILE] @ [TILE, c] in f32
             return jax.lax.dot_general(
@@ -104,8 +117,8 @@ def _make_kernel(S: int, R: int, n_rays_total: int, bkgd: float,
                 preferred_element_type=f32,
             )
 
-        dist = meta[:, 0:1]
-        target = meta[:, 1:4]
+        dist = x[:, 63:64]
+        target = per_ray[:, 28:31]
 
         sig_logit = sig_raw[:, 0:1]
         sigma = jnp.maximum(sig_logit, 0.0)
@@ -178,9 +191,8 @@ def _full_spec(shape):
 )
 def fused_train_level(
     weights: FusedMLPWeights,
-    x_enc: jnp.ndarray,   # [N, 64] ray-major rows (row = r*S + s)
-    v_enc: jnp.ndarray,   # [N, 32]
-    meta: jnp.ndarray,    # [N, 8]: col0 dist*|d|, cols1..3 target rgb
+    x_enc: jnp.ndarray,   # [N, 64] ray-major rows; col 63 = dist*|d|
+    vt_ray: jnp.ndarray,  # [T, 8, 32] per-ray: view enc 0..26, target 28..30
     *,
     S: int,
     R: int,
@@ -199,6 +211,8 @@ def fused_train_level(
         raise ValueError(f"N={N} not divisible by tile {TILE}")
     T = N // TILE
     n_rays = N // S
+    if vt_ray.shape != (T, 8, 32):
+        raise ValueError(f"vt_ray must be [T={T}, 8, 32], got {vt_ray.shape}")
 
     Pm = jnp.asarray(_prefix_matrices(S, R))
 
@@ -237,14 +251,16 @@ def fused_train_level(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         in_specs=[
-            tspec(64), tspec(32), tspec(8),
+            tspec(64),
+            pl.BlockSpec((1, 8, 32), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             _full_spec((TILE, TILE)),
             *[_full_spec(w.shape) for w in w_list],
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=INTERPRET,
-    )(x_enc, v_enc, meta, Pm, *w_list)
+    )(x_enc, vt_ray, Pm, *w_list)
 
     stats = outs[0][:, :R]           # [T, R, 128]
     rgb_out = stats[:, :, 0:3].reshape(n_rays, 3)
@@ -261,33 +277,20 @@ def fused_train_level(
 
 def pack_level_inputs(pts, viewdirs, z_vals, dirs, target, S, R,
                       multires=10, multires_views=4):
-    """XLA-side input prep: posenc + meta pack. Rows are the natural
-    ray-major order (row = ray*S + sample) — pure reshapes, no
-    transposes.
+    """XLA-side input prep. Rows are ray-major (row = ray*S + sample):
+    pure reshapes, no transposes, and the per-ray quantities (view
+    encoding, target) are NOT broadcast to samples — they ship as one
+    [T, 8, 32] block the kernel broadcasts in-VMEM.
 
     pts [n_rays, S, 3]; viewdirs/dirs [n_rays, 3]; z_vals [n_rays, S];
-    target [n_rays, 3]."""
+    target [n_rays, 3]. Returns (x_enc [N, 64] with col 63 = dist*|d|,
+    vt_ray [T, 8, 32])."""
     from nerf_projects_tpu.ops.posenc import posenc
 
     n_rays = pts.shape[0]
+    T = n_rays // R
 
-    def to_rows(a):  # [n_rays, S, c] -> [n_rays*S, c]
-        return a.reshape(-1, a.shape[-1])
-
-    x_enc = posenc(to_rows(pts), multires)
-    pad = 64 - x_enc.shape[1]
-    if pad:
-        x_enc = jnp.concatenate(
-            [x_enc, jnp.zeros((x_enc.shape[0], pad), x_enc.dtype)], axis=1
-        )
-    vd = jnp.broadcast_to(viewdirs[:, None, :], (n_rays, S, 3))
-    v_enc = posenc(to_rows(vd), multires_views)
-    pad = 32 - v_enc.shape[1]
-    if pad:
-        v_enc = jnp.concatenate(
-            [v_enc, jnp.zeros((v_enc.shape[0], pad), v_enc.dtype)], axis=1
-        )
-
+    x_enc = posenc(pts.reshape(-1, 3), multires)
     dists = jnp.concatenate(
         [
             z_vals[:, 1:] - z_vals[:, :-1],
@@ -295,10 +298,23 @@ def pack_level_inputs(pts, viewdirs, z_vals, dirs, target, S, R,
         ],
         axis=1,
     ) * jnp.linalg.norm(dirs, axis=-1, keepdims=True)   # [n_rays, S]
-    tgt = jnp.broadcast_to(target[:, None, :], (n_rays, S, 3))
-    meta = jnp.concatenate(
-        [to_rows(dists[..., None]), to_rows(tgt),
-         jnp.zeros((n_rays * S, 4), jnp.float32)],
+    pad = 64 - x_enc.shape[1]
+    x_enc = jnp.concatenate(
+        [
+            x_enc,
+            jnp.zeros((x_enc.shape[0], pad - 1), x_enc.dtype),
+            dists.reshape(-1, 1),
+        ],
         axis=1,
     )
-    return x_enc, v_enc, meta
+
+    v_enc = posenc(viewdirs, multires_views)            # [n_rays, 27]
+    vt = jnp.zeros((n_rays, 32), jnp.float32)
+    vt = vt.at[:, : v_enc.shape[1]].set(v_enc)
+    vt = vt.at[:, 28:31].set(target)
+    vt = vt.reshape(T, R, 32)
+    if R < 8:
+        vt = jnp.concatenate(
+            [vt, jnp.zeros((T, 8 - R, 32), jnp.float32)], axis=1
+        )
+    return x_enc, vt

@@ -137,7 +137,7 @@ class NeRFTrainer:
         # [TILE, TILE] prefix matrix co-reside; the pallas_call raises
         # the scoped-vmem cap)
         self.mega_rc = 8
-        self.mega_rf = 8
+        self.mega_rf = 4
         self.schedule = exponential_decay(lrate, lrate_decay)
         self.tx = optax.adam(
             learning_rate=self.schedule, b1=0.9, b2=0.999, eps=1e-7
@@ -192,7 +192,7 @@ class NeRFTrainer:
             loss = loss + jnp.mean((out["rgb0"] - target) ** 2)
         return loss, psnr_mse
 
-    def _mega_level(self, packed, x, v, meta, *, S, R, n_rays_total,
+    def _mega_level(self, packed, x, vt, *, S, R, n_rays_total,
                     bkgd, want_weights):
         """One mega-kernel level; under a mesh the pallas_call is
         wrapped in shard_map over the ray axis (kernels are opaque to
@@ -203,7 +203,7 @@ class NeRFTrainer:
 
         if self.mesh is None:
             return fused_train_level(
-                packed, x, v, meta, S=S, R=R,
+                packed, x, vt, S=S, R=R,
                 n_rays_total=n_rays_total, bkgd=bkgd,
                 want_weights=want_weights,
             )
@@ -212,9 +212,9 @@ class NeRFTrainer:
 
         from nerf_projects_tpu.parallel.mesh import RAY_AXIS
 
-        def local(w, xx, vv, mm):
+        def local(w, xx, vv):
             rgb, acc, ws, g = fused_train_level(
-                w, xx, vv, mm, S=S, R=R, n_rays_total=n_rays_total,
+                w, xx, vv, S=S, R=R, n_rays_total=n_rays_total,
                 bkgd=bkgd, want_weights=want_weights,
             )
             g = jax.tree_util.tree_map(
@@ -222,19 +222,19 @@ class NeRFTrainer:
             )
             return (rgb, acc, ws, g) if want_weights else (rgb, acc, g)
 
-        in_specs = (P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS))
+        in_specs = (P(), P(RAY_AXIS), P(RAY_AXIS))
         if want_weights:
             out = shard_map(
                 local, mesh=self.mesh, in_specs=in_specs,
                 out_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P()),
                 check_rep=False,
-            )(packed, x, v, meta)
+            )(packed, x, vt)
             return out
         rgb, acc, g = shard_map(
             local, mesh=self.mesh, in_specs=in_specs,
             out_specs=(P(RAY_AXIS), P(RAY_AXIS), P()),
             check_rep=False,
-        )(packed, x, v, meta)
+        )(packed, x, vt)
         return rgb, acc, None, g
 
     def _mega_value_and_grad(self, params, key, rays, target):
@@ -272,13 +272,13 @@ class NeRFTrainer:
         )
         pts = cast_rays(z_vals, rays.origins, rays.directions)
         packed_c = pack_params(params[0])
-        x, v, meta = pack_level_inputs(
+        x, vt = pack_level_inputs(
             pts, rays.viewdirs, z_vals, rays.directions, target,
             Sc, self.mega_rc,
             multires=cfg.multires, multires_views=cfg.multires_views,
         )
         rgb0, acc0, w0, gc = self._mega_level(
-            packed_c, x, v, meta, S=Sc, R=self.mega_rc,
+            packed_c, x, vt, S=Sc, R=self.mega_rc,
             n_rays_total=n_rays, bkgd=bkgd,
             want_weights=cfg.num_fine_samples > 0,
         )
@@ -303,13 +303,13 @@ class NeRFTrainer:
         Sf = Sc + cfg.num_fine_samples
         pf = params[1] if params[1] is not None else params[0]
         packed_f = pack_params(pf)
-        xf, vf, metaf = pack_level_inputs(
+        xf, vtf = pack_level_inputs(
             pts_f, rays.viewdirs, z_comb, rays.directions, target,
             Sf, self.mega_rf,
             multires=cfg.multires, multires_views=cfg.multires_views,
         )
         rgb, acc, _, gf = self._mega_level(
-            packed_f, xf, vf, metaf, S=Sf, R=self.mega_rf,
+            packed_f, xf, vtf, S=Sf, R=self.mega_rf,
             n_rays_total=n_rays, bkgd=bkgd, want_weights=False,
         )
         mse = jnp.mean((rgb - target) ** 2)

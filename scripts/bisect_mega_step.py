@@ -132,17 +132,17 @@ def main():
     packed = pack_params(state0.params[0])
     z96 = jnp.linspace(2.0, 6.0, 96)[None, :].repeat(N_RAYS, 0)
     pts96 = jnp.zeros((N_RAYS, 3))[:, None, :] + z96[..., None] * d[:, None, :]
-    x96, v96, m96 = pack_level_inputs(pts96, d, z96, d, target, 96, 8)
+    x96, v96 = pack_level_inputs(pts96, d, z96, d, target, 96, 8)
     z288 = jnp.linspace(2.0, 6.0, 288)[None, :].repeat(N_RAYS, 0)
     pts288 = jnp.zeros((N_RAYS, 3))[:, None, :] + z288[..., None] * d[:, None, :]
-    x288, v288, m288 = pack_level_inputs(pts288, d, z288, d, target, 288, 2)
+    x288, v288 = pack_level_inputs(pts288, d, z288, d, target, 288, 4)
 
-    def kernel_scan(x, v, m, S, R, want_w):
+    def kernel_scan(x, v, S, R, want_w):
         def build(n):
             def f():
                 def body(acc, i):
                     rgb, acc_r, w, g = fused_train_level(
-                        packed, x + i * 1e-9, v, m, S=S, R=R,
+                        packed, x + i * 1e-9, v, S=S, R=R,
                         n_rays_total=N_RAYS, bkgd=1.0,
                         want_weights=want_w,
                     )
@@ -157,9 +157,9 @@ def main():
         return build
 
     report("coarse_kernel", slope(
-        scan_runner(kernel_scan(x96, v96, m96, 96, 8, True))))
+        scan_runner(kernel_scan(x96, v96, 96, 8, True))))
     report("fine_kernel", slope(
-        scan_runner(kernel_scan(x288, v288, m288, 288, 2, False))))
+        scan_runner(kernel_scan(x288, v288, 288, 4, False))))
 
     # ---- XLA side only: full sampling/posenc/pack both levels, kernels
     # replaced by a cheap reduction of the packed inputs
@@ -178,7 +178,7 @@ def main():
                 z = stratified_sample(ks, 96, 2.0, 6.0, (N_RAYS,),
                                       lindisp=False, randomized=True)
                 pts = cast_rays(z, rays.origins, rays.directions)
-                x, v, m = pack_level_inputs(pts, d, z, d, target, 96, 8)
+                x, v = pack_level_inputs(pts, d, z, d, target, 96, 8)
                 w_fake = jnp.abs(x[:, 0]).reshape(N_RAYS, 96)
                 key, kp = jax.random.split(key)
                 zm = 0.5 * (z[..., 1:] + z[..., :-1])
@@ -188,9 +188,9 @@ def main():
                 )
                 zc = jnp.sort(jnp.concatenate([z, zs], -1), -1)
                 ptsf = cast_rays(zc, rays.origins, rays.directions)
-                xf, vf, mf = pack_level_inputs(ptsf, d, zc, d, target,
-                                               288, 2)
-                return acc + x.sum() + xf.sum() + m.sum() + mf.sum(), None
+                xf, vf = pack_level_inputs(ptsf, d, zc, d, target,
+                                           288, 4)
+                return acc + x.sum() + xf.sum() + v.sum() + vf.sum(), None
 
             a, _ = jax.lax.scan(
                 body, jnp.zeros(()), jnp.arange(n, dtype=jnp.float32)

@@ -28,14 +28,14 @@ def slope(fn, lo=10, hi=40):
     return best
 
 for Rv in (2, 4, 8):
-    x, v, m = pack_level_inputs(pts, d, z, d, target, S, Rv)
+    x, v = pack_level_inputs(pts, d, z, d, target, S, Rv)
     cache = {}
-    def run(n, Rv=Rv, x=x, v=v, m=m):
+    def run(n, Rv=Rv, x=x, v=v):
         if n not in cache:
             def f(n=n):
                 def body(acc, i):
                     rgb, a, w, g = fused_train_level(
-                        packed, x + i * 1e-9, v, m, S=S, R=Rv,
+                        packed, x + i * 1e-9, v, S=S, R=Rv,
                         n_rays_total=N_RAYS, bkgd=1.0, want_weights=False)
                     return acc + rgb.sum() + g.w0.sum(), None
                 out, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n, dtype=jnp.float32))

@@ -13,7 +13,8 @@ model = NeRFMLP(depth=8, width=256, use_viewdirs=True)
 params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 63)), jnp.zeros((1, 27)))
 packed = fm.pack_params(params)
 N = n_rays * S
-x = jnp.zeros((N, 64)); v = jnp.zeros((N, 32)); meta = jnp.zeros((N, 8))
-out = ft.fused_train_level(packed, x, v, meta, S=S, R=R,
+T = n_rays // R
+x = jnp.zeros((N, 64)); vt = jnp.zeros((T, 8, 32))
+out = ft.fused_train_level(packed, x, vt, S=S, R=R,
                            n_rays_total=n_rays, bkgd=1.0, want_weights=want_w)
 print("ok", jax.tree_util.tree_map(lambda a: None if a is None else a.shape, out[:2]))

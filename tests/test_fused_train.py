@@ -51,9 +51,11 @@ def setup(seed=0, bkgd=1.0):
 
 def twin_loss(packed, pts, d, z, target, bkgd):
     """Round-1 path: Pallas MLP + XLA compositing, same row order."""
-    x_enc, v_enc, _meta = ft.pack_level_inputs(
+    x_enc, vt = ft.pack_level_inputs(
         pts, d, z, d, target, S, R
     )
+    # rebuild per-row view encodings from the per-ray block
+    v_enc = jnp.repeat(vt[:, :R].reshape(N_RAYS, 32), S, axis=0)
     raw = fm.fused_nerf_mlp(packed, x_enc, v_enc)  # [N, 8]
 
     # ray-major rows: plain reshape back to [n_rays, S, c]
@@ -79,11 +81,11 @@ class TestFusedTrainLevel:
             has_aux=True,
         )(packed)
 
-        x_enc, v_enc, meta = ft.pack_level_inputs(
+        x_enc, vt = ft.pack_level_inputs(
             pts, d, z, d, target, S, R
         )
         rgb_k, acc_k, w_k, grads_k = ft.fused_train_level(
-            packed, x_enc, v_enc, meta,
+            packed, x_enc, vt,
             S=S, R=R, n_rays_total=N_RAYS, bkgd=bkgd,
             want_weights=True,
         )
@@ -168,11 +170,11 @@ class TestFusedTrainLevel:
 
     def test_no_weights_output(self):
         packed, pts, d, z, target = setup(seed=3)
-        x_enc, v_enc, meta = ft.pack_level_inputs(
+        x_enc, vt = ft.pack_level_inputs(
             pts, d, z, d, target, S, R
         )
         rgb_k, acc_k, w_k, grads_k = ft.fused_train_level(
-            packed, x_enc, v_enc, meta,
+            packed, x_enc, vt,
             S=S, R=R, n_rays_total=N_RAYS, bkgd=1.0,
             want_weights=False,
         )
