@@ -48,7 +48,7 @@ except Exception:
 # workload wiring on CPU (numbers meaningless).
 SMOKE = os.environ.get("BENCH_SMOKE", "") == "1"
 
-N_RAND = 256 if SMOKE else 1024
+N_RAND = 256 if SMOKE else int(os.environ.get("BENCH_NERF_BATCH", 1024))
 N_SAMPLES = 8 if SMOKE else 96
 N_IMPORTANCE = 16 if SMOKE else 192
 
