@@ -56,6 +56,36 @@ def render_grid_image(grid, scene, view, opts, chunk=16384, *,
     return jnp.concatenate(outs).reshape(scene.height, scene.width, 3)
 
 
+def render_grid_image_tiles(bg, ka, ck, scene, view, opts):
+    """Brick/tile Pallas renderer (the real-time path): prebuilt kernel
+    arrays + exact empty-chunk compaction."""
+    import jax.tree_util as tu
+
+    from nerf_projects_tpu.ops.pallas.tile_march import (
+        render_tiles_pallas,
+    )
+    from nerf_projects_tpu.ops.tile_render import (
+        tiles_from_image_rays,
+        untile_image,
+    )
+
+    fx, fy = float(scene.intrinsics[0, 0]), float(scene.intrinsics[1, 1])
+    cx, cy = float(scene.intrinsics[0, 2]), float(scene.intrinsics[1, 2])
+    Hp = -(-scene.height // 8) * 8
+    Wp = -(-scene.width // 16) * 16
+    rays = camera_rays_opencv(
+        Hp, Wp, fx, fy, cx, cy,
+        jnp.asarray(_to_opencv_pose(scene.poses[view], scene)),
+    )
+    flat = tu.tree_map(lambda x: x.reshape(-1, 3), rays)
+    tiles = tiles_from_image_rays(flat, Hp, Wp, 8, 16)
+    out = render_tiles_pallas(
+        bg, tiles, opts, kernel_arrays=ka, compact_chunks=ck
+    )
+    img = untile_image(out["rgb"], Hp, Wp, 8, 16)
+    return img[: scene.height, : scene.width]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Render/evaluate a Plenoxels grid")
     p.add_argument("ckpt", type=str, help="grid npz checkpoint")
@@ -71,6 +101,10 @@ def main(argv=None):
                    help="disable the fast eval path (occupancy interval "
                         "restriction + top-K color + dense density cache)")
     p.add_argument("--color_top_k", type=int, default=48)
+    p.add_argument("--tiles", action="store_true",
+                   help="render through the brick/tile Pallas march "
+                        "(prebuilt kernel arrays + exact chunk "
+                        "compaction) — the real-time path")
     args = p.parse_args(argv)
 
     grid = SparseGrid.load(args.ckpt)
@@ -92,12 +126,46 @@ def main(argv=None):
         args.n_images, scene.images.shape[0]
     )
 
+    if args.tiles:
+        import jax.tree_util as tu
+
+        from nerf_projects_tpu.ops.brick_grid import from_sparse_grid
+        from nerf_projects_tpu.ops.pallas.tile_march import (
+            build_kernel_arrays,
+            geometry_only,
+            required_chunks,
+        )
+        from nerf_projects_tpu.ops.tile_render import tiles_from_image_rays
+
+        bg = from_sparse_grid(grid)
+        ka = build_kernel_arrays(bg)
+        fx, fy = float(scene.intrinsics[0, 0]), float(scene.intrinsics[1, 1])
+        cx, cy = float(scene.intrinsics[0, 2]), float(scene.intrinsics[1, 2])
+        Hp = -(-scene.height // 8) * 8
+        Wp = -(-scene.width // 16) * 16
+        r0 = camera_rays_opencv(
+            Hp, Wp, fx, fy, cx, cy,
+            jnp.asarray(_to_opencv_pose(scene.poses[0], scene)),
+        )
+        t0_ = tiles_from_image_rays(
+            tu.tree_map(lambda x: x.reshape(-1, 3), r0), Hp, Wp, 8, 16,
+        )
+        ck = required_chunks(bg, t0_, opts)
+        bg = geometry_only(bg)
+
+        def render_view(v):
+            return render_grid_image_tiles(bg, ka, ck, scene, v, opts)
+    else:
+        def render_view(v):
+            return render_grid_image(grid, scene, v, opts, args.chunk,
+                                     **fast)
+
     if args.timing:
         # warmup/compile
-        render_grid_image(grid, scene, 0, opts, args.chunk, **fast).block_until_ready()
+        render_view(0).block_until_ready()
         t0 = time.time()
         for v in range(n):
-            img = render_grid_image(grid, scene, v, opts, args.chunk, **fast)
+            img = render_view(v)
         # forced host sync (block_until_ready is unreliable on tunneled TPUs)
         _ = float(img.sum())
         dt = time.time() - t0
@@ -108,7 +176,7 @@ def main(argv=None):
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
     for v in range(n):
-        img = render_grid_image(grid, scene, v, opts, args.chunk, **fast)
+        img = render_view(v)
         results.append(compute_metrics(img, scene.images[v]))
         if args.out_dir:
             import imageio.v2 as imageio

@@ -89,6 +89,53 @@ class TestPlenoxelsCli:
         finally:
             tm.INTERPRET = old
 
+    def test_render_imgs_tiles_renderer(self, scene):
+        """The --tiles renderer path (prebuilt kernel arrays + chunk
+        compaction) renders a full view from a SparseGrid."""
+        import jax.tree_util as tu
+
+        import nerf_projects_tpu.ops.pallas.tile_march as tm
+        from nerf_projects_tpu.cli import render_imgs as ri
+        from nerf_projects_tpu.cli.train_plenoxels import _to_opencv_pose
+        from nerf_projects_tpu.core.rays import camera_rays_opencv
+        from nerf_projects_tpu.models.sparse_grid import SparseGrid
+        from nerf_projects_tpu.ops.brick_grid import from_sparse_grid
+        from nerf_projects_tpu.ops.grid import GridRenderOptions
+        from nerf_projects_tpu.ops.tile_render import tiles_from_image_rays
+
+        old = tm.INTERPRET
+        tm.INTERPRET = True
+        try:
+            import jax.numpy as jnp
+
+            g = SparseGrid.create(16, basis_dim=1, use_sphere_bound=True,
+                                  init_density=0.5)
+            bg = from_sparse_grid(g)
+            opts = GridRenderOptions(step_size=0.5)
+            ka = tm.build_kernel_arrays(bg)
+            fx = float(scene.intrinsics[0, 0])
+            fy = float(scene.intrinsics[1, 1])
+            cx = float(scene.intrinsics[0, 2])
+            cy = float(scene.intrinsics[1, 2])
+            Hp = -(-scene.height // 8) * 8
+            Wp = -(-scene.width // 16) * 16
+            r0 = camera_rays_opencv(
+                Hp, Wp, fx, fy, cx, cy,
+                jnp.asarray(_to_opencv_pose(scene.poses[0], scene)),
+            )
+            t0 = tiles_from_image_rays(
+                tu.tree_map(lambda x: x.reshape(-1, 3), r0),
+                Hp, Wp, 8, 16,
+            )
+            ck = tm.required_chunks(bg, t0, opts)
+            img = ri.render_grid_image_tiles(
+                tm.geometry_only(bg), ka, ck, scene, 0, opts
+            )
+            assert img.shape == (scene.height, scene.width, 3)
+            assert bool(jnp.all(jnp.isfinite(img)))
+        finally:
+            tm.INTERPRET = old
+
     def test_json_config_merge(self, tmp_path, scene):
         cfg = tmp_path / "syn.json"
         cfg.write_text(json.dumps({"n_iters": 10, "batch_size": 256,
