@@ -225,6 +225,56 @@ def required_chunks(bg: BrickGrid, rays: Rays,
     return min(C, -(-need // multiple) * multiple)
 
 
+def render_tiles_pallas_bucketed(
+    bg: BrickGrid,
+    rays: Rays,
+    opts: GridRenderOptions = GridRenderOptions(),
+    *,
+    kernel_arrays=None,
+    buckets: int = 3,
+    use_occupancy: bool = False,
+    return_depth: bool = False,
+):
+    """Eval-path renderer that BUCKETS tiles by their active-chunk
+    count and renders each bucket with its own compacted chunk bound —
+    grazing tiles no longer force the whole batch to march the longest
+    span. Host-side planning (run OUTSIDE jit); bucket sizes and
+    per-bucket bounds are stable across calls with the same tile count,
+    so compile variants are few and cached. Exact (see
+    _compact_chunks)."""
+    import numpy as _np
+
+    C = default_chunks_for(bg, opts)
+    pack, geom = _pack_rays(bg, rays, opts, use_occupancy)
+    wb, rows = _plan_windows(bg, geom, C)
+    active = _np.asarray(
+        jnp.sum(jnp.any(rows != bg.n_bricks, -1).astype(jnp.int32), axis=1)
+    )
+    order = _np.argsort(active, kind="stable")
+    T = order.shape[0]
+    keys = None
+    outs = [None] * T
+    for grp in _np.array_split(order, min(buckets, T)):
+        if grp.size == 0:
+            continue
+        ck = min(C, max(8, -(-int(active[grp].max()) // 8) * 8))
+        sub = jax.tree_util.tree_map(
+            lambda x: x[jnp.asarray(grp)], rays
+        )
+        out = render_tiles_pallas(
+            bg, sub, opts, kernel_arrays=kernel_arrays,
+            compact_chunks=ck, use_occupancy=use_occupancy,
+            return_depth=return_depth,
+        )
+        if keys is None:
+            keys = [k for k in out if k != "window_miss"]
+        for j, t in enumerate(grp):
+            outs[t] = {k: out[k][j] for k in keys}
+    return {
+        k: jnp.stack([o[k] for o in outs]) for k in keys
+    }
+
+
 def default_chunks_for(bg: BrickGrid, opts: GridRenderOptions) -> int:
     from nerf_projects_tpu.ops.tile_render import default_chunks
 

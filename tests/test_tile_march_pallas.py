@@ -392,3 +392,16 @@ class TestChunkCompaction:
         np.testing.assert_allclose(
             np.asarray(gsh0), np.asarray(gsh1), rtol=1e-6, atol=1e-8
         )
+
+    def test_bucketed_render_matches(self):
+        bg = shell_grid(seed=13)
+        rays = tile_rays(4, seed=14)
+        opts = GridRenderOptions(step_size=0.5)
+        want = tm.render_tiles_pallas(bg, rays, opts)
+        got = tm.render_tiles_pallas_bucketed(bg, rays, opts, buckets=2)
+        np.testing.assert_array_equal(
+            np.asarray(got["rgb"]), np.asarray(want["rgb"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["acc"]), np.asarray(want["acc"])
+        )
