@@ -454,7 +454,11 @@ def bench_grid_render_fps_shell(reso=512, frame=(800, 800)):
 
     # bucketed variant: per-span tile buckets, each with its own
     # compacted bound (host-side planning; timed wall-clock with one
-    # sync — at seconds-per-frame scale dispatch noise is negligible)
+    # sync — at seconds-per-frame scale dispatch noise is negligible).
+    # Skipped in SMOKE: interpret-mode compiles of the bucket variants
+    # exceed the smoke budget; exactness is covered by unit tests.
+    if SMOKE:
+        return
     from nerf_projects_tpu.ops.pallas.tile_march import (
         render_tiles_pallas_bucketed,
     )
