@@ -160,8 +160,9 @@ def _make_kernel(S: int, R: int, n_rays_total: int, bkgd: float,
         stats = jnp.concatenate(
             [rgb_out_row, acc_row, jnp.zeros((TILE, 124), f32)], axis=1
         )
-        rsel = jax.lax.broadcasted_iota(jnp.int32, (8, TILE), 0)
-        csel = jax.lax.broadcasted_iota(jnp.int32, (8, TILE), 1)
+        SR = max(8, R)
+        rsel = jax.lax.broadcasted_iota(jnp.int32, (SR, TILE), 0)
+        csel = jax.lax.broadcasted_iota(jnp.int32, (SR, TILE), 1)
         sel = ((csel == rsel * S) & (rsel < R)).astype(f32)
         stats_ref[0] = jax.lax.dot_general(
             sel, stats,
@@ -225,11 +226,12 @@ def fused_train_level(
     grad_shapes = tuple(
         jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in w_list
     )
-    # stats rows padded to 8 sublanes (rows R..7 are later samples'
-    # rows, ignored by the slice below)
-    out_shape = [jax.ShapeDtypeStruct((T, 8, 128), jnp.float32)]
+    # stats rows padded to >=8 sublanes (rows beyond R are zero via the
+    # selection matmul, ignored by the slice below)
+    SR = max(8, R)
+    out_shape = [jax.ShapeDtypeStruct((T, SR, 128), jnp.float32)]
     out_specs = [
-        pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, SR, 128), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
     ]
     if want_weights:

@@ -245,10 +245,8 @@ def render_tiles_pallas_bucketed(
     import numpy as _np
 
     C = default_chunks_for(bg, opts)
-    pack, geom = _pack_rays(bg, rays, opts, use_occupancy)
-    wb, rows = _plan_windows(bg, geom, C)
     active = _np.asarray(
-        jnp.sum(jnp.any(rows != bg.n_bricks, -1).astype(jnp.int32), axis=1)
+        _active_counts_jit(bg, rays, opts, use_occupancy, C)
     )
     order = _np.argsort(active, kind="stable")
     T = order.shape[0]
@@ -261,11 +259,12 @@ def render_tiles_pallas_bucketed(
         sub = jax.tree_util.tree_map(
             lambda x: x[jnp.asarray(grp)], rays
         )
-        out = render_tiles_pallas(
-            bg, sub, opts, kernel_arrays=kernel_arrays,
-            compact_chunks=ck, use_occupancy=use_occupancy,
-            return_depth=return_depth,
-        )
+        # one jitted call per bucket (cached per config) — eager per-op
+        # dispatch through the device relay costs ~20 ms/op otherwise
+        out = _bucket_render_jit(
+            opts, ck, use_occupancy, return_depth,
+            kernel_arrays is not None,
+        )(bg, sub, kernel_arrays)
         if keys is None:
             keys = [k for k in out if k != "window_miss"]
         for j, t in enumerate(grp):
@@ -273,6 +272,36 @@ def render_tiles_pallas_bucketed(
     return {
         k: jnp.stack([o[k] for o in outs]) for k in keys
     }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("opts", "use_occupancy", "n_chunks")
+)
+def _active_counts_jit(bg, rays, opts, use_occupancy, n_chunks):
+    pack, geom = _pack_rays(bg, rays, opts, use_occupancy)
+    wb, rows = _plan_windows(bg, geom, n_chunks)
+    return jnp.sum(
+        jnp.any(rows != bg.n_bricks, -1).astype(jnp.int32), axis=1
+    )
+
+
+_BUCKET_RENDER_CACHE = {}
+
+
+def _bucket_render_jit(opts, ck, use_occupancy, return_depth, has_ka):
+    key = (opts, ck, use_occupancy, return_depth, has_ka)
+    fn = _BUCKET_RENDER_CACHE.get(key)
+    if fn is None:
+        def render(bg, sub, ka):
+            return render_tiles_pallas(
+                bg, sub, opts, kernel_arrays=ka,
+                compact_chunks=ck, use_occupancy=use_occupancy,
+                return_depth=return_depth,
+            )
+
+        fn = jax.jit(render)
+        _BUCKET_RENDER_CACHE[key] = fn
+    return fn
 
 
 def default_chunks_for(bg: BrickGrid, opts: GridRenderOptions) -> int:

@@ -200,6 +200,54 @@ def main():
 
     report("xla_side", slope(scan_runner(build_xla)))
 
+    # ---- glue splits
+    def build_glue(include):
+        def bf(n):
+            def f():
+                def body(acc, i):
+                    key = jax.random.fold_in(jax.random.PRNGKey(0),
+                                             i.astype(jnp.int32))
+                    key, ks = jax.random.split(key)
+                    z = stratified_sample(ks, 96, 2.0, 6.0, (N_RAYS,),
+                                          lindisp=False, randomized=True)
+                    acc = acc + z.sum()
+                    if "pack_c" in include:
+                        pts = cast_rays(z, rays.origins, rays.directions)
+                        x, v = pack_level_inputs(pts, d, z, d, target,
+                                                 96, 8)
+                        acc = acc + x.sum() + v.sum()
+                    if "pdf" in include:
+                        key, kp = jax.random.split(key)
+                        zm = 0.5 * (z[..., 1:] + z[..., :-1])
+                        zs = piecewise_constant_pdf(
+                            kp, zm, z[..., 1:-1] * 0 + 1.0, 192,
+                            randomized=True, mode="nerf")
+                        acc = acc + zs.sum()
+                        if "sort" in include:
+                            zc = jnp.sort(
+                                jnp.concatenate([z, zs], -1), -1)
+                            acc = acc + zc.sum()
+                            if "pack_f" in include:
+                                ptsf = cast_rays(zc, rays.origins,
+                                                 rays.directions)
+                                xf, vf = pack_level_inputs(
+                                    ptsf, d, zc, d, target, 288, 4)
+                                acc = acc + xf.sum() + vf.sum()
+                    return acc, None
+
+                a, _ = jax.lax.scan(
+                    body, jnp.zeros(()),
+                    jnp.arange(n, dtype=jnp.float32))
+                return a
+            return f
+        return bf
+
+    report("glue_pack_c_only", slope(scan_runner(build_glue({"pack_c"}))))
+    report("glue_pdf_sort", slope(scan_runner(
+        build_glue({"pdf", "sort"}))))
+    report("glue_pack_f", slope(scan_runner(
+        build_glue({"pdf", "sort", "pack_f"}))))
+
     print(json.dumps({"summary": results}), flush=True)
 
 

@@ -399,9 +399,13 @@ class TestChunkCompaction:
         opts = GridRenderOptions(step_size=0.5)
         want = tm.render_tiles_pallas(bg, rays, opts)
         got = tm.render_tiles_pallas_bucketed(bg, rays, opts, buckets=2)
-        np.testing.assert_array_equal(
-            np.asarray(got["rgb"]), np.asarray(want["rgb"])
+        # the jitted bucket wrapper reorders a few fusions: float-noise
+        # level differences only
+        np.testing.assert_allclose(
+            np.asarray(got["rgb"]), np.asarray(want["rgb"]),
+            rtol=1e-5, atol=1e-6,
         )
-        np.testing.assert_array_equal(
-            np.asarray(got["acc"]), np.asarray(want["acc"])
+        np.testing.assert_allclose(
+            np.asarray(got["acc"]), np.asarray(want["acc"]),
+            rtol=1e-5, atol=1e-6,
         )
