@@ -141,10 +141,12 @@ def pack_params(flax_params, dtype=jnp.bfloat16,
     )
 
 
-def unpack_grads(g: FusedMLPWeights, flax_params):
-    """Padded weight grads -> flax param-tree grads (fp32); interleaved
-    layout only (gradients normally flow through pack_params' AD, which
-    handles the raw-layout permutation transpose automatically)."""
+def unpack_grads(g: FusedMLPWeights, flax_params, raw_layout: bool = False):
+    """Padded weight grads -> flax param-tree grads (fp32).
+
+    raw_layout=True inverts the block-encoding row permutation that
+    pack_params(raw_layout=True) applied to trunk_0 / trunk_5's input
+    rows / view_0's view rows (the in-kernel encoder's layout)."""
     p = flax_params["params"] if "params" in flax_params else flax_params
     out = {}
 
@@ -154,6 +156,21 @@ def unpack_grads(g: FusedMLPWeights, flax_params):
             "kernel": k[: shp[0], : shp[1]].astype(jnp.float32),
             "bias": b[0, : shp[1]].astype(jnp.float32),
         }
+
+    if raw_layout:
+        perm_pts = jnp.asarray(_block_perm(10))
+        perm_views = jnp.asarray(_block_perm(4))
+
+        def unperm(rows, perm):
+            return jnp.zeros_like(rows).at[perm].set(rows[: perm.shape[0]])
+
+        g = g._replace(
+            w0=g.w0.at[:63].set(unperm(g.w0[:63], perm_pts)),
+            w5=g.w5.at[:63].set(unperm(g.w5[:63], perm_pts)),
+            wv=g.wv.at[256 : 256 + 27].set(
+                unperm(g.wv[256 : 256 + 27], perm_views)
+            ),
+        )
 
     put("trunk_0", g.w0, g.b0)
     put("trunk_1", g.w1, g.b1)

@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nerf_projects_tpu.ops.pallas.fused_mlp import (
     FusedMLPWeights,
+    _encode_tile,
     _fwd_tile,
     _mlp_backward,
     _weights_from_refs,
@@ -66,7 +67,7 @@ def _prefix_matrices(S: int, R: int):
 
 
 def _make_kernel(S: int, R: int, n_rays_total: int, bkgd: float,
-                 want_weights: bool):
+                 want_weights: bool, raw_inputs: bool = False):
     TILE = S * R
 
     def kernel(x_ref, vt_ref, pmat_ref, *refs):
@@ -78,17 +79,32 @@ def _make_kernel(S: int, R: int, n_rays_total: int, bkgd: float,
             stats_ref = refs[24]
             gw_refs = refs[25:]
 
-        x = x_ref[:]
         P = pmat_ref[:]
         W = _weights_from_refs(w_refs)
 
         f32 = jnp.float32
 
-        # per-ray data arrives as ONE [8, 32] block (view encoding in
-        # cols 0..26, target rgb in cols 28..30) and is broadcast to
-        # rows by a tiny 0/1 matmul — the XLA side no longer builds or
-        # streams per-SAMPLE view encodings (288x smaller input).
-        vt = vt_ref[0]                                   # [8, 32]
+        if raw_inputs:
+            # raw [TILE, 8] points (xyz in 0..2, dist*|d| in col 3):
+            # positional encoding happens HERE (block layout; weights
+            # packed with the matching row permutation) — the XLA side
+            # streams 8 cols instead of 64 and runs no transcendentals.
+            p_raw = x_ref[:]
+            x = _encode_tile(p_raw, 10, 64)
+            dist = p_raw[:, 3:4]
+            # per-ray block [8, 8]: raw viewdir 0..2, target 4..6
+            vt_raw = vt_ref[0]
+            venc = _encode_tile(vt_raw, 4, 32)           # [8, 32]
+            vt = jnp.concatenate([venc, vt_raw[:, 4:7]], axis=1)  # [8, 35]
+        else:
+            x = x_ref[:]
+            dist = x[:, 63:64]
+            # per-ray [8, 32] block: view encoding 0..26, target 28..30
+            # (duplicated to 32..34 so both modes read target there)
+            v32 = vt_ref[0]
+            vt = jnp.concatenate(
+                [v32, v32[:, 28:31]], axis=1
+            )                                            # [8, 35]
         riota = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 0)
         ciota = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 1)
         selv = ((riota // S) == ciota).astype(f32)       # [TILE, 8]
@@ -96,8 +112,8 @@ def _make_kernel(S: int, R: int, n_rays_total: int, bkgd: float,
             selv, vt,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32,
-        )                                                # [TILE, 32]
-        v = per_ray
+        )                                                # [TILE, 35]
+        v = per_ray[:, :32]
 
         rgb_raw, sig_raw, acts = _fwd_tile(
             x, v, W, stash_dtype=jnp.bfloat16
@@ -117,8 +133,7 @@ def _make_kernel(S: int, R: int, n_rays_total: int, bkgd: float,
                 preferred_element_type=f32,
             )
 
-        dist = x[:, 63:64]
-        target = per_ray[:, 28:31]
+        target = per_ray[:, 32:35]
 
         sig_logit = sig_raw[:, 0:1]
         sigma = jnp.maximum(sig_logit, 0.0)
@@ -188,18 +203,22 @@ def _full_spec(shape):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("S", "R", "n_rays_total", "bkgd", "want_weights"),
+    static_argnames=("S", "R", "n_rays_total", "bkgd", "want_weights",
+                     "raw_inputs"),
 )
 def fused_train_level(
     weights: FusedMLPWeights,
-    x_enc: jnp.ndarray,   # [N, 64] ray-major rows; col 63 = dist*|d|
-    vt_ray: jnp.ndarray,  # [T, 8, 32] per-ray: view enc 0..26, target 28..30
+    x_enc: jnp.ndarray,   # [N, 64] encoded (col 63 = dist*|d|), or
+                          # [N, 8] raw pts (col 3 = dist) with raw_inputs
+    vt_ray: jnp.ndarray,  # [T, 8, 32] per-ray (view enc + target), or
+                          # [T, 8, 8] raw (dir 0..2, target 4..6)
     *,
     S: int,
     R: int,
     n_rays_total: int,
     bkgd: float,
     want_weights: bool,
+    raw_inputs: bool = False,
 ):
     """Returns (rgb_out [n_rays, 3], acc [n_rays],
     weights [n_rays, S] | None, grads FusedMLPWeights).
@@ -212,8 +231,11 @@ def fused_train_level(
         raise ValueError(f"N={N} not divisible by tile {TILE}")
     T = N // TILE
     n_rays = N // S
-    if vt_ray.shape != (T, 8, 32):
-        raise ValueError(f"vt_ray must be [T={T}, 8, 32], got {vt_ray.shape}")
+    vt_cols = 8 if raw_inputs else 32
+    if vt_ray.shape != (T, 8, vt_cols):
+        raise ValueError(
+            f"vt_ray must be [T={T}, 8, {vt_cols}], got {vt_ray.shape}"
+        )
 
     Pm = jnp.asarray(_prefix_matrices(S, R))
 
@@ -244,7 +266,7 @@ def fused_train_level(
     out_specs += [_full_spec(w.shape) for w in w_list]
 
     outs = pl.pallas_call(
-        _make_kernel(S, R, n_rays_total, bkgd, want_weights),
+        _make_kernel(S, R, n_rays_total, bkgd, want_weights, raw_inputs),
         grid=(T,),
         # the default 16 MiB scoped-vmem limit is exactly marginal for
         # the 768-row coarse tile (act stash + grads + prefix matrix);
@@ -253,8 +275,9 @@ def fused_train_level(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         in_specs=[
-            tspec(64),
-            pl.BlockSpec((1, 8, 32), lambda i: (i, 0, 0),
+            tspec(8 if raw_inputs else 64),
+            pl.BlockSpec((1, 8, 8 if raw_inputs else 32),
+                         lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             _full_spec((TILE, TILE)),
             *[_full_spec(w.shape) for w in w_list],
@@ -320,3 +343,39 @@ def pack_level_inputs(pts, viewdirs, z_vals, dirs, target, S, R,
             [vt, jnp.zeros((T, 8 - R, 32), jnp.float32)], axis=1
         )
     return x_enc, vt
+
+
+def pack_level_inputs_raw(pts, viewdirs, z_vals, dirs, target, S, R):
+    """Raw-input prep for fused_train_level(raw_inputs=True): NO
+    positional encoding in XLA (the kernel encodes in block layout —
+    pack weights with pack_params(raw_layout=True) and unpack grads
+    with unpack_grads(raw_layout=True)).
+
+    Returns (x_raw [N, 8] (xyz 0..2, dist*|d| col 3),
+    vt_raw [T, 8, 8] (viewdir 0..2, target 4..6))."""
+    n_rays = pts.shape[0]
+    T = n_rays // R
+    dists = jnp.concatenate(
+        [
+            z_vals[:, 1:] - z_vals[:, :-1],
+            jnp.full_like(z_vals[:, :1], 1e10),
+        ],
+        axis=1,
+    ) * jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    x_raw = jnp.concatenate(
+        [
+            pts.reshape(-1, 3),
+            dists.reshape(-1, 1),
+            jnp.zeros((n_rays * S, 4), jnp.float32),
+        ],
+        axis=1,
+    )
+    vt = jnp.zeros((n_rays, 8), jnp.float32)
+    vt = vt.at[:, :3].set(viewdirs)
+    vt = vt.at[:, 4:7].set(target)
+    vt = vt.reshape(T, R, 8)
+    if R < 8:
+        vt = jnp.concatenate(
+            [vt, jnp.zeros((T, 8 - R, 8), jnp.float32)], axis=1
+        )
+    return x_raw, vt

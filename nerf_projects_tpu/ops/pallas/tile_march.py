@@ -251,10 +251,10 @@ def render_tiles_pallas_bucketed(
     order = _np.argsort(active, kind="stable")
     T = order.shape[0]
     keys = None
-    outs = [None] * T
-    for grp in _np.array_split(order, min(buckets, T)):
-        if grp.size == 0:
-            continue
+    parts = []
+    grps = [g for g in _np.array_split(order, min(buckets, T))
+            if g.size]
+    for grp in grps:
         ck = min(C, max(8, -(-int(active[grp].max()) // 8) * 8))
         sub = jax.tree_util.tree_map(
             lambda x: x[jnp.asarray(grp)], rays
@@ -267,10 +267,13 @@ def render_tiles_pallas_bucketed(
         )(bg, sub, kernel_arrays)
         if keys is None:
             keys = [k for k in out if k != "window_miss"]
-        for j, t in enumerate(grp):
-            outs[t] = {k: out[k][j] for k in keys}
+        parts.append(out)
+    # reassemble in original tile order with ONE concat + take per key
+    inv = _np.argsort(_np.concatenate(grps), kind="stable")
+    inv = jnp.asarray(inv)
     return {
-        k: jnp.stack([o[k] for o in outs]) for k in keys
+        k: jnp.concatenate([p[k] for p in parts], axis=0)[inv]
+        for k in keys
     }
 
 

@@ -138,6 +138,10 @@ class NeRFTrainer:
         # the scoped-vmem cap)
         self.mega_rc = 8
         self.mega_rf = 4
+        # raw-input mega kernels: posenc happens in-kernel (block
+        # layout); the XLA glue streams 8 cols instead of 64 and runs
+        # no transcendentals
+        self.mega_raw = True
         self.schedule = exponential_decay(lrate, lrate_decay)
         self.tx = optax.adam(
             learning_rate=self.schedule, b1=0.9, b2=0.999, eps=1e-7
@@ -205,7 +209,7 @@ class NeRFTrainer:
             return fused_train_level(
                 packed, x, vt, S=S, R=R,
                 n_rays_total=n_rays_total, bkgd=bkgd,
-                want_weights=want_weights,
+                want_weights=want_weights, raw_inputs=self.mega_raw,
             )
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
@@ -216,6 +220,7 @@ class NeRFTrainer:
             rgb, acc, ws, g = fused_train_level(
                 w, xx, vv, S=S, R=R, n_rays_total=n_rays_total,
                 bkgd=bkgd, want_weights=want_weights,
+                raw_inputs=self.mega_raw,
             )
             g = jax.tree_util.tree_map(
                 lambda a: jax.lax.psum(a, RAY_AXIS), g
@@ -250,6 +255,7 @@ class NeRFTrainer:
         )
         from nerf_projects_tpu.ops.pallas.fused_train import (
             pack_level_inputs,
+            pack_level_inputs_raw,
         )
         from nerf_projects_tpu.ops.sampling import (
             cast_rays,
@@ -271,19 +277,26 @@ class NeRFTrainer:
             lindisp=cfg.lindisp, randomized=cfg.perturb,
         )
         pts = cast_rays(z_vals, rays.origins, rays.directions)
-        packed_c = pack_params(params[0])
-        x, vt = pack_level_inputs(
-            pts, rays.viewdirs, z_vals, rays.directions, target,
-            Sc, self.mega_rc,
-            multires=cfg.multires, multires_views=cfg.multires_views,
-        )
+        packed_c = pack_params(params[0], raw_layout=self.mega_raw)
+        if self.mega_raw:
+            x, vt = pack_level_inputs_raw(
+                pts, rays.viewdirs, z_vals, rays.directions, target,
+                Sc, self.mega_rc,
+            )
+        else:
+            x, vt = pack_level_inputs(
+                pts, rays.viewdirs, z_vals, rays.directions, target,
+                Sc, self.mega_rc,
+                multires=cfg.multires,
+                multires_views=cfg.multires_views,
+            )
         rgb0, acc0, w0, gc = self._mega_level(
             packed_c, x, vt, S=Sc, R=self.mega_rc,
             n_rays_total=n_rays, bkgd=bkgd,
             want_weights=cfg.num_fine_samples > 0,
         )
         mse0 = jnp.mean((rgb0 - target) ** 2)
-        grads_c = unpack_grads(gc, params[0])
+        grads_c = unpack_grads(gc, params[0], raw_layout=self.mega_raw)
         if cfg.num_fine_samples == 0:
             return (mse0, mse0), (grads_c, None)
 
@@ -302,18 +315,25 @@ class NeRFTrainer:
         pts_f = cast_rays(z_comb, rays.origins, rays.directions)
         Sf = Sc + cfg.num_fine_samples
         pf = params[1] if params[1] is not None else params[0]
-        packed_f = pack_params(pf)
-        xf, vtf = pack_level_inputs(
-            pts_f, rays.viewdirs, z_comb, rays.directions, target,
-            Sf, self.mega_rf,
-            multires=cfg.multires, multires_views=cfg.multires_views,
-        )
+        packed_f = pack_params(pf, raw_layout=self.mega_raw)
+        if self.mega_raw:
+            xf, vtf = pack_level_inputs_raw(
+                pts_f, rays.viewdirs, z_comb, rays.directions, target,
+                Sf, self.mega_rf,
+            )
+        else:
+            xf, vtf = pack_level_inputs(
+                pts_f, rays.viewdirs, z_comb, rays.directions, target,
+                Sf, self.mega_rf,
+                multires=cfg.multires,
+                multires_views=cfg.multires_views,
+            )
         rgb, acc, _, gf = self._mega_level(
             packed_f, xf, vtf, S=Sf, R=self.mega_rf,
             n_rays_total=n_rays, bkgd=bkgd, want_weights=False,
         )
         mse = jnp.mean((rgb - target) ** 2)
-        grads_f = unpack_grads(gf, pf)
+        grads_f = unpack_grads(gf, pf, raw_layout=self.mega_raw)
         if params[1] is None:
             grads = (
                 jax.tree_util.tree_map(

@@ -181,3 +181,43 @@ class TestFusedTrainLevel:
         assert w_k is None
         assert rgb_k.shape == (N_RAYS, 3)
         assert all(jnp.all(jnp.isfinite(g)) for g in grads_k)
+
+    def test_raw_inputs_match_encoded(self):
+        """raw_inputs=True (in-kernel block posenc, permuted weights)
+        reproduces the encoded-input path."""
+        packed, pts, d, z, target = setup(seed=5)
+        x_enc, vt = ft.pack_level_inputs(pts, d, z, d, target, S, R)
+        rgb_e, acc_e, w_e, g_e = ft.fused_train_level(
+            packed, x_enc, vt, S=S, R=R, n_rays_total=N_RAYS,
+            bkgd=1.0, want_weights=True,
+        )
+
+        model = NeRFMLP(depth=8, width=256, use_viewdirs=True)
+        params = model.init(
+            jax.random.PRNGKey(5), jnp.zeros((1, 63)), jnp.zeros((1, 27))
+        )
+        packed_raw = fm.pack_params(params, raw_layout=True)
+        x_raw, vt_raw = ft.pack_level_inputs_raw(
+            pts, d, z, d, target, S, R
+        )
+        rgb_r, acc_r, w_r, g_r = ft.fused_train_level(
+            packed_raw, x_raw, vt_raw, S=S, R=R, n_rays_total=N_RAYS,
+            bkgd=1.0, want_weights=True, raw_inputs=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rgb_r), np.asarray(rgb_e), rtol=2e-3, atol=2e-3
+        )
+        # grads compare in the ORIGINAL flax layout via unpack
+        ge = fm.unpack_grads(g_e, params)
+        gr = fm.unpack_grads(g_r, params, raw_layout=True)
+        for (ka, va), (kb, vb) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(ge),
+                   key=lambda x: str(x[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(gr),
+                   key=lambda x: str(x[0])),
+        ):
+            va, vb = np.asarray(va), np.asarray(vb)
+            scale = np.abs(va).max() + 1e-12
+            np.testing.assert_allclose(
+                vb / scale, va / scale, rtol=0, atol=1e-2
+            )
