@@ -452,40 +452,6 @@ def bench_grid_render_fps_shell(reso=512, frame=(800, 800)):
         "compaction; the real-scene rendering regime",
     )
 
-    # bucketed variant: per-span tile buckets, each with its own
-    # compacted bound (host-side planning; timed wall-clock with one
-    # sync — at seconds-per-frame scale dispatch noise is negligible).
-    # Skipped in SMOKE: interpret-mode compiles of the bucket variants
-    # exceed the smoke budget; exactness is covered by unit tests.
-    if SMOKE:
-        return
-    from nerf_projects_tpu.ops.pallas.tile_march import (
-        render_tiles_pallas_bucketed,
-    )
-
-    n_batches = max(tiles // batch, 1)
-
-    def frame():
-        acc = None
-        for i in range(n_batches):
-            out = render_tiles_pallas_bucketed(
-                bg, rays._replace(origins=rays.origins + i * 1e-6),
-                opts, kernel_arrays=ka, buckets=3,
-            )["rgb"]
-            acc = out.sum() if acc is None else acc + out.sum()
-        return float(acc)
-
-    frame()  # compile all bucket variants
-    t0 = time.perf_counter()
-    frame()
-    frame_s2 = time.perf_counter() - t0
-    emit(
-        "grid_render_fps_800_shell_bucketed", 1.0 / frame_s2,
-        "frames/s", vs_baseline=None, reso=reso,
-        sec_per_frame=round(frame_s2, 4),
-        baseline_note="3 span-buckets, per-bucket compaction",
-    )
-
 
 WORKLOADS = {
     "nerf_train": bench_nerf_train,

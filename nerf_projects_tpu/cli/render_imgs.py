@@ -62,7 +62,7 @@ def render_grid_image_tiles(bg, ka, ck, scene, view, opts):
     import jax.tree_util as tu
 
     from nerf_projects_tpu.ops.pallas.tile_march import (
-        render_tiles_pallas_bucketed,
+        _bucket_render_jit,
     )
     from nerf_projects_tpu.ops.tile_render import (
         tiles_from_image_rays,
@@ -79,8 +79,11 @@ def render_grid_image_tiles(bg, ka, ck, scene, view, opts):
     )
     flat = tu.tree_map(lambda x: x.reshape(-1, 3), rays)
     tiles = tiles_from_image_rays(flat, Hp, Wp, 8, 16)
-    out = render_tiles_pallas_bucketed(
-        bg, tiles, opts, kernel_arrays=ka, buckets=3
+    # one cached jitted call with the scene-level compacted bound
+    # (span-bucketing exists but its per-bucket dispatch overhead only
+    # pays off on much larger tile batches; see NOTES_ROUND2.md)
+    out = _bucket_render_jit(opts, ck, False, False, True)(
+        bg, tiles, ka
     )
     img = untile_image(out["rgb"], Hp, Wp, 8, 16)
     return img[: scene.height, : scene.width]
