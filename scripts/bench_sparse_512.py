@@ -1,0 +1,73 @@
+"""Dense vs row-sparse train step on a 512^3 SHELL grid (the real-scene
+regime: surface-topology occupancy, where O(grid) per-step costs bite).
+"""
+import json, os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import functools
+import jax, jax.numpy as jnp
+import bench as B
+from nerf_projects_tpu.ops.grid import GridRenderOptions
+from nerf_projects_tpu.train import plenoxels_sparse as ps
+from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
+
+RESO = int(os.environ.get("RESO", 512))
+TILES = 40
+
+bg = B._shell_setup(RESO, dtype=jnp.float32)
+print(json.dumps({"nb": int(bg.n_bricks)}), flush=True)
+rays = B._tile_rays(jax.random.PRNGKey(2), TILES)
+target = jnp.full(rays.origins.shape[:2] + (3,), 0.4)
+opts = GridRenderOptions(step_size=0.5)
+trainer = PlenoxelsTrainer(opts, n_iters=128_000, lambda_tv=1e-5,
+                           lambda_tv_sh=1e-3, bf16_grad_blocks=True)
+
+def slope(fn, lo=4, hi=16):
+    fn(lo); fn(hi)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter(); fn(lo); t1 = time.perf_counter()
+        fn(hi); t2 = time.perf_counter()
+        s_ = ((t2 - t1) - (t1 - t0)) / (hi - lo)
+        if s_ > 0:
+            best = s_ if best is None else min(best, s_)
+    return best
+
+# dense
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+def scan_dense(k, b, r, key):
+    def body(carry, i):
+        b, r = carry
+        b, r, st = trainer.train_step_tiles_pallas(
+            b, r, rays, target, i, jax.random.fold_in(key, i.astype(jnp.int32)))
+        return (b, r), st["mse"]
+    (b, r), mses = jax.lax.scan(body, (b, r), jnp.arange(k, dtype=jnp.float32))
+    return b, r, mses
+
+bg_d = jax.tree_util.tree_map(jnp.copy, bg)
+holder = {"b": bg_d, "r": trainer.init_rms_bricks(bg_d)}
+def run_dense(k):
+    b, r, mses = scan_dense(k, holder["b"], holder["r"], jax.random.PRNGKey(k))
+    _ = float(mses[-1]); holder["b"], holder["r"] = b, r
+ms = slope(run_dense) * 1e3
+print(json.dumps({"variant": "dense", "ms": round(ms, 2),
+                  "rays_per_s": round(TILES * 128 / ms * 1e3)}), flush=True)
+del holder
+
+# sparse (occupancy-restricted chunks: the shell is where it pays)
+geom = jax.tree_util.tree_map(jnp.copy, bg)
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def scan_sparse(k, st, key):
+    def body(st, i):
+        st, stats = ps.train_step_tiles_sparse(
+            trainer, geom, st, rays, target, i,
+            jax.random.fold_in(key, i), use_occupancy=True)
+        return st, stats["mse"]
+    return jax.lax.scan(body, st, jnp.arange(k, dtype=jnp.int32))
+
+sh = {"st": ps.sparse_state_from_grid(bg)}
+def run_sparse(k):
+    st, mses = scan_sparse(k, sh["st"], jax.random.PRNGKey(k))
+    _ = float(mses[-1]); sh["st"] = st
+ms = slope(run_sparse) * 1e3
+print(json.dumps({"variant": "sparse_occ", "ms": round(ms, 2),
+                  "rays_per_s": round(TILES * 128 / ms * 1e3)}), flush=True)
