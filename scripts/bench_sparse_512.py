@@ -13,7 +13,17 @@ from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
 RESO = int(os.environ.get("RESO", 512))
 TILES = 40
 
-bg = B._shell_setup(RESO, dtype=jnp.float32)
+from dataclasses import replace
+
+# build at bf16 (the fp32 full-sphere intermediate OOMs at 512^3),
+# upcast the small filtered shell to f32 for training
+_bg16 = B._shell_setup(RESO, dtype=jnp.bfloat16)
+bg = replace(
+    _bg16,
+    density_bricks=_bg16.density_bricks.astype(jnp.float32),
+    sh_bricks=_bg16.sh_bricks.astype(jnp.float32),
+)
+del _bg16
 print(json.dumps({"nb": int(bg.n_bricks)}), flush=True)
 rays = B._tile_rays(jax.random.PRNGKey(2), TILES)
 target = jnp.full(rays.origins.shape[:2] + (3,), 0.4)
