@@ -142,6 +142,7 @@ def train_step_tiles_sparse(
     *,
     max_touched: Optional[int] = None,
     use_occupancy: bool = False,
+    compact_chunks: Optional[int] = None,
 ):
     """One row-sparse fused train step. `bg` supplies geometry only (may
     be `geometry_only`-slimmed); all data lives in `st`.
@@ -168,6 +169,7 @@ def train_step_tiles_sparse(
         use_occupancy=use_occupancy,
         kernel_arrays=(st.density_z, st.sh_z),
         grad_dtype=trainer.grad_block_dtype,
+        compact_chunks=compact_chunks,
     )
     mse = jnp.mean((rgb - target) ** 2)
 
@@ -309,14 +311,15 @@ def train_step_tiles_sparse(
 @functools.partial(
     jax.jit,
     static_argnums=(0,),
-    static_argnames=("max_touched", "use_occupancy"),
+    static_argnames=("max_touched", "use_occupancy", "compact_chunks"),
     donate_argnums=(2,),
 )
 def train_step_tiles_sparse_jit(
     trainer, bg, st, rays, target, step, key, *,
-    max_touched=None, use_occupancy=False,
+    max_touched=None, use_occupancy=False, compact_chunks=None,
 ):
     return train_step_tiles_sparse(
         trainer, bg, st, rays, target, step, key,
         max_touched=max_touched, use_occupancy=use_occupancy,
+        compact_chunks=compact_chunks,
     )

@@ -58,19 +58,30 @@ holder = {"b": bg_d, "r": trainer.init_rms_bricks(bg_d)}
 def run_dense(k):
     b, r, mses = scan_dense(k, holder["b"], holder["r"], jax.random.PRNGKey(k))
     _ = float(mses[-1]); holder["b"], holder["r"] = b, r
-ms = slope(run_dense) * 1e3
-print(json.dumps({"variant": "dense", "ms": round(ms, 2),
-                  "rays_per_s": round(TILES * 128 / ms * 1e3)}), flush=True)
-del holder
+try:
+    ms = slope(run_dense) * 1e3
+    print(json.dumps({"variant": "dense", "ms": round(ms, 2),
+                      "rays_per_s": round(TILES * 128 / ms * 1e3)}),
+          flush=True)
+except Exception as exc:
+    # the O(grid) dense step does not FIT at 512^3 — the sparse step's
+    # reason to exist
+    print(json.dumps({"variant": "dense",
+                      "error": f"{type(exc).__name__}: {exc}"[:200]}),
+          flush=True)
+del holder, bg_d
 
-# sparse (occupancy-restricted chunks: the shell is where it pays)
+# sparse (compacted chunks: the shell is where it pays)
+from nerf_projects_tpu.ops.pallas.tile_march import required_chunks
+CK = required_chunks(bg, rays, opts)
+print(json.dumps({"compact_chunks": CK}), flush=True)
 geom = jax.tree_util.tree_map(jnp.copy, bg)
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
 def scan_sparse(k, st, key):
     def body(st, i):
         st, stats = ps.train_step_tiles_sparse(
             trainer, geom, st, rays, target, i,
-            jax.random.fold_in(key, i), use_occupancy=True)
+            jax.random.fold_in(key, i), compact_chunks=CK)
         return st, stats["mse"]
     return jax.lax.scan(body, st, jnp.arange(k, dtype=jnp.int32))
 
