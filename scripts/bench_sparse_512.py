@@ -71,11 +71,15 @@ except Exception as exc:
           flush=True)
 del holder, bg_d
 
-# sparse (compacted chunks: the shell is where it pays)
-from nerf_projects_tpu.ops.pallas.tile_march import required_chunks
+# sparse (compacted chunks: the shell is where it pays). The sparse
+# state owns the data; keep only GEOMETRY alive beyond it.
+from nerf_projects_tpu.ops.pallas.tile_march import (
+    geometry_only,
+    required_chunks,
+)
 CK = required_chunks(bg, rays, opts)
 print(json.dumps({"compact_chunks": CK}), flush=True)
-geom = jax.tree_util.tree_map(jnp.copy, bg)
+geom = geometry_only(bg)
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
 def scan_sparse(k, st, key):
     def body(st, i):
@@ -86,6 +90,7 @@ def scan_sparse(k, st, key):
     return jax.lax.scan(body, st, jnp.arange(k, dtype=jnp.int32))
 
 sh = {"st": ps.sparse_state_from_grid(bg)}
+del bg
 def run_sparse(k):
     st, mses = scan_sparse(k, sh["st"], jax.random.PRNGKey(k))
     _ = float(mses[-1]); sh["st"] = st
