@@ -619,12 +619,11 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
 
 def sh_to_kernel_layout(sh_bricks: jnp.ndarray, basis_dim: int):
     """[nb, 512, 3*B] -> [nb, B, 8, 192]: (cell(lx,ly,lz), c, b) ->
-    (b, lx, (ly, lz, c)). One transpose, done once per grid for
-    rendering (training keeps its own layout copy)."""
+    (b, lx, (ly, lz, c)). Constant lane permutation (see _perm)."""
     nb = sh_bricks.shape[0]
-    x = sh_bricks.reshape(nb, 8, 8, 8, 3, basis_dim)
-    x = jnp.transpose(x, (0, 5, 1, 2, 3, 4))
-    return x.reshape(nb, basis_dim, 8, 8 * 8 * 3)
+    flat = sh_bricks.reshape(nb, 512 * 3 * basis_dim)
+    out = jnp.take(flat, _perm("sh_to_kernel", basis_dim), axis=1)
+    return out.reshape(nb, basis_dim, 8, 192)
 
 
 def active_chunk_bound(bg: BrickGrid, step_size: float = 0.5) -> int:
@@ -989,21 +988,77 @@ def _bwd_group(samples, orig, basisf, pack, n_chunks,
     )(orig, basisf, pack, samples)
 
 
+# Layout converters are CONSTANT lane permutations (one gather with a
+# precomputed index) rather than 6D reshape+transpose chains: TPU
+# tiling pads tiny trailing dims (8, 8) to (8, 128), so the
+# materialized transpose intermediates blow up 16x in HBM (observed:
+# a 1.6 GB logical relayout allocating 24.9 GB).
+_PERM_CACHE = {}
+
+
+def _perm(name: str, basis_dim: int):
+    key = (name, basis_dim)
+    p = _PERM_CACHE.get(key)
+    if p is not None:
+        return p
+    B = basis_dim
+    lx, ly, lz = np.meshgrid(
+        np.arange(8), np.arange(8), np.arange(8), indexing="ij"
+    )
+    cell = (lx * 64 + ly * 8 + lz).reshape(-1)          # [512]
+    out_idx = np.arange(512 * 3 * B).reshape(512, 3, B)
+    if name == "grad24_to_sh":
+        # in: [B, 24(lx*3+ch), 64(ly*8+lz)] flat; out: [cell, ch, b]
+        src = np.empty((512, 3, B), np.int64)
+        for c in range(3):
+            for b in range(B):
+                src[:, c, b] = (
+                    b * (24 * 64)
+                    + (lx.reshape(-1) * 3 + c) * 64
+                    + (ly.reshape(-1) * 8 + lz.reshape(-1))
+                )
+        p = jnp.asarray(src.reshape(-1))
+    elif name == "kernel_to_sh":
+        # in: [B, lx, 192((ly*8+lz)*3+ch)] flat; out: [cell, ch, b]
+        src = np.empty((512, 3, B), np.int64)
+        for c in range(3):
+            for b in range(B):
+                src[:, c, b] = (
+                    (b * 8 + lx.reshape(-1)) * 192
+                    + (ly.reshape(-1) * 8 + lz.reshape(-1)) * 3
+                    + c
+                )
+        p = jnp.asarray(src.reshape(-1))
+    elif name == "sh_to_kernel":
+        # in: [cell, ch, b] flat; out: [B, lx, (ly*8+lz)*3+ch]
+        src = np.empty((B, 8, 192), np.int64)
+        kpos = np.arange(192)
+        lyz, ch = kpos // 3, kpos % 3
+        for b in range(B):
+            for x_ in range(8):
+                src[b, x_, :] = (x_ * 64 + lyz) * (3 * B) + ch * B + b
+        p = jnp.asarray(src.reshape(-1))
+    else:
+        raise ValueError(name)
+    _PERM_CACHE[key] = p
+    return p
+
+
 def kernel_grad24_to_sh(g: jnp.ndarray, basis_dim: int):
     """Backward-kernel gradient layout [nb, B, 24(a,ch), 64(b,c)] ->
     master [nb, 512, 3*B] (cells lx-major, channels (ch, basis))."""
     nb = g.shape[0]
-    x = g.reshape(nb, basis_dim, 8, 3, 8, 8)
-    x = jnp.transpose(x, (0, 2, 4, 5, 3, 1))
-    return x.reshape(nb, 512, 3 * basis_dim)
+    flat = g.reshape(nb, basis_dim * 24 * 64)
+    out = jnp.take(flat, _perm("grad24_to_sh", basis_dim), axis=1)
+    return out.reshape(nb, 512, 3 * basis_dim)
 
 
 def kernel_layout_to_sh(gsh_kernel: jnp.ndarray, basis_dim: int):
     """[nb, B, 8, 192] -> [nb, 512, 3*B] (inverse of sh_to_kernel_layout)."""
     nb = gsh_kernel.shape[0]
-    x = gsh_kernel.reshape(nb, basis_dim, 8, 8, 8, 3)
-    x = jnp.transpose(x, (0, 2, 3, 4, 5, 1))
-    return x.reshape(nb, 512, 3 * basis_dim)
+    flat = gsh_kernel.reshape(nb, basis_dim * 8 * 192)
+    out = jnp.take(flat, _perm("kernel_to_sh", basis_dim), axis=1)
+    return out.reshape(nb, 512, 3 * basis_dim)
 
 
 def fused_grad_blocks(
