@@ -997,6 +997,8 @@ _PERM_CACHE = {}
 
 
 def _perm(name: str, basis_dim: int):
+    # cached as NUMPY (a jnp constant created inside a trace would leak
+    # a tracer into later traces)
     key = (name, basis_dim)
     p = _PERM_CACHE.get(key)
     if p is not None:
@@ -1017,7 +1019,7 @@ def _perm(name: str, basis_dim: int):
                     + (lx.reshape(-1) * 3 + c) * 64
                     + (ly.reshape(-1) * 8 + lz.reshape(-1))
                 )
-        p = jnp.asarray(src.reshape(-1))
+        p = src.reshape(-1)
     elif name == "kernel_to_sh":
         # in: [B, lx, 192((ly*8+lz)*3+ch)] flat; out: [cell, ch, b]
         src = np.empty((512, 3, B), np.int64)
@@ -1028,7 +1030,7 @@ def _perm(name: str, basis_dim: int):
                     + (ly.reshape(-1) * 8 + lz.reshape(-1)) * 3
                     + c
                 )
-        p = jnp.asarray(src.reshape(-1))
+        p = src.reshape(-1)
     elif name == "sh_to_kernel":
         # in: [cell, ch, b] flat; out: [B, lx, (ly*8+lz)*3+ch]
         src = np.empty((B, 8, 192), np.int64)
@@ -1037,7 +1039,7 @@ def _perm(name: str, basis_dim: int):
         for b in range(B):
             for x_ in range(8):
                 src[b, x_, :] = (x_ * 64 + lyz) * (3 * B) + ch * B + b
-        p = jnp.asarray(src.reshape(-1))
+        p = src.reshape(-1)
     else:
         raise ValueError(name)
     _PERM_CACHE[key] = p
