@@ -11,7 +11,8 @@ from nerf_projects_tpu.train import plenoxels_sparse as ps
 from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
 
 RESO = int(os.environ.get("RESO", 512))
-TILES = 40
+TILES = 20
+MAX_TOUCHED = 8192
 
 from dataclasses import replace
 
@@ -80,20 +81,27 @@ from nerf_projects_tpu.ops.pallas.tile_march import (
 CK = required_chunks(bg, rays, opts)
 print(json.dumps({"compact_chunks": CK}), flush=True)
 geom = geometry_only(bg)
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def scan_sparse(k, st, key):
-    def body(st, i):
-        st, stats = ps.train_step_tiles_sparse(
-            trainer, geom, st, rays, target, i,
-            jax.random.fold_in(key, i), compact_chunks=CK)
-        return st, stats["mse"]
-    return jax.lax.scan(body, st, jnp.arange(k, dtype=jnp.int32))
 
 sh = {"st": ps.sparse_state_from_grid(bg)}
 del bg
+
+# python-loop with donation (a scanned 9 GB carry double-buffers and
+# OOMs); per-dispatch host cost ~20 ms rides on each step — this is an
+# upper bound on step time
 def run_sparse(k):
-    st, mses = scan_sparse(k, sh["st"], jax.random.PRNGKey(k))
-    _ = float(mses[-1]); sh["st"] = st
+    st = sh["st"]
+    stats = None
+    for i in range(k):
+        st, stats = ps.train_step_tiles_sparse_jit(
+            trainer, geom, st, rays, target,
+            jnp.asarray(i, jnp.int32), jax.random.PRNGKey(i),
+            compact_chunks=CK, max_touched=MAX_TOUCHED)
+    _ = float(stats["mse"])
+    sh["st"] = st
+
 ms = slope(run_sparse) * 1e3
-print(json.dumps({"variant": "sparse_occ", "ms": round(ms, 2),
-                  "rays_per_s": round(TILES * 128 / ms * 1e3)}), flush=True)
+print(json.dumps({"variant": "sparse_compact", "ms": round(ms, 2),
+                  "rays_per_s": round(TILES * 128 / ms * 1e3),
+                  "max_touched": MAX_TOUCHED,
+                  "note": "incl ~20ms/step dispatch overhead"}),
+      flush=True)
