@@ -75,8 +75,14 @@ def _append_row(x):
     return jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
 
 
-def sparse_state_from_grid(bg: BrickGrid) -> SparseBrickState:
-    """Build the incremental state from a BrickGrid's fp32 masters."""
+def sparse_state_from_grid(bg: BrickGrid,
+                           rms_dtype=jnp.float32) -> SparseBrickState:
+    """Build the incremental state from a BrickGrid's fp32 masters.
+
+    rms_dtype=bf16 halves the RMSprop accumulator (the HBM difference
+    between fitting and not at 512^3 x SH9): the accumulator only feeds
+    sqrt(rms)+eps in the denominator, so bf16's ~0.4% relative error is
+    step-size noise."""
     nb, B = bg.n_bricks, bg.basis_dim
     dk = _append_row(
         bg.density_bricks.reshape(nb, 8, 64).astype(jnp.float32)
@@ -89,8 +95,8 @@ def sparse_state_from_grid(bg: BrickGrid) -> SparseBrickState:
         sh_k=sk,
         density_z=dk.astype(jnp.bfloat16),
         sh_z=sk.astype(jnp.bfloat16),
-        rms_density=jnp.zeros_like(dk),
-        rms_sh=jnp.zeros_like(sk),
+        rms_density=jnp.zeros(dk.shape, rms_dtype),
+        rms_sh=jnp.zeros(sk.shape, rms_dtype),
         last_step=jnp.full((nb + 1,), -1, jnp.int32),
     )
 
@@ -274,14 +280,16 @@ def train_step_tiles_sparse(
     d_rows = st.density_k[uniq]
     new_d, rms_d = _finalize_rms(
         trainer, trainer.sigma_optim, d_rows, acc_d,
-        st.rms_density[uniq], decay[:, None, None], lr_sigma,
+        st.rms_density[uniq].astype(jnp.float32),
+        decay[:, None, None], lr_sigma,
         minval=trainer.density_minval,
     )
     new_d = new_d * md
     s_rows = st.sh_k[uniq]
     new_s, rms_s = _finalize_rms(
         trainer, trainer.sh_optim, s_rows, acc_sh,
-        st.rms_sh[uniq], decay[:, None, None, None], lr_sh,
+        st.rms_sh[uniq].astype(jnp.float32),
+        decay[:, None, None, None], lr_sh,
     )
 
     # ---- scatter back (unique indices; sentinel re-zeroed) -----------
@@ -293,8 +301,10 @@ def train_step_tiles_sparse(
         sh_k=put(st.sh_k, new_s),
         density_z=put(st.density_z, new_d.astype(jnp.bfloat16)),
         sh_z=put(st.sh_z, new_s.astype(jnp.bfloat16)),
-        rms_density=st.rms_density.at[uniq].set(rms_d),
-        rms_sh=st.rms_sh.at[uniq].set(rms_s),
+        rms_density=st.rms_density.at[uniq].set(
+            rms_d.astype(st.rms_density.dtype)
+        ),
+        rms_sh=st.rms_sh.at[uniq].set(rms_s.astype(st.rms_sh.dtype)),
         last_step=st.last_step.at[uniq].set(step).at[nb].set(-1),
     )
     psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)

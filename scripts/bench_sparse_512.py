@@ -82,7 +82,7 @@ CK = required_chunks(bg, rays, opts)
 print(json.dumps({"compact_chunks": CK}), flush=True)
 geom = geometry_only(bg)
 
-sh = {"st": ps.sparse_state_from_grid(bg)}
+sh = {"st": ps.sparse_state_from_grid(bg, rms_dtype=jnp.bfloat16)}
 del bg
 
 # python-loop with donation (a scanned 9 GB carry double-buffers and

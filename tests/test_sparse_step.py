@@ -122,3 +122,29 @@ class TestSparseStep:
                 trainer, bg, st, rays, target,
                 jnp.asarray(0, jnp.int32), jax.random.PRNGKey(0),
             )
+
+
+class TestSparseBf16Rms:
+    def test_bf16_rms_close_to_f32(self):
+        """bf16 RMS accumulator (the 512^3 memory option) tracks the
+        f32-accumulator step closely (denominator-only use)."""
+        trainer = make_trainer()
+        g = random_grid(24, seed=9)
+        bg = from_sparse_grid(g)
+        st32 = ps.sparse_state_from_grid(bg)
+        st16 = ps.sparse_state_from_grid(bg, rms_dtype=jnp.bfloat16)
+        assert st16.rms_sh.dtype == jnp.bfloat16
+        rays = tile_rays(2, seed=21)
+        target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+        for i in range(2):
+            k = jax.random.PRNGKey(i)
+            step = jnp.asarray(i, jnp.int32)
+            st32, _ = ps.train_step_tiles_sparse(
+                trainer, bg, st32, rays, target, step, k)
+            st16, _ = ps.train_step_tiles_sparse(
+                trainer, bg, st16, rays, target, step, k)
+        a = np.asarray(st16.density_k)
+        b = np.asarray(st32.density_k)
+        scale = np.abs(b).max() + 1e-12
+        close = np.isclose(a / scale, b / scale, rtol=0, atol=2e-2)
+        assert close.mean() > 0.99
