@@ -78,11 +78,17 @@ from nerf_projects_tpu.ops.pallas.tile_march import (
     geometry_only,
     required_chunks,
 )
-CK = required_chunks(bg, rays, opts)
-print(json.dumps({"compact_chunks": CK}), flush=True)
 geom = geometry_only(bg)
+CK = required_chunks(geom, rays, opts)
+print(json.dumps({"compact_chunks": CK}), flush=True)
 
-sh = {"st": ps.sparse_state_from_grid(bg, rms_dtype=jnp.bfloat16)}
+# jit + donate: the eager build's 3.4 GB intermediates OOM at 512^3
+build = jax.jit(
+    functools.partial(ps.sparse_state_from_grid,
+                      rms_dtype=jnp.bfloat16),
+    donate_argnums=0,
+)
+sh = {"st": build(bg)}
 del bg
 
 # python-loop with donation (a scanned 9 GB carry double-buffers and
