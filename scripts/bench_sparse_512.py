@@ -60,6 +60,8 @@ def run_dense(k):
     b, r, mses = scan_dense(k, holder["b"], holder["r"], jax.random.PRNGKey(k))
     _ = float(mses[-1]); holder["b"], holder["r"] = b, r
 try:
+    if os.environ.get("SKIP_DENSE", "") == "1":
+        raise MemoryError("skipped (recorded OOM: 20.1G > 15.75G hbm)")
     ms = slope(run_dense) * 1e3
     print(json.dumps({"variant": "dense", "ms": round(ms, 2),
                       "rays_per_s": round(TILES * 128 / ms * 1e3)}),
@@ -82,14 +84,39 @@ geom = geometry_only(bg)
 CK = required_chunks(geom, rays, opts)
 print(json.dumps({"compact_chunks": CK}), flush=True)
 
-# jit + donate: the eager build's 3.4 GB intermediates OOM at 512^3
-build = jax.jit(
-    functools.partial(ps.sparse_state_from_grid,
-                      rms_dtype=jnp.bfloat16),
-    donate_argnums=0,
+# build the state FIELD BY FIELD with explicit free points — the
+# monolithic build holds master+kernel+bf16 copies concurrently
+# (17.7 G > 15.75 G at this scale)
+from dataclasses import replace as _rep
+
+from nerf_projects_tpu.ops.pallas.tile_march import sh_to_kernel_layout
+
+nb, B = bg.n_bricks, bg.basis_dim
+
+@functools.partial(jax.jit, donate_argnums=0)
+def build_sh_k(master):
+    out = jnp.zeros((nb + 1, B, 8, 192), jnp.float32)
+    return out.at[:nb].set(sh_to_kernel_layout(master, B))
+
+sk = build_sh_k(bg.sh_bricks)
+bg = _rep(bg, sh_bricks=jnp.zeros((nb, 1, 1), jnp.float32))
+sz = jax.jit(lambda a: a.astype(jnp.bfloat16))(sk)
+dk = jnp.zeros((nb + 1, 8, 64), jnp.float32).at[:nb].set(
+    bg.density_bricks.reshape(nb, 8, 64)
 )
-sh = {"st": build(bg)}
-del bg
+bg = _rep(bg, density_bricks=jnp.zeros((nb, 1), jnp.float32))
+st0 = ps.SparseBrickState(
+    density_k=dk,
+    sh_k=sk,
+    density_z=dk.astype(jnp.bfloat16),
+    sh_z=sz,
+    rms_density=jnp.zeros(dk.shape, jnp.bfloat16),
+    rms_sh=jnp.zeros(sk.shape, jnp.bfloat16),
+    last_step=jnp.full((nb + 1,), -1, jnp.int32),
+)
+del dk, sk, sz
+sh = {"st": st0}
+del bg, st0
 
 # python-loop with donation (a scanned 9 GB carry double-buffers and
 # OOMs); per-dispatch host cost ~20 ms rides on each step — this is an
