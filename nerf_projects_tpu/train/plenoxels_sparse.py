@@ -56,8 +56,10 @@ class SparseBrickState(NamedTuple):
 
     density_k: jnp.ndarray   # f32 [nb+1, 8, 64] master
     sh_k: jnp.ndarray        # f32 [nb+1, B, 8, 192] master
-    density_z: jnp.ndarray   # bf16 copy of density_k (kernel input)
-    sh_z: jnp.ndarray        # bf16 copy of sh_k (kernel input)
+    density_z: object        # bf16 kernel-input copy, or None to march
+    sh_z: object             # directly on the f32 masters (saves the
+                             # copies' HBM; bf16 windows measured no
+                             # speedup — the march is latency-bound)
     rms_density: jnp.ndarray  # f32 [nb+1, 8, 64]
     rms_sh: jnp.ndarray       # f32 [nb+1, B, 8, 192]
     last_step: jnp.ndarray    # int32 [nb+1]
@@ -76,7 +78,9 @@ def _append_row(x):
 
 
 def sparse_state_from_grid(bg: BrickGrid,
-                           rms_dtype=jnp.float32) -> SparseBrickState:
+                           rms_dtype=jnp.float32,
+                           shared_kernel_arrays: bool = False,
+                           ) -> SparseBrickState:
     """Build the incremental state from a BrickGrid's fp32 masters.
 
     rms_dtype=bf16 halves the RMSprop accumulator (the HBM difference
@@ -93,8 +97,8 @@ def sparse_state_from_grid(bg: BrickGrid,
     return SparseBrickState(
         density_k=dk,
         sh_k=sk,
-        density_z=dk.astype(jnp.bfloat16),
-        sh_z=sk.astype(jnp.bfloat16),
+        density_z=None if shared_kernel_arrays else dk.astype(jnp.bfloat16),
+        sh_z=None if shared_kernel_arrays else sk.astype(jnp.bfloat16),
         rms_density=jnp.zeros(dk.shape, rms_dtype),
         rms_sh=jnp.zeros(sk.shape, rms_dtype),
         last_step=jnp.full((nb + 1,), -1, jnp.int32),
@@ -168,12 +172,17 @@ def train_step_tiles_sparse(
     nb, B = st.n_bricks, st.basis_dim
     fstep = step.astype(jnp.float32)
 
+    shared_z = st.density_z is None
+    ka = (
+        (st.density_k, st.sh_k) if shared_z
+        else (st.density_z, st.sh_z)
+    )
     rgb, gd_blocks, gsh_blocks, rows, aux = fused_grad_blocks(
         bg, rays, target, trainer.opts,
         beta_loss=trainer.lambda_beta,
         sparsity_loss=trainer.lambda_sparsity,
         use_occupancy=use_occupancy,
-        kernel_arrays=(st.density_z, st.sh_z),
+        kernel_arrays=ka,
         grad_dtype=trainer.grad_block_dtype,
         compact_chunks=compact_chunks,
     )
@@ -299,8 +308,14 @@ def train_step_tiles_sparse(
     new_st = SparseBrickState(
         density_k=put(st.density_k, new_d),
         sh_k=put(st.sh_k, new_s),
-        density_z=put(st.density_z, new_d.astype(jnp.bfloat16)),
-        sh_z=put(st.sh_z, new_s.astype(jnp.bfloat16)),
+        density_z=(
+            None if shared_z
+            else put(st.density_z, new_d.astype(jnp.bfloat16))
+        ),
+        sh_z=(
+            None if shared_z
+            else put(st.sh_z, new_s.astype(jnp.bfloat16))
+        ),
         rms_density=st.rms_density.at[uniq].set(
             rms_d.astype(st.rms_density.dtype)
         ),

@@ -100,21 +100,23 @@ def build_sh_k(master):
 
 sk = build_sh_k(bg.sh_bricks)
 bg = _rep(bg, sh_bricks=jnp.zeros((nb, 1, 1), jnp.float32))
-sz = jax.jit(lambda a: a.astype(jnp.bfloat16))(sk)
 dk = jnp.zeros((nb + 1, 8, 64), jnp.float32).at[:nb].set(
     bg.density_bricks.reshape(nb, 8, 64)
 )
 bg = _rep(bg, density_bricks=jnp.zeros((nb, 1), jnp.float32))
+# alias the f32 masters as the kernel arrays: bf16 windows measured
+# no speedup (march is latency- not bandwidth-bound) and the separate
+# copies are exactly the HBM gap at this scale
 st0 = ps.SparseBrickState(
     density_k=dk,
     sh_k=sk,
-    density_z=dk.astype(jnp.bfloat16),
-    sh_z=sz,
+    density_z=None,
+    sh_z=None,
     rms_density=jnp.zeros(dk.shape, jnp.bfloat16),
     rms_sh=jnp.zeros(sk.shape, jnp.bfloat16),
     last_step=jnp.full((nb + 1,), -1, jnp.int32),
 )
-del dk, sk, sz
+del dk, sk
 sh = {"st": st0}
 del bg, st0
 

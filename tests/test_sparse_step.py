@@ -148,3 +148,27 @@ class TestSparseBf16Rms:
         scale = np.abs(b).max() + 1e-12
         close = np.isclose(a / scale, b / scale, rtol=0, atol=2e-2)
         assert close.mean() > 0.99
+
+    def test_shared_kernel_arrays_matches(self):
+        """density_z/sh_z=None (march on f32 masters) == the bf16-copy
+        state to bf16 tolerance."""
+        trainer = make_trainer()
+        g = random_grid(24, seed=15)
+        bg = from_sparse_grid(g)
+        st_c = ps.sparse_state_from_grid(bg)
+        st_s = ps.sparse_state_from_grid(bg, shared_kernel_arrays=True)
+        assert st_s.density_z is None
+        rays = tile_rays(2, seed=31)
+        target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+        for i in range(2):
+            k = jax.random.PRNGKey(i)
+            step = jnp.asarray(i, jnp.int32)
+            st_c, _ = ps.train_step_tiles_sparse(
+                trainer, bg, st_c, rays, target, step, k)
+            st_s, _ = ps.train_step_tiles_sparse(
+                trainer, bg, st_s, rays, target, step, k)
+        assert st_s.density_z is None
+        a, b = np.asarray(st_s.density_k), np.asarray(st_c.density_k)
+        scale = np.abs(b).max() + 1e-12
+        close = np.isclose(a / scale, b / scale, rtol=0, atol=2e-2)
+        assert close.mean() > 0.99
