@@ -1046,6 +1046,22 @@ def _perm(name: str, basis_dim: int):
     return p
 
 
+def kernel_grad24_to_kernel_layout(g: jnp.ndarray, basis_dim: int):
+    """[nb, B, 24(a,ch), 64(b,c)] -> [nb, B, 8, 192] directly (the
+    composition of grad24_to_sh and sh_to_kernel as ONE gather — the
+    two-step chain materializes an extra [nb, 13824] intermediate)."""
+    key = ("grad24_to_kernel", basis_dim)
+    p = _PERM_CACHE.get(key)
+    if p is None:
+        p = np.asarray(_perm("grad24_to_sh", basis_dim))[
+            np.asarray(_perm("sh_to_kernel", basis_dim))
+        ]
+        _PERM_CACHE[key] = p
+    nb = g.shape[0]
+    flat = g.reshape(nb, basis_dim * 24 * 64)
+    return jnp.take(flat, p, axis=1).reshape(nb, basis_dim, 8, 192)
+
+
 def kernel_grad24_to_sh(g: jnp.ndarray, basis_dim: int):
     """Backward-kernel gradient layout [nb, B, 24(a,ch), 64(b,c)] ->
     master [nb, 512, 3*B] (cells lx-major, channels (ch, basis))."""

@@ -39,7 +39,7 @@ from nerf_projects_tpu.core.rays import Rays
 from nerf_projects_tpu.ops.brick_grid import BrickGrid
 from nerf_projects_tpu.ops.pallas.tile_march import (
     fused_grad_blocks,
-    kernel_grad24_to_sh,
+    kernel_grad24_to_kernel_layout,
     kernel_layout_to_sh,
     sh_to_kernel_layout,
 )
@@ -190,13 +190,10 @@ def train_step_tiles_sparse(
 
     rows_r = rows.reshape(-1)                               # [M1]
     gd_flat = gd_blocks.reshape(-1, 8, 64).astype(jnp.float32)
-    # grad24 emission layout -> the state's kernel layout (per-row,
-    # O(M) relayout passes)
-    gsh_flat = sh_to_kernel_layout(
-        kernel_grad24_to_sh(
-            gsh_blocks.reshape(-1, B, 24, 64).astype(jnp.float32), B
-        ),
-        B,
+    # grad24 emission layout -> the state's kernel layout (single
+    # composed permutation gather, O(M))
+    gsh_flat = kernel_grad24_to_kernel_layout(
+        gsh_blocks.reshape(-1, B, 24, 64).astype(jnp.float32), B
     )
 
     # ---- sampled TV in block form ------------------------------------

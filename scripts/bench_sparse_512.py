@@ -11,8 +11,8 @@ from nerf_projects_tpu.train import plenoxels_sparse as ps
 from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
 
 RESO = int(os.environ.get("RESO", 512))
-TILES = 20
-MAX_TOUCHED = 8192
+TILES = 16
+MAX_TOUCHED = 6144
 
 from dataclasses import replace
 
