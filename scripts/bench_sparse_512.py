@@ -11,8 +11,8 @@ from nerf_projects_tpu.train import plenoxels_sparse as ps
 from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
 
 RESO = int(os.environ.get("RESO", 512))
-TILES = 16
-MAX_TOUCHED = 6144
+TILES = 8
+MAX_TOUCHED = 4096
 
 from dataclasses import replace
 
