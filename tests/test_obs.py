@@ -247,3 +247,54 @@ class TestFloaterVizTB:
         assert any(t.startswith("floaters/slice_z") for t in tb.images)
         assert "floaters/heatmap_view_0" in tb.images
         assert "floaters/overlay_view_0" in tb.images
+
+
+class TestMemoryAnalysis:
+    def _make_log(self, tmp_path):
+        from nerf_projects_tpu.obs.json_logger import MetricsLogger
+
+        lg = MetricsLogger(str(tmp_path))
+        for i in range(5):
+            lg.log_training_step(
+                i, {"psnr": 20.0 + i, "loss": 0.1 / (i + 1)}, 1e-2,
+                memory_metrics={"device_memory_gb": 1.0 + 0.1 * i,
+                                "device_peak_memory_gb": 2.0},
+                efficiency_indices={
+                    "memory_efficiency_index": (20.0 + i) / (1.0 + 0.1 * i)
+                },
+            )
+        lg.log_evaluation_step(
+            5, {"psnr": 26.0, "ssim": 0.9},
+            memory_metrics={"device_memory_gb": 1.5,
+                            "device_peak_memory_gb": 2.5},
+            efficiency_indices={"memory_efficiency_index": 26.0 / 1.5},
+        )
+        return lg.log_file
+
+    def test_analyzer_stats_and_report(self, tmp_path):
+        from nerf_projects_tpu.obs.memory_analysis import MemoryAnalyzer
+
+        log = self._make_log(tmp_path)
+        an = MemoryAnalyzer([log])
+        assert len(an.entries) == 6
+        stats = an.analyze_memory_efficiency()
+        assert stats["max_memory_efficiency_index"] >= 20.0
+        assert abs(stats["max_device_memory_gb"] - 1.5) < 1e-9
+        train = an.analyze_memory_efficiency("training")
+        assert train["min_device_memory_gb"] == 1.0
+        cmp = an.compare_phases()
+        assert "training" in cmp.index and "evaluation" in cmp.index
+        rep = an.generate_report(str(tmp_path / "mem.md"))
+        text = open(rep).read()
+        assert "Phase: training" in text and "Phase comparison" in text
+
+    def test_analyze_directory(self, tmp_path):
+        from nerf_projects_tpu.obs.memory_analysis import analyze_directory
+
+        self._make_log(tmp_path)
+        an = analyze_directory(str(tmp_path))
+        assert os.path.exists(os.path.join(str(tmp_path),
+                                           "memory_report.md"))
+        assert os.path.exists(os.path.join(str(tmp_path),
+                                           "memory_trends.png"))
+        assert len(an.entries) > 0
