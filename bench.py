@@ -465,15 +465,59 @@ WORKLOADS = {
 }
 
 
-def main():
-    sel = os.environ.get("BENCH_WORKLOADS", "")
-    names = [n.strip() for n in sel.split(",") if n.strip()] or list(WORKLOADS)
+def _run_in_process(names):
     for name in names:
         try:
             WORKLOADS[name]()
         except Exception as exc:  # report, keep benching the rest
             print(
                 json.dumps({"metric": name, "error": f"{type(exc).__name__}: {exc}"[:400]}),
+                flush=True,
+            )
+
+
+def main():
+    sel = os.environ.get("BENCH_WORKLOADS", "")
+    names = [n.strip() for n in sel.split(",") if n.strip()] or list(WORKLOADS)
+    if len(names) == 1 or os.environ.get("BENCH_IN_PROCESS", "") == "1":
+        _run_in_process(names)
+        return
+
+    # One subprocess per workload: full HBM + jit-cache isolation. The
+    # 512^3 workloads run at the HBM edge; in round 2 a single
+    # RESOURCE_EXHAUSTED in one workload erased the records of three
+    # (VERDICT r2 item 1). Sequential subprocesses also serialize TPU
+    # clients, which the axon relay requires.
+    import subprocess
+    import sys
+
+    script = os.path.abspath(__file__)
+    for name in names:
+        env = dict(os.environ, BENCH_WORKLOADS=name)
+        try:
+            proc = subprocess.run(
+                [sys.executable, script], env=env,
+                capture_output=True, text=True,
+                timeout=int(os.environ.get("BENCH_WORKLOAD_TIMEOUT", 3600)),
+            )
+            out, err, rc = proc.stdout, proc.stderr, proc.returncode
+        except subprocess.TimeoutExpired as exc:
+            out = (exc.stdout or b"").decode() if isinstance(
+                exc.stdout, bytes) else (exc.stdout or "")
+            err, rc = "workload timed out", -1
+        emitted = False
+        for line in out.splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                print(line, flush=True)
+                emitted = True
+        if not emitted:
+            tail = " | ".join(
+                (err or out or f"exit {rc} with no output").strip(
+                ).splitlines()[-4:]
+            )
+            print(
+                json.dumps({"metric": name, "error": tail[:400]}),
                 flush=True,
             )
 

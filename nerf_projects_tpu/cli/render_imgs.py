@@ -146,14 +146,20 @@ def main(argv=None):
         cx, cy = float(scene.intrinsics[0, 2]), float(scene.intrinsics[1, 2])
         Hp = -(-scene.height // 8) * 8
         Wp = -(-scene.width // 16) * 16
-        r0 = camera_rays_opencv(
-            Hp, Wp, fx, fy, cx, cy,
-            jnp.asarray(_to_opencv_pose(scene.poses[0], scene)),
-        )
-        t0_ = tiles_from_image_rays(
-            tu.tree_map(lambda x: x.reshape(-1, 3), r0), Hp, Wp, 8, 16,
-        )
-        ck = required_chunks(bg, t0_, opts)
+        def _view_tiles(v):
+            rv = camera_rays_opencv(
+                Hp, Wp, fx, fy, cx, cy,
+                jnp.asarray(_to_opencv_pose(scene.poses[v], scene)),
+            )
+            return tiles_from_image_rays(
+                tu.tree_map(lambda x: x.reshape(-1, 3), rv), Hp, Wp, 8, 16,
+            )
+
+        # chunk bound must cover EVERY rendered pose: a view whose tiles
+        # cross more active chunks than view 0 would otherwise have its
+        # farthest chunks silently dropped by _compact_chunks
+        ck = max(required_chunks(bg, _view_tiles(v), opts)
+                 for v in range(n))
         bg = geometry_only(bg)
 
         def render_view(v):

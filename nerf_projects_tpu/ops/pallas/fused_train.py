@@ -113,7 +113,13 @@ def _make_kernel(S: int, R: int, n_rays_total: int, bkgd: float,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         )                                                # [TILE, 35]
+        # view encoding occupies cols 0..26; cols 27..31 are padding —
+        # and in the non-raw layout col 28..30 carry the training
+        # target. Mask them here so no supervision can leak into the
+        # forward pass regardless of pack_params' wv zero-row padding.
         v = per_ray[:, :32]
+        vlane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        v = jnp.where(vlane < 27, v, 0.0)
 
         rgb_raw, sig_raw, acts = _fwd_tile(
             x, v, W, stash_dtype=jnp.bfloat16

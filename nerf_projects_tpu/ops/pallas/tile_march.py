@@ -174,14 +174,21 @@ def _plan_windows(bg: BrickGrid, geom, n_chunks: int):
 def _orig_with_base(wb, rows, nb: int, C: int, compact: "Optional[int]"):
     """[T, C, 4] kernel plan: window voxel origin + base step; applies
     chunk compaction when `compact` is set below C. Returns
-    ((orig [T, C', 4], rows [T, C', 8]), C')."""
+    ((orig [T, C', 4], rows [T, C', 8]), C', dropped) where `dropped`
+    is the total ACTIVE chunks truncated by an undersized `compact`
+    bound (0 when exact; callers surface it so silent geometry loss is
+    detectable — advisor r2)."""
     if compact is not None and compact < C:
+        active_n = jnp.sum(
+            jnp.any(rows != nb, axis=-1).astype(jnp.int32), axis=1
+        )
+        dropped = jnp.sum(jnp.maximum(active_n - compact, 0))
         wb, rows_c, base = _compact_chunks(wb, rows, nb, compact)
         C = compact
         orig = jnp.concatenate(
             [(wb * BRICK).astype(jnp.int32), base[..., None]], axis=-1
         )
-        return (orig, rows_c), C
+        return (orig, rows_c), C, dropped
     T = wb.shape[0]
     base = jnp.broadcast_to(
         (jnp.arange(C, dtype=jnp.int32) * SC)[None, :], (T, C)
@@ -189,7 +196,7 @@ def _orig_with_base(wb, rows, nb: int, C: int, compact: "Optional[int]"):
     orig = jnp.concatenate(
         [(wb * BRICK).astype(jnp.int32), base[..., None]], axis=-1
     )
-    return (orig, rows), C
+    return (orig, rows), C, jnp.zeros((), jnp.int32)
 
 
 def _compact_chunks(wb, rows, nb: int, c_keep: int):
@@ -266,7 +273,8 @@ def render_tiles_pallas_bucketed(
             kernel_arrays is not None,
         )(bg, sub, kernel_arrays)
         if keys is None:
-            keys = [k for k in out if k != "window_miss"]
+            keys = [k for k in out
+                    if k not in ("window_miss", "dropped_active_chunks")]
         parts.append(out)
     # reassemble in original tile order with ONE concat + take per key
     inv = _np.argsort(_np.concatenate(grps), kind="stable")
@@ -676,7 +684,7 @@ def render_tiles_pallas(
         C = default_chunks(bg, opts.step_size, SC)
     pack, geom = _pack_rays(bg, rays, opts, use_occupancy)
     wb, rows = _plan_windows(bg, geom, C)
-    (orig, rows), C = _orig_with_base(
+    (orig, rows), C, dropped = _orig_with_base(
         wb, rows, bg.n_bricks, C, compact_chunks
     )
 
@@ -700,6 +708,7 @@ def render_tiles_pallas(
         "log_transmit": -out[:, 5],
         "sparsity_sum": out[:, 6],
         "window_miss": jnp.sum(out[:, 7]) / (out.shape[0] * out.shape[-1] * SC * C),
+        "dropped_active_chunks": dropped,
     }
     if return_depth:
         result["depth"] = out[:, 4] * world_len
@@ -1120,7 +1129,7 @@ def fused_grad_blocks(
         C = default_chunks(bg, opts.step_size, SC)
     pack, geom = _pack_rays(bg, rays, opts, use_occupancy)
     wb, rows = _plan_windows(bg, geom, C)
-    (orig, rows), C = _orig_with_base(
+    (orig, rows), C, dropped = _orig_with_base(
         wb, rows, bg.n_bricks, C, compact_chunks
     )
     basisf = eval_sh_bases(bg.basis_dim, _mean_viewdirs(rays)).astype(
@@ -1166,6 +1175,7 @@ def fused_grad_blocks(
         "log_transmit": -fwd[:, 5],
         "sparsity_sum": fwd[:, 6],
         "window_miss": jnp.sum(fwd[:, 7]) / (T * rays.origins.shape[1] * SC * C),
+        "dropped_active_chunks": dropped,
     }
     return rgb_out, gd_blocks, gsh_blocks, rows, aux
 

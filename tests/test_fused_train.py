@@ -54,8 +54,11 @@ def twin_loss(packed, pts, d, z, target, bkgd):
     x_enc, vt = ft.pack_level_inputs(
         pts, d, z, d, target, S, R
     )
-    # rebuild per-row view encodings from the per-ray block
+    # rebuild per-row view encodings from the per-ray block; cols 27+
+    # of the packed block are padding/training-target, not encoding —
+    # the kernel masks them out of the view layer, so the twin must too
     v_enc = jnp.repeat(vt[:, :R].reshape(N_RAYS, 32), S, axis=0)
+    v_enc = v_enc.at[:, 27:].set(0.0)
     raw = fm.fused_nerf_mlp(packed, x_enc, v_enc)  # [N, 8]
 
     # ray-major rows: plain reshape back to [n_rays, S, c]
