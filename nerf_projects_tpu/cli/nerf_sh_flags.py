@@ -65,6 +65,9 @@ class NeRFSHFlags:
     sparsity_length: float = 0.05
     sparsity_radius: float = 1.5
     sparsity_npoints: int = 10000
+    # profiling (SURVEY §5: jax profiler traces = nvprof equivalent)
+    profile_dir: Optional[str] = None
+    profile_steps: int = 5
     # eval
     eval_once: bool = True
     save_output: bool = True

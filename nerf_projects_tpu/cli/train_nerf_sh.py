@@ -126,7 +126,17 @@ def train_main(flags: NeRFSHFlags, *, scene=None, test_scene=None,
     key = jax.random.PRNGKey(seed + 1)
     last_t = time.time()
     start = int(state.step)
+    from nerf_projects_tpu.utils.timing import profiler_trace
+
+    prof = None
+    prof_open = start + 2 if flags.profile_dir else None  # post-compile
     for i in range(start, n_steps):
+        if prof_open is not None and i == prof_open:
+            prof = profiler_trace(flags.profile_dir)
+            prof.__enter__()
+        if prof is not None and i >= prof_open + flags.profile_steps:
+            prof.__exit__(None, None, None)
+            prof = None
         key, sub = jax.random.split(key)
         rays, target = draw(sub)
         state, stats = trainer.train_step(state, rays, target)
@@ -161,6 +171,8 @@ def train_main(flags: NeRFSHFlags, *, scene=None, test_scene=None,
                                   chunk=flags.chunk)
             m = compute_metrics(img, test_scene.images[0])
             logger.log_evaluation_step(step, m)
+    if prof is not None:
+        prof.__exit__(None, None, None)
     return trainer, state, scene, test_scene
 
 

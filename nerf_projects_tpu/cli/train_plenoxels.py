@@ -119,6 +119,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="log floater slices/overlays to TensorBoard")
     g.add_argument("--floater_viz_slices", type=int, default=3)
     g.add_argument("--fdr_density_threshold", type=float, default=0.01)
+    g.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax profiler trace (XLA kernel "
+                        "timeline) of a few post-compile train steps "
+                        "into this directory")
+    g.add_argument("--profile_steps", type=int, default=5,
+                   help="steps to include in the profiler trace")
     return parser
 
 
@@ -316,7 +322,22 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
         for v in range(scene.images.shape[0])
     ]
     upsampled = False
+    # kernel-level attribution via jax profiler traces (SURVEY §5: the
+    # TPU equivalent of the reference's nvprof capture). Steps 1-2 are
+    # compile; trace the steady state after them.
+    from nerf_projects_tpu.utils.timing import profiler_trace
+
+    prof = None
+    prof_window = (3, 3 + args.profile_steps) if args.profile_dir else None
     for step in range(1, n_iters + 1):
+        if prof_window and step == prof_window[0]:
+            prof = profiler_trace(args.profile_dir)
+            prof.__enter__()
+        if prof is not None and (
+            step == prof_window[1] or step == n_iters
+        ):
+            prof.__exit__(None, None, None)
+            prof = None
         key, sub, k_tv = jax.random.split(key, 3)
         if args.step_mode == "cell":
             rays, target = draw(sub)
@@ -373,6 +394,8 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
             rms = trainer.init_rms(grid)
             if tile_mode:
                 build_tile_state(grid)
+    if prof is not None:  # window extended past n_iters
+        prof.__exit__(None, None, None)
     # final eval + save (opt.py:889-898)
     if tile_mode:
         grid = materialize_grid()

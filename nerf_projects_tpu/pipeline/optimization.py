@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nerf_projects_tpu.core.rays import camera_rays
+from nerf_projects_tpu.core.rays import Rays, camera_rays, ndc_rays
 from nerf_projects_tpu.models.octree import PlenOctree
 from nerf_projects_tpu.obs.metrics import mse2psnr
 from nerf_projects_tpu.ops.octree_render import (
@@ -33,13 +33,21 @@ class OctreeFinetuner:
         optimizer: str = "sgd",
         lr: float = 1e7,
         chunk: int = 8192,
+        ndc: "tuple | None" = None,
     ):
+        """`ndc=(height, width, focal)` enables the forward-facing LLFF
+        ray space: rays are warped into OpenGL NDC before octree
+        traversal (viewdirs stay world-space for the SH decode), so the
+        octree is interpreted over the NDC cube — the svox `NDCConfig`
+        the reference passes for llff scenes
+        (plenoctree/octree/optimization.py:188-192)."""
         if optimizer not in ("sgd", "adam"):
             raise ValueError(optimizer)
         self.opts = opts
         self.optimizer = optimizer
         self.lr = lr
         self.chunk = chunk
+        self.ndc = ndc
         self._step = None
         self._adam_state = None
 
@@ -78,7 +86,13 @@ class OctreeFinetuner:
 
     def _image_rays(self, ds, idx):
         rays = camera_rays(ds.height, ds.width, ds.intrinsics, jnp.asarray(ds.poses[idx]))
-        return jax.tree_util.tree_map(lambda x: x.reshape(-1, 3), rays)
+        flat = jax.tree_util.tree_map(lambda x: x.reshape(-1, 3), rays)
+        if self.ndc is not None:
+            h, w, focal = self.ndc
+            o, d = ndc_rays(h, w, focal, 1.0, flat.origins,
+                            flat.directions)
+            flat = Rays(o, d, flat.viewdirs)
+        return flat
 
     def eval_psnr(self, tree: PlenOctree, ds, indices=None) -> float:
         indices = range(ds.images.shape[0]) if indices is None else indices

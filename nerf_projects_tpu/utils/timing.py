@@ -7,6 +7,8 @@ clock on both edges.
 """
 from __future__ import annotations
 
+import contextlib
+import os
 import time
 
 
@@ -40,3 +42,28 @@ class Timing:
         if not self.silent:
             print(f"{self.name}: {self.elapsed_ms:.3f} ms")
         return False
+
+
+@contextlib.contextmanager
+def profiler_trace(trace_dir: str | None, *, host_tracer_level: int = 2):
+    """Capture a jax profiler trace (XLA/TPU kernel timeline) into
+    `trace_dir` for the enclosed block — the TPU equivalent of the
+    reference's nvprof/pyprof capture (svox2/test/prof.py:1-40) and
+    CUDA-event timers. View with TensorBoard's profile plugin or
+    xprof. No-op when `trace_dir` is falsy, so trainers can thread a
+    CLI flag straight through.
+    """
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    os.makedirs(trace_dir, exist_ok=True)
+    try:
+        opts = jax.profiler.ProfileOptions()
+        opts.host_tracer_level = host_tracer_level
+        ctx = jax.profiler.trace(trace_dir, profiler_options=opts)
+    except (AttributeError, TypeError):  # older jax: no ProfileOptions
+        ctx = jax.profiler.trace(trace_dir)
+    with ctx:
+        yield

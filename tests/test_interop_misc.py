@@ -95,6 +95,34 @@ class TestTiming:
         assert t.elapsed_ms >= 15
 
 
+class TestProfilerTrace:
+    def test_captures_trace_files(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from nerf_projects_tpu.utils.timing import profiler_trace
+
+        import os
+
+        d = str(tmp_path / "trace")
+        with profiler_trace(d):
+            x = jax.jit(lambda a: (a @ a).sum())(jnp.ones((64, 64)))
+            float(x)
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(d) for f in fs
+        ]
+        assert files, "profiler trace wrote no files"
+        assert any(f.endswith((".xplane.pb", ".trace.json.gz", ".json.gz"))
+                   for f in files), files
+
+    def test_noop_without_dir(self):
+        from nerf_projects_tpu.utils.timing import profiler_trace
+
+        with profiler_trace(None):
+            pass
+
+
 class TestCheckEnv:
     def test_runs_all_green(self, capsys):
         from nerf_projects_tpu.cli.check_env import main

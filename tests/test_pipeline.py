@@ -244,6 +244,77 @@ class TestFinetune:
         assert after > before, (before, after)
 
 
+class TestFinetuneNDC:
+    def test_ndc_finetune_converges(self):
+        """Forward-facing (LLFF-style) finetune: rays warped to OpenGL
+        NDC before octree traversal — the svox NDCConfig path the
+        reference enables for llff scenes
+        (plenoctree/octree/optimization.py:188-192)."""
+        from dataclasses import replace as drep
+
+        from nerf_projects_tpu.data.base import SceneData
+
+        H = W = 24
+        focal = 28.0
+        K = np.array(
+            [[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32
+        )
+        poses = []
+        for dx in (-0.1, 0.0, 0.1):
+            c2w = np.eye(4, dtype=np.float32)
+            c2w[0, 3] = dx
+            poses.append(c2w)
+        poses = np.stack(poses)
+
+        # ground-truth tree over the NDC cube
+        tree = PlenOctree.create(13, center=(0, 0, 0), radius=1.0)
+        for _ in range(2):
+            tree = tree.refine()
+        sigma = 2.0 + 3.0 * jax.random.uniform(
+            jax.random.PRNGKey(0), tree.data[..., :1].shape
+        )
+        sh = 0.5 * jax.random.normal(
+            jax.random.PRNGKey(1), tree.data[..., :-1].shape
+        )
+        gt_tree = drep(tree, data=jnp.concatenate([sh, sigma], -1))
+
+        ft = OctreeFinetuner(
+            OctreeRenderOptions(step_size=2e-2),
+            optimizer="sgd", lr=5e2, chunk=2048, ndc=(H, W, focal),
+        )
+        dummy = SceneData(
+            images=np.zeros((3, H, W, 3), np.float32), poses=poses,
+            intrinsics=K, near=1.0, far=100.0,
+        )
+        # NDC warp sanity: origins shifted to the near plane (NDC z=-1)
+        flat0 = ft._image_rays(dummy, 0)
+        np.testing.assert_allclose(
+            np.asarray(flat0.origins[:, 2]), -1.0, atol=1e-4
+        )
+
+        render = jax.jit(
+            lambda r: volume_render_octree(gt_tree, r, ft.opts)["rgb"]
+        )
+        imgs = np.stack([
+            np.asarray(render(ft._image_rays(dummy, v)).reshape(H, W, 3))
+            for v in range(3)
+        ])
+        scene = SceneData(images=imgs, poses=poses, intrinsics=K,
+                          near=1.0, far=100.0)
+
+        noisy = drep(
+            gt_tree,
+            data=gt_tree.data + 0.5 * jax.random.normal(
+                jax.random.PRNGKey(2), gt_tree.data.shape
+            ),
+        )
+        before = ft.eval_psnr(noisy, scene)
+        tree2 = ft.finetune(noisy, scene, val_ds=scene, n_epochs=3,
+                            val_interval=1)
+        after = ft.eval_psnr(tree2, scene)
+        assert after > before + 0.5, (before, after)
+
+
 class TestFinetuneFast:
     def test_finetune_fast_improves_psnr(self, trained_sh_model):
         """Pallas-tile finetune (bake -> fused-kernel train -> leaf
