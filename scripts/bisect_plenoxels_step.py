@@ -52,8 +52,18 @@ def main():
 
     opts = GridRenderOptions(step_size=0.5)
     results = {}
+    only = [s for s in os.environ.get("BISECT_ONLY", "").split(",") if s]
 
-    def report(name, sec):
+    def report(name, thunk):
+        """thunk() -> run callable; lazy so BISECT_ONLY skips setup."""
+        if only and name not in only:
+            return
+        try:
+            sec = slope(thunk())
+        except Exception as e:
+            print(json.dumps({"variant": name, "error": str(e)[:300]}),
+                  flush=True)
+            return
         results[name] = round(sec * 1e3, 2)
         print(json.dumps({"variant": name, "ms": round(sec * 1e3, 3)}),
               flush=True)
@@ -106,18 +116,18 @@ def main():
             holder["st"] = st
         return run
 
-    report("full", slope(step_runner(make_trainer())))
-    report("full_bf16g", slope(step_runner(
-        make_trainer(bf16_grad_blocks=True))))
-    report("sparse", slope(sparse_runner(make_trainer())))
-    report("sparse_bf16g", slope(sparse_runner(
-        make_trainer(bf16_grad_blocks=True))))
-    report("sparse_occ", slope(sparse_runner(make_trainer(),
-                                             use_occupancy=True)))
-    report("no_tv", slope(step_runner(
-        make_trainer(lambda_tv=0.0, lambda_tv_sh=0.0))))
-    report("sgd_optim", slope(step_runner(
-        make_trainer(sigma_optim="sgd", sh_optim="sgd"))))
+    report("full", lambda: step_runner(make_trainer()))
+    report("full_bf16g", lambda: step_runner(
+        make_trainer(bf16_grad_blocks=True)))
+    report("sparse", lambda: sparse_runner(make_trainer()))
+    report("sparse_bf16g", lambda: sparse_runner(
+        make_trainer(bf16_grad_blocks=True)))
+    report("sparse_occ", lambda: sparse_runner(make_trainer(),
+                                             use_occupancy=True))
+    report("no_tv", lambda: step_runner(
+        make_trainer(lambda_tv=0.0, lambda_tv_sh=0.0)))
+    report("sgd_optim", lambda: step_runner(
+        make_trainer(sigma_optim="sgd", sh_optim="sgd")))
 
     # --- forward only (bg as ARG: a closed-over grid becomes a jit
     # constant that the remote compile helper serializes -> stalls)
@@ -129,7 +139,7 @@ def main():
             out = fwd(bg, rays._replace(origins=rays.origins + i * 1e-6))
         _ = float(out.sum())
 
-    report("fwd_kernel", slope(run_fwd))
+    report("fwd_kernel", lambda: run_fwd)
 
     # --- fused fwd+bwd (kernels + scatter, no TV/optim)
     fused = jax.jit(lambda b, r: render_fused_tiles_pallas(
@@ -142,7 +152,122 @@ def main():
                         rays._replace(origins=rays.origins + i * 1e-6))
         _ = float(out[0].sum())
 
-    report("fused_kernels+scatter", slope(run_fused))
+    report("fused_kernels+scatter", lambda: run_fused)
+
+    # --- backward-tail attribution: kernels vs scatter vs relayout
+    tail_names = {"kernel_arrays_build", "bwd_kernel_only",
+                  "scatter_relayout_only", "gsh_scatter_only"}
+    if only and not (set(only) & tail_names):
+        tail_on = False
+    else:
+        tail_on = True
+    from nerf_projects_tpu.ops.pallas.tile_march import (
+        _bwd_call,
+        _kernel_arrays,
+        _march_call,
+        _orig_with_base,
+        _pack_rays,
+        _plan_windows,
+        fused_grad_blocks,
+        kernel_grad24_to_sh,
+    )
+    from nerf_projects_tpu.ops.tile_render import default_chunks
+
+    C = default_chunks(bg, opts.step_size, 16)
+
+    @jax.jit
+    def plan(b, r):
+        pack, geom = _pack_rays(b, r, opts, False)
+        wb, rows = _plan_windows(b, geom, C)
+        (orig, rows), _, _ = _orig_with_base(wb, rows, b.n_bricks, C, None)
+        return pack, orig, rows
+
+    if tail_on:
+        pack, orig, rows = jax.block_until_ready(plan(bg, rays))
+    basisf = jnp.zeros((TILES, bg.basis_dim), jnp.float32).at[:, 0].set(1.0)
+
+    from dataclasses import replace as _drep
+
+    ka_t = jax.jit(lambda b: _kernel_arrays(b))
+
+    def run_ka(k):
+        s = None
+        for i in range(k):
+            o = ka_t(_drep(
+                bg, density_bricks=bg.density_bricks + i * 1e-9))
+            s = o[0]
+        _ = float(s.sum())
+
+    report("kernel_arrays_build", lambda: run_ka)
+
+    if tail_on:
+        density_z, sh_z = jax.block_until_ready(_kernel_arrays(bg))
+
+        fwd_samp = jax.jit(
+            lambda dz, sz, rws, org, bsf, pck: _march_call(
+                dz, sz, rws, org, bsf, pck, C, bg.basis_dim, "bias",
+                emit_samples=True))
+        _, samples = jax.block_until_ready(
+            fwd_samp(density_z, sh_z, rows, orig, basisf, pack))
+
+        bwdk = jax.jit(lambda smp, org, bsf, pck: _bwd_call(
+            smp, org, bsf, pck, C, bg.basis_dim, 0.0, "bias",
+            jnp.float32))
+
+        def run_bwdk(k):
+            out = None
+            for i in range(k):
+                out = bwdk(samples, orig, basisf,
+                           pack.at[:, 12].add(i * 1e-9))
+            _ = float(out[0].sum())
+
+        report("bwd_kernel_only", lambda: run_bwdk)
+
+        state, gdb, gshb = jax.block_until_ready(
+            bwdk(samples, orig, basisf, pack))
+
+    @jax.jit
+    def scatter_relayout(gd_blocks, gsh_blocks, rws):
+        flat_rows = rws.reshape(-1)
+        nb = bg.n_bricks
+        gd = jnp.zeros((nb + 1, 8, 64), jnp.float32).at[flat_rows].add(
+            gd_blocks.reshape(-1, 8, 64)
+        )[:nb]
+        gsh_k = jnp.zeros(
+            (nb + 1, bg.basis_dim, 24, 64), jnp.float32
+        ).at[flat_rows].add(
+            gsh_blocks.reshape(-1, bg.basis_dim, 24, 64)
+        )[:nb]
+        return gd.reshape(nb, 512), kernel_grad24_to_sh(
+            gsh_k, bg.basis_dim)
+
+    def run_scat(k):
+        out = None
+        for i in range(k):
+            out = scatter_relayout(gdb, gshb.at[0, 0, 0, 0, 0, 0].add(
+                i * 1e-9), rows)
+        _ = float(out[0].sum())
+
+    report("scatter_relayout_only", lambda: run_scat)
+
+    @jax.jit
+    def scatter_only(gsh_blocks, rws):
+        flat_rows = rws.reshape(-1)
+        nb = bg.n_bricks
+        return jnp.zeros(
+            (nb + 1, bg.basis_dim, 24, 64), jnp.float32
+        ).at[flat_rows].add(
+            gsh_blocks.reshape(-1, bg.basis_dim, 24, 64)
+        )[:nb].sum()
+
+    def run_scat2(k):
+        out = None
+        for i in range(k):
+            out = scatter_only(gshb.at[0, 0, 0, 0, 0, 0].add(i * 1e-9),
+                               rows)
+        _ = float(out)
+
+    report("gsh_scatter_only", lambda: run_scat2)
 
     # --- optimizer only (dense RMSprop over brick arrays)
     trainer = make_trainer()
@@ -167,7 +292,7 @@ def main():
             s = optim_only(bg, rms, gd, gsh, jnp.asarray(float(i)))
         _ = float(s)
 
-    report("optim_only", slope(run_optim))
+    report("optim_only", lambda: run_optim)
 
     # ---- 256-ray tiles (halves grid steps and grad-block count)
     rays256 = B._tile_rays(jax.random.PRNGKey(2), TILES // 2,
@@ -190,9 +315,9 @@ def main():
             holder["bg"], holder["rms"] = b, r
         return run
 
-    report("full_256", slope(step_runner_256(make_trainer())))
-    report("full_256_bf16g", slope(step_runner_256(
-        make_trainer(bf16_grad_blocks=True))))
+    report("full_256", lambda: step_runner_256(make_trainer()))
+    report("full_256_bf16g", lambda: step_runner_256(
+        make_trainer(bf16_grad_blocks=True)))
 
     print(json.dumps({"summary": results, "reso": RESO, "tiles": TILES}),
           flush=True)

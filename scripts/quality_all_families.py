@@ -28,6 +28,11 @@ PLENOXEL_LR_SIGMA = float(os.environ.get("QUALITY_LR_SIGMA", 3e1))
 PLENOXEL_LR_SH = float(os.environ.get("QUALITY_LR_SH", 1e-2))
 PLENOXEL_TILES = int(os.environ.get("QUALITY_TILES", 40))
 PLENOXEL_TV_SCALE = float(os.environ.get("QUALITY_TV_SCALE", 1.0))
+# reference-style progressive upsample (opt.py:855-887): start at
+# RESO/2, resample to RESO at this step fraction (0 = off)
+PLENOXEL_UPSAMPLE_AT = float(os.environ.get("QUALITY_UPSAMPLE_AT", 0.0))
+PLENOXEL_SPARSITY = float(os.environ.get("QUALITY_SPARSITY", 1e-7))
+PLENOXEL_INIT_SIGMA = float(os.environ.get("QUALITY_INIT_SIGMA", 0.1))
 SH_CHUNKS = int(os.environ.get("QUALITY_SH_CHUNKS", 6))
 H = W = int(os.environ.get("QUALITY_IMG", 96))
 N_VIEWS = int(os.environ.get("QUALITY_VIEWS", 16))
@@ -79,9 +84,14 @@ def quality_plenoxels(ds):
         )
         return r, pixels[v[:, None], flat]
 
+    upsample_step = (
+        int(PLENOXEL_STEPS * PLENOXEL_UPSAMPLE_AT)
+        if PLENOXEL_UPSAMPLE_AT > 0 else None
+    )
+    reso0 = PLENOXEL_RESO // 2 if upsample_step else PLENOXEL_RESO
     g = SparseGrid.create(
-        PLENOXEL_RESO, basis_dim=9, radius=1.3, use_sphere_bound=True,
-        init_density=0.1,
+        reso0, basis_dim=9, radius=1.3, use_sphere_bound=True,
+        init_density=PLENOXEL_INIT_SIGMA,
     )
     bg = from_sparse_grid(g)
     opts = GridRenderOptions(step_size=0.5)
@@ -90,12 +100,25 @@ def quality_plenoxels(ds):
         lr_sigma_delay_steps=0,
         lr_sh=PLENOXEL_LR_SH, lambda_tv=1e-5 * PLENOXEL_TV_SCALE,
         lambda_tv_sh=1e-3 * PLENOXEL_TV_SCALE,
-        lambda_sparsity=1e-7,
+        lambda_sparsity=PLENOXEL_SPARSITY,
     )
     rms = trainer.init_rms_bricks(bg)
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     for i in range(PLENOXEL_STEPS):
+        if upsample_step is not None and i == upsample_step:
+            from nerf_projects_tpu.models.grid_lifecycle import resample
+            from nerf_projects_tpu.ops.brick_grid import to_sparse_grid
+
+            g2 = resample(
+                to_sparse_grid(bg),
+                (PLENOXEL_RESO,) * 3,
+                sigma_thresh=0.5, dilate=2,
+            )
+            bg = from_sparse_grid(g2)
+            rms = trainer.init_rms_bricks(bg)
+            print(f"upsampled to {PLENOXEL_RESO}^3: "
+                  f"{bg.n_bricks} bricks", flush=True)
         key, kd, kt = jax.random.split(key, 3)
         rays, target = draw(kd, n_tiles=PLENOXEL_TILES)
         bg, rms, st = trainer.train_step_tiles_pallas(
