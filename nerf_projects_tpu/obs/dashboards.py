@@ -303,6 +303,236 @@ def efficiency_report(exp_dir: str, out_path: Optional[str] = None):
     return fig_path
 
 
+def _series(exp_dir: str) -> List[dict]:
+    """Unified per-entry time series for the enhanced panels: step,
+    psnr/ssim/lpips, current + peak memory, efficiency indices."""
+    rows = []
+    for e in load_metrics_log(exp_dir):
+        m = e.get("metrics", {}) or {}
+        info = e.get("additional_info", {}) or {}
+        mem = info.get("memory") or {}
+        eff = info.get("efficiency_indices") or {}
+        row = {"step": e.get("step", 0), "phase": e.get("phase")}
+        for k in ("psnr", "ssim", "lpips"):
+            if m.get(k) is not None:
+                row[k] = float(m[k])
+        cur = mem.get("device_memory_gb") or mem.get("process_rss_gb")
+        peak = mem.get("device_peak_memory_gb") or mem.get(
+            "peak_process_rss_gb"
+        )
+        if cur is not None:
+            row["mem_gb"] = float(cur)
+        if peak is not None:
+            row["peak_gb"] = float(peak)
+        row.update({k: float(v) for k, v in eff.items()
+                    if v is not None})
+        if "memory_efficiency_index" not in row and (
+            row.get("psnr") and row.get("peak_gb")
+        ):
+            row["memory_efficiency_index"] = row["psnr"] / max(
+                row["peak_gb"], 1e-9
+            )
+        rows.append(row)
+    return rows
+
+
+def _pts(rows, key):
+    return [(r["step"], r[key]) for r in rows if r.get(key) is not None]
+
+
+def enhanced_scene_dashboard(exp_dir: str, out_dir: Optional[str] = None):
+    """Per-scene deep-dive figure set — the reference
+    EnhancedSceneAnalyzer (enhanced_scene_analyzer.py:25-597):
+
+      memory_analysis.png       2x2: current vs peak w/ headroom shading,
+                                headroom, utilization %, distribution
+      efficiency_comparison.png 2x3: MEI/QMT/voxel-efficiency trends,
+                                normalized overlay, final bars
+      quality_detailed.png      2x2: PSNR+SSIM dual-axis, combined
+                                score PSNR*SSIM*(1-LPIPS), LPIPS
+      training_progression.png  3x3 overview of all of the above
+
+    Returns the list of written figure paths (empty if no usable log).
+    """
+    rows = _series(exp_dir)
+    if not rows:
+        return []
+    out_dir = out_dir or os.path.join(exp_dir, "enhanced_analysis")
+    os.makedirs(out_dir, exist_ok=True)
+    name = os.path.basename(exp_dir.rstrip("/"))
+    plt = apply_theme()
+    written = []
+
+    mem = _pts(rows, "mem_gb")
+    peak = _pts(rows, "peak_gb")
+    psnr = _pts(rows, "psnr")
+    ssim = _pts(rows, "ssim")
+    lpips = _pts(rows, "lpips")
+
+    # ---- 1. memory analysis (create_memory_comparison_plot:47)
+    if mem and peak:
+        fig, axes = plt.subplots(2, 2, figsize=(13, 9))
+        fig.suptitle(f"Detailed memory analysis — {name}",
+                     fontweight="bold")
+        ax = axes[0, 0]
+        ms, mv = zip(*mem)
+        ps_, pv = zip(*peak)
+        ax.plot(ms, mv, label="current", color=get_metric_color("memory"))
+        ax.plot(ps_, pv, label="peak", color="#d62728")
+        ax.fill_between(ms, mv,
+                        np.interp(ms, ps_, pv), alpha=0.2,
+                        label="headroom")
+        ax.set_title("current vs peak memory (GB)")
+        ax.legend(fontsize=8)
+        ax = axes[0, 1]
+        head = np.interp(ms, ps_, pv) - np.asarray(mv)
+        ax.plot(ms, head, color="#2ca02c")
+        ax.set_title("memory headroom (peak − current, GB)")
+        ax = axes[1, 0]
+        util = 100.0 * np.asarray(mv) / np.maximum(
+            np.interp(ms, ps_, pv), 1e-9
+        )
+        ax.plot(ms, util, color="#9467bd")
+        ax.set_ylim(0, 105)
+        ax.set_title("memory utilization (current/peak, %)")
+        ax = axes[1, 1]
+        ax.hist(mv, bins=min(20, max(len(mv) // 2, 3)),
+                color=get_metric_color("memory"), alpha=0.8)
+        ax.set_title("current-memory distribution (GB)")
+        for a in axes.flat:
+            a.set_xlabel("step")
+        fig.tight_layout()
+        p = os.path.join(out_dir, "memory_analysis.png")
+        fig.savefig(p)
+        plt.close(fig)
+        written.append(p)
+
+    # ---- 2. efficiency comparison (create_efficiency_comparison_plot:137)
+    eff_keys = [
+        ("memory_efficiency_index", "MEI — PSNR per GB"),
+        ("quality_memory_tradeoff", "QMT — PSNR·SSIM per GB"),
+        ("voxel_density_efficiency", "voxel efficiency"),
+    ]
+    have = [(k, t) for k, t in eff_keys if _pts(rows, k)]
+    if have:
+        fig, axes = plt.subplots(2, 3, figsize=(15, 8))
+        fig.suptitle(f"Efficiency metrics — {name}", fontweight="bold")
+        for i, (k, t) in enumerate(have[:3]):
+            ax = axes[0, i]
+            ax.plot(*zip(*_pts(rows, k)), color=get_metric_color(k))
+            ax.set_title(t, fontsize=10)
+            ax.set_xlabel("step")
+        for i in range(len(have), 3):
+            axes[0, i].axis("off")
+        ax = axes[1, 0]
+        for k, t in have:
+            pts = _pts(rows, k)
+            v = np.asarray([p[1] for p in pts])
+            vn = (v - v.min()) / max(v.max() - v.min(), 1e-12)
+            ax.plot([p[0] for p in pts], vn, label=k.split("_")[0])
+        ax.set_title("normalized overlay", fontsize=10)
+        ax.legend(fontsize=7)
+        ax = axes[1, 1]
+        finals = {k: _pts(rows, k)[-1][1] for k, _ in have}
+        ax.bar(range(len(finals)), list(finals.values()),
+               color=[get_metric_color(k) for k in finals])
+        ax.set_xticks(range(len(finals)))
+        ax.set_xticklabels([k.split("_")[0] for k in finals], fontsize=8)
+        ax.set_title("final values", fontsize=10)
+        ax = axes[1, 2]
+        if mem and peak:
+            ax.bar(["current", "peak"],
+                   [mem[-1][1], peak[-1][1]],
+                   color=["#1f77b4", "#d62728"])
+            ax.set_title("final memory (GB)", fontsize=10)
+        else:
+            ax.axis("off")
+        fig.tight_layout()
+        p = os.path.join(out_dir, "efficiency_comparison.png")
+        fig.savefig(p)
+        plt.close(fig)
+        written.append(p)
+
+    # ---- 3. detailed quality (create_quality_metrics_detailed:285)
+    if psnr:
+        fig, axes = plt.subplots(2, 2, figsize=(13, 9))
+        fig.suptitle(f"Quality metrics — {name}", fontweight="bold")
+        ax = axes[0, 0]
+        ax.plot(*zip(*psnr), color=get_metric_color("psnr"),
+                label="PSNR")
+        ax.set_ylabel("PSNR (dB)")
+        if ssim:
+            ax2 = ax.twinx()
+            ax2.plot(*zip(*ssim), color=get_metric_color("ssim"),
+                     label="SSIM", linestyle="--")
+            ax2.set_ylabel("SSIM")
+        ax.set_title("PSNR and SSIM (dual axis)")
+        ax = axes[0, 1]
+        if ssim:
+            steps = [s for s, _ in ssim]
+            pv = np.interp(steps, *zip(*psnr))
+            sv = np.asarray([v for _, v in ssim])
+            lv = (
+                1.0 - np.interp(steps, *zip(*lpips))
+                if lpips else np.ones_like(sv)
+            )
+            ax.plot(steps, pv * sv * lv, color="#2ca02c")
+            ax.set_title("combined score PSNR·SSIM·(1−LPIPS)")
+        else:
+            ax.axis("off")
+        ax = axes[1, 0]
+        if lpips:
+            ax.plot(*zip(*lpips), color=get_metric_color("lpips"))
+            ax.set_title("LPIPS (lower is better)")
+        else:
+            ax.axis("off")
+        ax = axes[1, 1]
+        pvals = [v for _, v in psnr]
+        ax.hist(pvals, bins=min(20, max(len(pvals) // 2, 3)),
+                color=get_metric_color("psnr"), alpha=0.8)
+        ax.set_title("PSNR distribution")
+        for a in axes.flat:
+            a.set_xlabel("step")
+        fig.tight_layout()
+        p = os.path.join(out_dir, "quality_detailed.png")
+        fig.savefig(p)
+        plt.close(fig)
+        written.append(p)
+
+    # ---- 4. training progression 3x3 (create_training_progression:406)
+    panels = [
+        ("psnr", "PSNR"), ("mem_gb", "memory (GB)"),
+        ("memory_efficiency_index", "MEI"),
+        ("ssim", "SSIM"), ("quality_memory_tradeoff", "QMT"),
+        ("voxel_density_efficiency", "voxel eff."),
+        ("lpips", "LPIPS"), ("peak_gb", "peak memory (GB)"),
+    ]
+    fig, axes = plt.subplots(3, 3, figsize=(14, 11))
+    fig.suptitle(f"Training progression — {name}", fontweight="bold")
+    drawn = 0
+    for (k, t), ax in zip(panels, axes.flat):
+        pts = _pts(rows, k)
+        if pts:
+            ax.plot(*zip(*pts), color=get_metric_color(k))
+            drawn += 1
+        ax.set_title(t, fontsize=10)
+        ax.set_xlabel("step")
+    ax = axes.flat[-1]
+    finals = {t: _pts(rows, k)[-1][1]
+              for k, t in panels if _pts(rows, k)}
+    txt = "\n".join(f"{t:<16} {sig3(v)}" for t, v in finals.items())
+    ax.text(0.02, 0.95, txt or "no data", va="top",
+            family="monospace", fontsize=9, transform=ax.transAxes)
+    ax.axis("off")
+    if drawn:
+        fig.tight_layout()
+        p = os.path.join(out_dir, "training_progression.png")
+        fig.savefig(p)
+        written.append(p)
+    plt.close(fig)
+    return written
+
+
 # ---------------------------------------------------------------------------
 # cross-experiment comparison
 # ---------------------------------------------------------------------------
@@ -403,14 +633,15 @@ def run_all(base_dir: str) -> Dict[str, list]:
     for d in _experiment_dirs(base_dir):
         outs = []
         for fn in (plot_training_curves, plot_memory_trends,
-                   scene_dashboard, timing_chart, efficiency_report):
+                   scene_dashboard, timing_chart, efficiency_report,
+                   enhanced_scene_dashboard):
             try:
                 p = fn(d)
             except Exception as exc:  # a broken log should not stop the run
                 p = None
                 print(f"[analysis] {fn.__name__} failed for {d}: {exc}")
             if p:
-                outs.append(p)
+                outs.extend(p if isinstance(p, list) else [p])
         produced["per_experiment"].append({"dir": d, "figures": outs})
     for fn in (cross_experiment_figure,):
         p = fn(base_dir)

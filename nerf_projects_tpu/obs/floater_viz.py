@@ -12,8 +12,12 @@ import numpy as np
 
 
 def floater_masks(grid, *, threshold: float = 0.01, min_object_size: int = 1000,
-                  connectivity: int = 26):
-    """Dense (occupancy, floater_mask) volumes from a SparseGrid."""
+                  connectivity: int = 26, return_labels: bool = False):
+    """Dense (occupancy, floater_mask) volumes from a SparseGrid.
+
+    With return_labels=True also returns (labels, main_label, sizes) —
+    the connected-component decomposition the per-component overlays
+    color by (reference create_multi_object_voxel_overlay:290)."""
     from scipy import ndimage
 
     from nerf_projects_tpu.obs.advanced_metrics import _occupancy_from_grid
@@ -24,6 +28,8 @@ def floater_masks(grid, *, threshold: float = 0.01, min_object_size: int = 1000,
     sizes = np.bincount(labels.ravel())
     sizes[0] = 0
     if n == 0:
+        if return_labels:
+            return occ, np.zeros_like(occ), labels, 0, sizes
         return occ, np.zeros_like(occ)
     order = np.argsort(sizes)[::-1]
     main_label = order[0]
@@ -32,6 +38,8 @@ def floater_masks(grid, *, threshold: float = 0.01, min_object_size: int = 1000,
         if l != main_label and sizes[l] < max(min_object_size, sizes[main_label])
     ]
     floater = np.isin(labels, floater_labels)
+    if return_labels:
+        return occ, floater, labels, int(main_label), sizes
     return occ, floater
 
 
@@ -143,6 +151,166 @@ def overlay_on_render(rgb: np.ndarray, heatmap: np.ndarray,
         mask, None
     ] * np.array([1.0, 0.05, 0.05])
     return np.clip(out, 0, 1)
+
+
+def _project_voxels(grid, coords: np.ndarray, pose: np.ndarray,
+                    intrinsics: np.ndarray, height: int, width: int):
+    """Project voxel coords into pixel space -> (px, py, z, keep_mask)."""
+    import jax.numpy as jnp
+
+    world = np.asarray(grid.grid_to_world(jnp.asarray(coords, jnp.float32)))
+    w2c = np.linalg.inv(np.asarray(pose, np.float64))
+    cam = world @ w2c[:3, :3].T + w2c[:3, 3]
+    z = cam[:, 2]
+    px = intrinsics[0, 0] * cam[:, 0] / np.maximum(z, 1e-9) + intrinsics[0, 2]
+    py = intrinsics[1, 1] * cam[:, 1] / np.maximum(z, 1e-9) + intrinsics[1, 2]
+    keep = (z > 1e-6) & (px >= 0) & (px < width) & (py >= 0) & (py < height)
+    return px, py, z, keep
+
+
+def render_density_projection(grid, pose: np.ndarray,
+                              intrinsics: np.ndarray,
+                              height: int, width: int,
+                              *, reduce: str = "max") -> np.ndarray:
+    """Camera-space density projection image [H, W] (the reference's
+    render_density_from_camera, floater_visualization.py:583): every
+    active voxel splats its density at its projected pixel; `reduce`
+    picks max (x-ray view) or sum."""
+    links = np.asarray(grid.links)
+    coords = np.argwhere(links >= 0)
+    dens = np.asarray(grid.density_data)[
+        links[coords[:, 0], coords[:, 1], coords[:, 2]], 0
+    ]
+    px, py, _, keep = _project_voxels(
+        grid, coords, pose, intrinsics, height, width
+    )
+    img = np.zeros((height, width), np.float32)
+    xi = px[keep].astype(np.int64)
+    yi = py[keep].astype(np.int64)
+    d = np.maximum(dens[keep], 0.0).astype(np.float32)
+    if reduce == "max":
+        np.maximum.at(img, (yi, xi), d)
+    else:
+        np.add.at(img, (yi, xi), d)
+    return img
+
+
+def component_overlay(rgb: np.ndarray, grid, pose: np.ndarray,
+                      intrinsics: np.ndarray, *,
+                      threshold: float = 0.01,
+                      min_object_size: int = 100,
+                      alpha: float = 0.75,
+                      max_components: int = 12) -> np.ndarray:
+    """Per-component voxel overlay: the main object tinted green, each
+    floater component a distinct color (reference
+    create_multi_object_voxel_overlay:290 + main-object variant:487).
+    rgb: [H, W, 3] render in [0, 1]."""
+    H, W = rgb.shape[:2]
+    occ, floater, labels, main_label, sizes = floater_masks(
+        grid, threshold=threshold, min_object_size=min_object_size,
+        return_labels=True,
+    )
+    out = np.asarray(rgb, np.float32).copy()
+    if main_label == 0:
+        return out
+
+    palette = np.array([
+        [1.0, 0.15, 0.15], [1.0, 0.6, 0.1], [1.0, 1.0, 0.2],
+        [0.7, 0.3, 1.0], [0.2, 0.8, 1.0], [1.0, 0.3, 0.7],
+        [0.6, 1.0, 0.3], [0.3, 0.5, 1.0], [1.0, 0.8, 0.5],
+        [0.8, 0.2, 0.4], [0.4, 0.9, 0.8], [0.9, 0.9, 0.9],
+    ])
+    # components by size, largest floaters first (main excluded)
+    comp_ids = [
+        int(l) for l in np.argsort(sizes)[::-1]
+        if l and l != main_label and sizes[l] > 0
+    ][:max_components]
+
+    def _splat(mask_vol, color, a):
+        coords = np.argwhere(mask_vol)
+        if len(coords) == 0:
+            return
+        px, py, _, keep = _project_voxels(
+            grid, coords, pose, intrinsics, H, W
+        )
+        yi = py[keep].astype(np.int64)
+        xi = px[keep].astype(np.int64)
+        out[yi, xi] = (1 - a) * out[yi, xi] + a * np.asarray(color)
+
+    _splat(labels == main_label, [0.1, 1.0, 0.2], alpha * 0.35)
+    for i, l in enumerate(comp_ids):
+        _splat(labels == l, palette[i % len(palette)], alpha)
+    return np.clip(out, 0, 1)
+
+
+def floater_panel(grid, out_path: str, *, threshold: float = 0.01,
+                  min_object_size: int = 100, n_slices: int = 4) -> str:
+    """Multi-panel floater report figure: n_slices slices along each of
+    the three axes (floaters red, main object gray) + component-size
+    histogram + summary stats — the slice-panel depth of the reference's
+    standalone figure set."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from nerf_projects_tpu.obs.theme import apply_theme
+
+    apply_theme()
+    occ, floater, labels, main_label, sizes = floater_masks(
+        grid, threshold=threshold, min_object_size=min_object_size,
+        return_labels=True,
+    )
+    fig, axes = plt.subplots(
+        4, n_slices, figsize=(3.2 * n_slices, 12.5)
+    )
+    fig.suptitle(
+        f"Floater analysis — {int(floater.sum())} floater voxels, "
+        f"threshold {threshold}", fontweight="bold",
+    )
+    for ax_i in range(3):
+        reso = occ.shape[ax_i]
+        for j, frac in enumerate(np.linspace(0.2, 0.8, n_slices)):
+            idx = int(frac * (reso - 1))
+            sl = [slice(None)] * 3
+            sl[ax_i] = idx
+            img = np.zeros(occ[tuple(sl)].shape + (3,), np.float32)
+            img[occ[tuple(sl)]] = [0.7, 0.7, 0.7]
+            img[floater[tuple(sl)]] = [1.0, 0.1, 0.1]
+            ax = axes[ax_i, j]
+            ax.imshow(img, origin="lower")
+            ax.set_title(f"axis {'xyz'[ax_i]} @ {idx}", fontsize=9)
+            ax.axis("off")
+    # bottom row: component-size histogram + stats
+    comp_sizes = sorted(
+        [int(s) for l, s in enumerate(sizes)
+         if l and l != main_label and s > 0],
+        reverse=True,
+    )
+    axh = axes[3, 0]
+    if comp_sizes:
+        axh.bar(range(len(comp_sizes[:30])), comp_sizes[:30],
+                color="#d62728")
+        axh.set_yscale("log")
+    axh.set_title("floater sizes (voxels)", fontsize=9)
+    axs = axes[3, 1]
+    total = int(occ.sum())
+    stats = [
+        f"components: {int((sizes > 0).sum())}",
+        f"main object: {int(sizes[main_label]) if main_label else 0} vox",
+        f"floaters: {len(comp_sizes)} ({int(floater.sum())} vox)",
+        f"FDR: {floater.sum() / max(total, 1):.5f}",
+    ]
+    axs.text(0.02, 0.95, "\n".join(stats), va="top", family="monospace",
+             fontsize=10, transform=axs.transAxes)
+    axs.axis("off")
+    for j in range(2, n_slices):
+        axes[3, j].axis("off")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return out_path
 
 
 def log_floater_visualizations(

@@ -77,6 +77,42 @@ class TestDashboards:
         rep = json.load(open(os.path.join(d, "efficiency_report.json")))
         assert "memory_efficiency_index" in rep["final"]
 
+    def test_enhanced_scene_dashboard(self, tmp_path):
+        """Enhanced per-scene figure set (reference
+        enhanced_scene_analyzer.py): memory, efficiency, quality,
+        progression panels."""
+        d = os.path.join(str(tmp_path), "hotdog")
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(7)
+        logger = MetricsLogger(d)
+        for i in range(0, 60, 5):
+            psnr = 16.0 + 12 * i / 60 + rng.normal(0, 0.1)
+            logger.log_training_step(
+                i,
+                {"psnr": float(psnr), "ssim": 0.8 + 0.15 * i / 60,
+                 "lpips": 0.3 - 0.2 * i / 60},
+                5e-4,
+                memory_metrics={
+                    "device_memory_gb": 1.0 + 0.5 * i / 60,
+                    "device_peak_memory_gb": 2.0 + 0.5 * i / 60,
+                },
+                efficiency_indices={
+                    "memory_efficiency_index": float(psnr) / 2.0,
+                    "quality_memory_tradeoff": float(psnr) * 0.8 / 2.0,
+                },
+            )
+        from nerf_projects_tpu.obs.dashboards import (
+            enhanced_scene_dashboard,
+        )
+
+        figs = enhanced_scene_dashboard(d)
+        names = {os.path.basename(f) for f in figs}
+        assert names == {
+            "memory_analysis.png", "efficiency_comparison.png",
+            "quality_detailed.png", "training_progression.png",
+        }, names
+        assert all(os.path.exists(f) for f in figs)
+
     def test_cli_run_all(self, tmp_path, capsys):
         base = str(tmp_path)
         make_experiment(base, "drums", seed=5)

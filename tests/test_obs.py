@@ -186,6 +186,66 @@ class TestFloaterViz:
         assert all(os.path.exists(p) for p in paths)
 
 
+class TestFloaterVizDepth:
+    def _grid(self):
+        from dataclasses import replace as _replace
+
+        import jax.numpy as jnp
+
+        g = SparseGrid.create(32, basis_dim=1, use_sphere_bound=False,
+                              init_density=0.0)
+        links = np.asarray(g.links)
+        dens = np.zeros((g.capacity, 1), np.float32)
+        dens[links[12:20, 12:20, 12:20].ravel()] = 5.0  # main blob
+        dens[links[2, 2, 2]] = 5.0                      # floater A
+        dens[links[28, 28, 28]] = 5.0                   # floater B
+        return _replace(g, density_data=jnp.asarray(dens))
+
+    def test_density_projection(self):
+        from nerf_projects_tpu.obs.floater_viz import (
+            render_density_projection,
+        )
+
+        g = self._grid()
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [0.0, 0.0, -3.0]
+        K = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1.0]])
+        img = render_density_projection(g, pose, K, 64, 64)
+        assert img.shape == (64, 64)
+        assert img.max() == 5.0  # x-ray max projection hits the blob
+        imgs = render_density_projection(g, pose, K, 64, 64,
+                                         reduce="sum")
+        assert imgs.max() > img.max()  # summed density exceeds max
+
+    def test_component_overlay_colors_floaters(self):
+        from nerf_projects_tpu.obs.floater_viz import component_overlay
+
+        g = self._grid()
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [0.0, 0.0, -3.0]
+        K = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1.0]])
+        rgb = np.full((64, 64, 3), 0.5, np.float32)
+        out = component_overlay(rgb, g, pose, K, threshold=0.5,
+                                min_object_size=100)
+        assert out.shape == rgb.shape
+        diff = np.abs(out - rgb).sum(-1)
+        assert (diff > 0.1).sum() >= 2  # floaters + main tint visible
+        # floater pixels are reddish (first palette color), greener
+        # pixels are the main-object tint
+        changed = out[diff > 0.1]
+        assert (changed[:, 0] > changed[:, 2]).any()
+
+    def test_floater_panel_written(self, tmp_path):
+        from nerf_projects_tpu.obs.floater_viz import floater_panel
+
+        g = self._grid()
+        p = floater_panel(
+            g, os.path.join(str(tmp_path), "panel.png"),
+            threshold=0.5, min_object_size=100, n_slices=3,
+        )
+        assert os.path.exists(p)
+
+
 class TestFloaterVizTB:
     def test_projection_and_tb_logging(self, tmp_path):
         import jax.numpy as jnp
