@@ -265,29 +265,61 @@ def bench_plenoxels_train(reso=256, tiles=40):
 
 
 # ---------------------------------------------------------------------------
+def _plenoxels_setup_render(reso):
+    """Render-only setup: geometry-only grid + kernel-layout arrays
+    generated DIRECTLY (random data is random in any layout). At 512^3
+    the master-array + relayout path peaked ~2x the kernel arrays'
+    size and hit RESOURCE_EXHAUSTED in the driver bench; here the peak
+    is a single 3.9 GB bf16 allocation (mask fused into the RNG)."""
+    import functools
+
+    from nerf_projects_tpu.ops.brick_grid import create_brick_grid
+
+    bg = create_brick_grid(reso, basis_dim=9, use_sphere_bound=True,
+                           alloc_data=False)
+    ka = jax.block_until_ready(_gen_z(bg.cell_mask))
+    return bg, ka
+
+
+@jax.jit
+def _gen_z(mask):
+    """Masked random kernel-layout arrays (density_z [nb+1, 8, 64],
+    sh_z [nb+1, 9, 8, 192]) — mask fused into the RNG so each is one
+    allocation."""
+    nb = mask.shape[0]
+    md = mask.reshape(nb, 8, 64)
+    dz = (
+        jax.random.uniform(
+            jax.random.PRNGKey(0), (nb, 8, 64), jnp.bfloat16
+        ) * 2.0 * md
+    ).astype(jnp.bfloat16)
+    dz = jnp.concatenate([dz, jnp.zeros_like(dz[:1])])
+    # kernel layout [nb, B, lx, (ly,lz,ch)=192]
+    msh = mask.reshape(nb, 1, 8, 8, 8, 1)
+    sz = (
+        jax.random.normal(
+            jax.random.PRNGKey(1), (nb, 9, 8, 8, 8, 3), jnp.bfloat16
+        ) * 0.2 * msh
+    ).reshape(nb, 9, 8, 192).astype(jnp.bfloat16)
+    sz = jnp.concatenate([sz, jnp.zeros_like(sz[:1])])
+    return dz, sz
+
+
 def bench_grid_render_fps(reso=512, frame=(800, 800)):
     if SMOKE:
         reso = 32
     from nerf_projects_tpu.ops.grid import GridRenderOptions
     from nerf_projects_tpu.ops.pallas.tile_march import (
-        build_kernel_arrays,
-        geometry_only,
         render_tiles_pallas,
     )
 
-    bg = _plenoxels_setup(reso, dtype=jnp.bfloat16)
+    bg, ka = _plenoxels_setup_render(reso)
     opts = GridRenderOptions(step_size=0.5)
     n_rays = frame[0] * frame[1]
     tiles = n_rays // 128
     # render in batches of tiles under one jitted callable
     batch = 2 if SMOKE else 125  # tiles per call -> 16k rays
     rays = _tile_rays(jax.random.PRNGKey(3), batch, focal_px=800.0)
-
-    # prebuild the bf16 kernel-layout arrays ONCE (the eval-path setup
-    # cost, like the reference's renderer init) and free the fp32
-    # masters — per-frame work is then march-only.
-    ka = jax.block_until_ready(build_kernel_arrays(bg))
-    bg = geometry_only(bg)
 
     # NB: grid/kernel arrays must be jit ARGUMENTS — closed-over
     # arrays become jaxpr constants that the remote compile helper
@@ -373,13 +405,17 @@ def bench_nerf_sh_train():
     )
 
 
-def _shell_setup(reso, dtype=jnp.bfloat16, r_lo=0.85, r_hi=1.02):
+def _shell_setup_render(reso, r_lo=0.85, r_hi=1.02):
     """Surface-like scene: only a spherical SHELL of bricks is active —
     representative of trained radiance fields (density on surfaces),
-    where chunk compaction pays."""
+    where chunk compaction pays. Geometry-only + direct kernel arrays
+    (see _plenoxels_setup_render)."""
     from dataclasses import replace
 
-    bg = _plenoxels_setup(reso, dtype)
+    from nerf_projects_tpu.ops.brick_grid import create_brick_grid
+
+    bg = create_brick_grid(reso, basis_dim=9, use_sphere_bound=True,
+                           alloc_data=False)
     links = np.asarray(bg.brick_links)
     coords = np.argwhere(links >= 0)
     centers = (coords * 8.0 + 4.0) / reso * 2.0 - 1.0
@@ -393,7 +429,7 @@ def _shell_setup(reso, dtype=jnp.bfloat16, r_lo=0.85, r_hi=1.02):
     kept = coords[keep]
     new_links[kept[:, 0], kept[:, 1], kept[:, 2]] = new_rows[keep]
     sel = jnp.asarray(old_rows[keep])
-    return replace(
+    bg = replace(
         bg,
         brick_links=jnp.asarray(new_links),
         density_bricks=bg.density_bricks[sel],
@@ -401,6 +437,8 @@ def _shell_setup(reso, dtype=jnp.bfloat16, r_lo=0.85, r_hi=1.02):
         cell_mask=bg.cell_mask[sel],
         brick_coords=bg.brick_coords[sel],
     )
+    ka = jax.block_until_ready(_gen_z(bg.cell_mask))
+    return bg, ka
 
 
 def bench_grid_render_fps_shell(reso=512, frame=(800, 800)):
@@ -410,14 +448,12 @@ def bench_grid_render_fps_shell(reso=512, frame=(800, 800)):
         reso = 32
     from nerf_projects_tpu.ops.grid import GridRenderOptions
     from nerf_projects_tpu.ops.pallas.tile_march import (
-        build_kernel_arrays,
-        geometry_only,
         render_tiles_pallas,
         required_chunks,
     )
     import functools
 
-    bg = _shell_setup(reso)
+    bg, ka = _shell_setup_render(reso)
     opts = GridRenderOptions(step_size=0.5)
     n_rays = frame[0] * frame[1]
     tiles = n_rays // 128
@@ -425,8 +461,6 @@ def bench_grid_render_fps_shell(reso=512, frame=(800, 800)):
     rays = _tile_rays(jax.random.PRNGKey(3), batch, focal_px=800.0)
 
     ck = required_chunks(bg, rays, opts)
-    ka = jax.block_until_ready(build_kernel_arrays(bg))
-    bg = geometry_only(bg)
 
     @functools.partial(jax.jit, static_argnums=0)
     def scan_call(k, b, kad, kas, r):

@@ -159,6 +159,7 @@ def create_brick_grid(
     use_sphere_bound: bool = True,
     init_density: float = 0.0,
     data_dtype=jnp.float32,
+    alloc_data: bool = True,
 ) -> BrickGrid:
     """Build a BrickGrid directly, with the heavy per-cell arrays created
     ON DEVICE (no [reso^3] host numpy, no multi-GB host->HBM transfer —
@@ -216,11 +217,17 @@ def create_brick_grid(
     else:
         mask = jnp.ones((nb, BRICK**3), bool)
 
-    density = (
-        jnp.full((nb, BRICK**3), init_density, data_dtype)
-        * mask.astype(data_dtype)
-    )
-    sh = jnp.zeros((nb, BRICK**3, 3 * basis_dim), data_dtype)
+    if alloc_data:
+        density = (
+            jnp.full((nb, BRICK**3), init_density, data_dtype)
+            * mask.astype(data_dtype)
+        )
+        sh = jnp.zeros((nb, BRICK**3, 3 * basis_dim), data_dtype)
+    else:
+        # geometry-only (see tile_march.geometry_only): callers supply
+        # prebuilt kernel arrays; skips multi-GB allocations at 512^3
+        density = jnp.zeros((nb, 1), data_dtype)
+        sh = jnp.zeros((nb, 1, 1), data_dtype)
     return BrickGrid(
         brick_links=jnp.asarray(brick_links),
         density_bricks=density,

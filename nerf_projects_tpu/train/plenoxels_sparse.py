@@ -105,11 +105,40 @@ def sparse_state_from_grid(bg: BrickGrid,
     )
 
 
+def pad_state_rows(st: SparseBrickState, multiple: int) -> SparseBrickState:
+    """Pad every row-indexed array to a multiple of `multiple` rows so
+    the state can be row-sharded over a device mesh. Padding rows sit
+    AFTER the sentinel (index nb) and are never referenced: window rows
+    are always < nb or == nb. grid_from_sparse_state slices by nb, so
+    the padding round-trips away."""
+    n = st.density_k.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return st
+
+    def padz(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]
+        )
+
+    return SparseBrickState(
+        density_k=padz(st.density_k),
+        sh_k=padz(st.sh_k),
+        density_z=None if st.density_z is None else padz(st.density_z),
+        sh_z=None if st.sh_z is None else padz(st.sh_z),
+        rms_density=padz(st.rms_density),
+        rms_sh=padz(st.rms_sh),
+        last_step=jnp.concatenate(
+            [st.last_step, jnp.full((pad,), -1, jnp.int32)]
+        ),
+    )
+
+
 def grid_from_sparse_state(bg: BrickGrid, st: SparseBrickState) -> BrickGrid:
     """Write the trained masters back into (a copy of) `bg`."""
     from dataclasses import replace
 
-    nb, B = st.n_bricks, st.basis_dim
+    nb, B = bg.n_bricks, st.basis_dim
     density = st.density_k[:nb].reshape(nb, 512)
     sh = kernel_layout_to_sh(st.sh_k[:nb], B)
     return replace(bg, density_bricks=density, sh_bricks=sh)
@@ -169,7 +198,7 @@ def train_step_tiles_sparse(
             "lambda_tv_lumisphere (full-grid regularizers); use "
             "train_step_tiles_pallas"
         )
-    nb, B = st.n_bricks, st.basis_dim
+    nb, B = bg.n_bricks, st.basis_dim
     fstep = step.astype(jnp.float32)
 
     shared_z = st.density_z is None

@@ -81,6 +81,83 @@ class TestShardedRender:
         np.testing.assert_allclose(got["rgb"], np.asarray(want["rgb"]), atol=1e-5)
 
 
+class TestShardedSparseState:
+    def test_sparse_step_with_row_sharded_state(self):
+        """The 512^3 HBM story: the sparse trainer state (kernel-layout
+        masters + rms) row-sharded over the mesh, rays replicated — the
+        step must compile + execute under GSPMD and match the
+        unsharded step (VERDICT r3 item 5)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        import nerf_projects_tpu.ops.pallas.tile_march as tm
+        from nerf_projects_tpu.ops.brick_grid import from_sparse_grid
+        from nerf_projects_tpu.ops.grid import GridRenderOptions
+        from nerf_projects_tpu.train import plenoxels_sparse as ps
+        from nerf_projects_tpu.train.plenoxels_trainer import (
+            PlenoxelsTrainer,
+        )
+        from test_tile_march_pallas import random_grid, tile_rays
+
+        old = tm.INTERPRET
+        tm.INTERPRET = True
+        try:
+            g = random_grid(24, seed=0)
+            bg = from_sparse_grid(g)
+            trainer = PlenoxelsTrainer(
+                GridRenderOptions(step_size=0.5),
+                n_iters=1000, lambda_tv=1e-4, lambda_tv_sh=1e-3,
+                lr_sigma=3e1, lr_sigma_delay_steps=0, lr_sh=1e-2,
+            )
+            rays = tile_rays(2, seed=11)
+            target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+            key = jax.random.PRNGKey(0)
+            step_i = jnp.asarray(0, jnp.int32)
+
+            st = ps.sparse_state_from_grid(bg)
+            want, wstats = ps.train_step_tiles_sparse(
+                trainer, bg, st, rays, target, step_i, key
+            )
+
+            mesh = make_mesh()
+            row = NamedSharding(mesh, P("rays"))
+            st2 = ps.pad_state_rows(
+                ps.sparse_state_from_grid(bg), len(jax.devices())
+            )
+            st2 = ps.SparseBrickState(
+                density_k=jax.device_put(st2.density_k, row),
+                sh_k=jax.device_put(st2.sh_k, row),
+                density_z=jax.device_put(st2.density_z, row),
+                sh_z=jax.device_put(st2.sh_z, row),
+                rms_density=jax.device_put(st2.rms_density, row),
+                rms_sh=jax.device_put(st2.rms_sh, row),
+                last_step=jax.device_put(st2.last_step, row),
+            )
+            got, gstats = jax.jit(
+                lambda b, s, r, t, i, k: ps.train_step_tiles_sparse(
+                    trainer, b, s, r, t, i, k
+                )
+            )(bg, st2, rays, target, step_i, key)
+
+            np.testing.assert_allclose(
+                float(gstats["mse"]), float(wstats["mse"]),
+                rtol=1e-5, atol=1e-7,
+            )
+            # partitioned scatter-adds reassociate f32 sums; RMSprop's
+            # scale-invariant update amplifies near-cancelling grads
+            # (same effect as dense-vs-sparse, test_sparse_step.py) —
+            # assert near-total elementwise agreement
+            def mostly_equal(a, b, frac=0.995):
+                ok = np.isclose(np.asarray(a), np.asarray(b),
+                                rtol=1e-3, atol=1e-4)
+                assert ok.mean() > frac, f"only {ok.mean():.4f} close"
+
+            n = want.density_k.shape[0]
+            mostly_equal(np.asarray(got.density_k)[:n], want.density_k)
+            mostly_equal(np.asarray(got.sh_k)[:n], want.sh_k)
+        finally:
+            tm.INTERPRET = old
+
+
 class TestHostHelpers:
     def test_single_process(self):
         assert is_main_process()
