@@ -738,7 +738,7 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
     def kernel(orig_ref, basis_ref, pack_ref, samp_ref, *rest):
         state_ref = rest[0]       # (1, 8, 128): row 0 cum_tau, row 1 P
         gd_ref = rest[1]          # (1, 1, 8, 8, 64)
-        gsh_ref = rest[2]         # (1, 1, 8, B, 24, 64)
+        gsh_ref = rest[2]         # (1, 1, 8, B, 8, 192) kernel layout
         t = pl.program_id(0)
         c = pl.program_id(1)
 
@@ -846,12 +846,14 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
 
         # ---- transposed trilerp: per-corner gradient blocks.
         # Factor the 4-way contraction sum_s Ax Ay Az g as
-        # dot(Axg[(a,ch), s], Byz[(b,c), s]) per corner: the y/z hat
-        # planes are shared by corner PAIRS and built once (4 x [64, A])
-        # and the per-corner [192, A] Byzc materialization + bf16 cast
-        # (the old VPU hot spot) disappears — per corner it's one MXU
-        # dot emitting [(a,ch)=24, (b,c)=64] blocks
-        # (kernel_grad24_to_sh converts after the XLA scatter).
+        # dot(Axg_ch[lx, s], Byz[(b,c), s]) per (corner, channel): the
+        # y/z hat planes are shared by corner PAIRS and built once
+        # (4 x [64, A]). Per channel the [8, 64] product is expanded
+        # straight into the march's KERNEL LAYOUT lanes
+        # ((ly*8+lz)*3+ch) by a 0/1 matmul, so the emitted SH blocks
+        # need NO post-scatter permutation: the scatter target IS the
+        # sh_z layout (kernel_layout_to_sh only runs for brick-layout
+        # consumers).
         byz = []
         for dy in range(2):
             for dz in range(2):
@@ -861,15 +863,22 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
                     (Ayk[:, None, :] * Azk[None, :, :])
                     .reshape(64, A).astype(jnp.bfloat16)
                 )
-        axg = []
+        axg3 = []
         axs = []
         for dx in range(2):
             Axk = Ax[dx * 8 : dx * 8 + 8]
-            axg.append(
-                (Axk[:, None, :] * g_rgb[None, :, :])
-                .reshape(24, A).astype(jnp.bfloat16)
-            )
+            axg3.append([
+                (Axk * g_rgb[ch : ch + 1]).astype(jnp.bfloat16)
+                for ch in range(3)
+            ])
             axs.append((Axk * gsig).astype(jnp.bfloat16))
+        # lane expansion: E_ch[lyz, lyz*3 + ch] = 1
+        r64 = jax.lax.broadcasted_iota(jnp.int32, (64, 192), 0)
+        c192 = jax.lax.broadcasted_iota(jnp.int32, (64, 192), 1)
+        E3 = [
+            (c192 == r64 * 3 + ch).astype(jnp.float32)
+            for ch in range(3)
+        ]
         for k, (dx, dy, dz) in enumerate(_CORNERS):
             Byz = byz[dy * 2 + dz]
             Gd = jax.lax.dot_general(
@@ -878,14 +887,21 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
                 preferred_element_type=jnp.float32,
             )                                          # [8, 64]
             gd_ref[0, 0, k] = Gd.astype(gd_ref.dtype)
-            H2 = jax.lax.dot_general(
-                axg[dx], Byz,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                          # [24, 64]
+            Hk = jnp.zeros((8, 192), jnp.float32)
+            for ch in range(3):
+                H2c = jax.lax.dot_general(
+                    axg3[dx][ch], Byz,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                      # [8, 64]
+                Hk = Hk + jax.lax.dot_general(
+                    H2c, E3[ch],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                      # [8, 192]
             for b in range(basis_dim):
                 gsh_ref[0, 0, k, b] = (
-                    H2 * basis_ref[t, b]
+                    Hk * basis_ref[t, b]
                 ).astype(gsh_ref.dtype)
 
         # carry updates
@@ -977,7 +993,7 @@ def _bwd_group(samples, orig, basisf, pack, n_chunks,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 8, basis_dim, 24, 64),
+                (1, 1, 8, basis_dim, 8, 192),
                 lambda t, c, orig, basisf: (t, c, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -990,7 +1006,7 @@ def _bwd_group(samples, orig, basisf, pack, n_chunks,
             jax.ShapeDtypeStruct((T, 8, r), jnp.float32),
             jax.ShapeDtypeStruct((T, C, 8, 8, 64), grad_dtype),
             jax.ShapeDtypeStruct(
-                (T, C, 8, basis_dim, 24, 64), grad_dtype
+                (T, C, 8, basis_dim, 8, 192), grad_dtype
             ),
         ),
         interpret=INTERPRET,
@@ -1104,9 +1120,10 @@ def fused_grad_blocks(
 ):
     """Fused render + gradient, stopping BEFORE the dense scatter:
     returns (rgb_out [T,128,3], gd_blocks [T,C,8,8,64],
-    gsh_blocks [T,C,8,B,24,64] (grad24 layout: rows (lx,ch), cols
-    (ly,lz); see kernel_grad24_to_sh), rows [T,C,8] (nb = sentinel),
-    aux).
+    gsh_blocks [T,C,8,B,8,192] (the march's KERNEL layout — scatter
+    targets sh_z-shaped accumulators directly; kernel_layout_to_sh
+    converts for brick-layout consumers), rows [T,C,8] (nb =
+    sentinel), aux).
 
     `kernel_arrays`: optional prebuilt (density_z, sh_z) bf16
     kernel-layout arrays with sentinel row — skips the per-step
@@ -1214,11 +1231,11 @@ def render_fused_tiles_pallas(
         gd_blocks.reshape(-1, 8, 64).astype(jnp.float32)
     )[:nb]
     gsh_k = jnp.zeros(
-        (nb + 1, bg.basis_dim, 24, 64), jnp.float32
+        (nb + 1, bg.basis_dim, 8, 192), jnp.float32
     ).at[flat_rows].add(
-        gsh_blocks.reshape(-1, bg.basis_dim, 24, 64).astype(jnp.float32)
+        gsh_blocks.reshape(-1, bg.basis_dim, 8, 192).astype(jnp.float32)
     )[:nb]
 
     grad_density = gd.reshape(nb, 512)
-    grad_sh = kernel_grad24_to_sh(gsh_k, bg.basis_dim)
+    grad_sh = kernel_layout_to_sh(gsh_k, bg.basis_dim)
     return rgb_out, grad_density, grad_sh, aux

@@ -39,7 +39,6 @@ from nerf_projects_tpu.core.rays import Rays
 from nerf_projects_tpu.ops.brick_grid import BrickGrid
 from nerf_projects_tpu.ops.pallas.tile_march import (
     fused_grad_blocks,
-    kernel_grad24_to_kernel_layout,
     kernel_layout_to_sh,
     sh_to_kernel_layout,
 )
@@ -219,11 +218,9 @@ def train_step_tiles_sparse(
 
     rows_r = rows.reshape(-1)                               # [M1]
     gd_flat = gd_blocks.reshape(-1, 8, 64).astype(jnp.float32)
-    # grad24 emission layout -> the state's kernel layout (single
-    # composed permutation gather, O(M))
-    gsh_flat = kernel_grad24_to_kernel_layout(
-        gsh_blocks.reshape(-1, B, 24, 64).astype(jnp.float32), B
-    )
+    # the backward kernel emits SH blocks in the state's kernel layout
+    # already — no O(M) permutation pass
+    gsh_flat = gsh_blocks.reshape(-1, B, 8, 192).astype(jnp.float32)
 
     # ---- sampled TV in block form ------------------------------------
     k_tv, k_sh = jax.random.split(key)

@@ -169,7 +169,7 @@ def main():
         _pack_rays,
         _plan_windows,
         fused_grad_blocks,
-        kernel_grad24_to_sh,
+        kernel_layout_to_sh,
     )
     from nerf_projects_tpu.ops.tile_render import default_chunks
 
@@ -234,11 +234,11 @@ def main():
             gd_blocks.reshape(-1, 8, 64)
         )[:nb]
         gsh_k = jnp.zeros(
-            (nb + 1, bg.basis_dim, 24, 64), jnp.float32
+            (nb + 1, bg.basis_dim, 8, 192), jnp.float32
         ).at[flat_rows].add(
-            gsh_blocks.reshape(-1, bg.basis_dim, 24, 64)
+            gsh_blocks.reshape(-1, bg.basis_dim, 8, 192)
         )[:nb]
-        return gd.reshape(nb, 512), kernel_grad24_to_sh(
+        return gd.reshape(nb, 512), kernel_layout_to_sh(
             gsh_k, bg.basis_dim)
 
     def run_scat(k):
@@ -255,9 +255,9 @@ def main():
         flat_rows = rws.reshape(-1)
         nb = bg.n_bricks
         return jnp.zeros(
-            (nb + 1, bg.basis_dim, 24, 64), jnp.float32
+            (nb + 1, bg.basis_dim, 8, 192), jnp.float32
         ).at[flat_rows].add(
-            gsh_blocks.reshape(-1, bg.basis_dim, 24, 64)
+            gsh_blocks.reshape(-1, bg.basis_dim, 8, 192)
         )[:nb].sum()
 
     def run_scat2(k):
