@@ -405,17 +405,10 @@ def bench_nerf_sh_train():
     )
 
 
-def _shell_setup_render(reso, r_lo=0.85, r_hi=1.02):
-    """Surface-like scene: only a spherical SHELL of bricks is active —
-    representative of trained radiance fields (density on surfaces),
-    where chunk compaction pays. Geometry-only + direct kernel arrays
-    (see _plenoxels_setup_render)."""
+def _shell_select(bg, reso, r_lo, r_hi):
+    """Keep only the spherical-SHELL bricks of `bg` (row reindex)."""
     from dataclasses import replace
 
-    from nerf_projects_tpu.ops.brick_grid import create_brick_grid
-
-    bg = create_brick_grid(reso, basis_dim=9, use_sphere_bound=True,
-                           alloc_data=False)
     links = np.asarray(bg.brick_links)
     coords = np.argwhere(links >= 0)
     centers = (coords * 8.0 + 4.0) / reso * 2.0 - 1.0
@@ -429,7 +422,7 @@ def _shell_setup_render(reso, r_lo=0.85, r_hi=1.02):
     kept = coords[keep]
     new_links[kept[:, 0], kept[:, 1], kept[:, 2]] = new_rows[keep]
     sel = jnp.asarray(old_rows[keep])
-    bg = replace(
+    return replace(
         bg,
         brick_links=jnp.asarray(new_links),
         density_bricks=bg.density_bricks[sel],
@@ -437,6 +430,24 @@ def _shell_setup_render(reso, r_lo=0.85, r_hi=1.02):
         cell_mask=bg.cell_mask[sel],
         brick_coords=bg.brick_coords[sel],
     )
+
+
+def _shell_setup(reso, dtype=jnp.bfloat16, r_lo=0.85, r_hi=1.02):
+    """Shell scene WITH data arrays (training workloads; the render
+    workloads use _shell_setup_render's geometry-only variant)."""
+    return _shell_select(_plenoxels_setup(reso, dtype), reso, r_lo, r_hi)
+
+
+def _shell_setup_render(reso, r_lo=0.85, r_hi=1.02):
+    """Surface-like scene: only a spherical SHELL of bricks is active —
+    representative of trained radiance fields (density on surfaces),
+    where chunk compaction pays. Geometry-only + direct kernel arrays
+    (see _plenoxels_setup_render)."""
+    from nerf_projects_tpu.ops.brick_grid import create_brick_grid
+
+    bg = create_brick_grid(reso, basis_dim=9, use_sphere_bound=True,
+                           alloc_data=False)
+    bg = _shell_select(bg, reso, r_lo, r_hi)
     ka = jax.block_until_ready(_gen_z(bg.cell_mask))
     return bg, ka
 

@@ -11,8 +11,8 @@ from nerf_projects_tpu.train import plenoxels_sparse as ps
 from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
 
 RESO = int(os.environ.get("RESO", 512))
-TILES = 8
-MAX_TOUCHED = 4096
+TILES = int(os.environ.get("TILES", 8))
+MAX_TOUCHED = int(os.environ.get("MAX_TOUCHED", 4096))
 
 from dataclasses import replace
 
@@ -137,6 +137,40 @@ def run_sparse(k):
 ms = slope(run_sparse) * 1e3
 print(json.dumps({"variant": "sparse_compact", "ms": round(ms, 2),
                   "rays_per_s": round(TILES * 128 / ms * 1e3),
-                  "max_touched": MAX_TOUCHED,
+                  "tiles": TILES, "max_touched": MAX_TOUCHED,
                   "note": "incl ~20ms/step dispatch overhead"}),
       flush=True)
+
+# ---- scanned multi-step: folds the ~20 ms/step dispatch into ONE
+# call. The scan carry is the full state; XLA aliases the carry
+# in-place when the dataflow allows (the .at[uniq].set updates do) —
+# re-measured here since the earlier monolithic state build OOMed.
+@functools.partial(
+    jax.jit, static_argnums=0, donate_argnums=1,
+)
+def scan_sparse(k, st, key):
+    def body(st, i):
+        st, stats = ps.train_step_tiles_sparse(
+            trainer, geom, st, rays, target, i,
+            jax.random.fold_in(key, i),
+            compact_chunks=CK, max_touched=MAX_TOUCHED)
+        return st, stats["mse"]
+
+    return jax.lax.scan(body, st, jnp.arange(k, dtype=jnp.int32))
+
+
+def run_sparse_scan(k):
+    st, mses = scan_sparse(k, sh["st"], jax.random.PRNGKey(k))
+    _ = float(mses[-1])
+    sh["st"] = st
+
+
+try:
+    ms = slope(run_sparse_scan) * 1e3
+    print(json.dumps({"variant": "sparse_scan", "ms": round(ms, 2),
+                      "rays_per_s": round(TILES * 128 / ms * 1e3),
+                      "tiles": TILES}), flush=True)
+except Exception as exc:
+    print(json.dumps({"variant": "sparse_scan",
+                      "error": f"{type(exc).__name__}: {exc}"[:200]}),
+          flush=True)
