@@ -356,6 +356,139 @@ def train_step_tiles_sparse(
     return new_st, stats
 
 
+def train_step_tiles_dense_k(
+    trainer,
+    bg: BrickGrid,
+    st: SparseBrickState,
+    rays: Rays,
+    target: jnp.ndarray,
+    step: jnp.ndarray,
+    key: jax.Array,
+    *,
+    use_occupancy: bool = False,
+    compact_chunks: Optional[int] = None,
+):
+    """Dense-update train step on KERNEL-LAYOUT state — the fast dense
+    path. Same semantics as `PlenoxelsTrainer.train_step_tiles_pallas`
+    (fused kernels + sampled TV + dense RMSprop over every cell), but
+    the trainable masters live in the march's kernel layout, so the
+    two O(grid) relayouts of the brick-layout step (bf16 kernel-array
+    build before the march, gradient layout conversion after the
+    scatter — 29 ms of the 107 ms step at 256^3/40 tiles) do not exist:
+    the march reads the masters directly and the backward kernel's
+    blocks scatter straight into state-shaped accumulators.
+
+    `st` must have density_z/sh_z None (shared kernel arrays). Use
+    sparse_state_from_grid(bg, shared_kernel_arrays=True) /
+    grid_from_sparse_state for the boundary conversions; rms dtype
+    follows the state. `step` is an int32/float scalar.
+    """
+    if trainer.lambda_l2_sh > 0 or trainer.lambda_tv_lumisphere > 0:
+        raise ValueError(
+            "kernel-layout step does not support lambda_l2_sh / "
+            "lambda_tv_lumisphere; use train_step_tiles_pallas"
+        )
+    nb, B = bg.n_bricks, st.basis_dim
+    fstep = step.astype(jnp.float32)
+
+    rgb, gd_blocks, gsh_blocks, rows, aux = fused_grad_blocks(
+        bg, rays, target, trainer.opts,
+        beta_loss=trainer.lambda_beta,
+        sparsity_loss=trainer.lambda_sparsity,
+        use_occupancy=use_occupancy,
+        kernel_arrays=(st.density_k, st.sh_k),
+        grad_dtype=trainer.grad_block_dtype,
+        compact_chunks=compact_chunks,
+    )
+    mse = jnp.mean((rgb - target) ** 2)
+
+    flat_rows = rows.reshape(-1)
+    acc_d = jnp.zeros((nb + 1, 8, 64), jnp.float32).at[flat_rows].add(
+        gd_blocks.reshape(-1, 8, 64).astype(jnp.float32)
+    )
+    acc_sh = jnp.zeros(
+        (nb + 1, B, 8, 192), jnp.float32
+    ).at[flat_rows].add(
+        gsh_blocks.reshape(-1, B, 8, 192).astype(jnp.float32)
+    )
+
+    # sampled TV in block form, scattered into the same accumulators
+    k_tv, k_sh = jax.random.split(key)
+    if trainer.lambda_tv > 0:
+        w = max(int(trainer.tv_sparsity * nb), 1)
+        srows = sample_brick_window(k_tv, nb, w)
+        r4, v4 = tv_grad_brick_blocks(
+            bg, lambda r: st.density_k[r].reshape(-1, 512, 1), srows,
+            scale=trainer.lambda_tv, ignore_edge=False,
+        )
+        r4 = jnp.where(r4 < 0, nb, r4)
+        acc_d = acc_d.at[r4].add(v4[..., 0].reshape(-1, 8, 64))
+    if trainer.lambda_tv_sh > 0:
+        w = max(int(trainer.tv_sh_sparsity * nb), 1)
+        srows = sample_brick_window(k_sh, nb, w)
+        r4, v4 = tv_grad_brick_blocks(
+            bg, lambda r: kernel_layout_to_sh(st.sh_k[r], B), srows,
+            scale=trainer.lambda_tv_sh, ignore_edge=True,
+        )
+        r4 = jnp.where(r4 < 0, nb, r4)
+        acc_sh = acc_sh.at[r4].add(sh_to_kernel_layout(v4, B))
+
+    # cell mask in kernel layout (fused into the update sweeps)
+    md = bg.cell_mask.astype(jnp.float32).reshape(nb, 8, 64)
+    md = jnp.concatenate([md, jnp.zeros_like(md[:1])])
+    msh = jnp.concatenate(
+        [bg.cell_mask, jnp.zeros_like(bg.cell_mask[:1])]
+    ).astype(jnp.float32).reshape(nb + 1, 1, 8, 8, 8, 1)
+    msh = jnp.broadcast_to(
+        msh, (nb + 1, B, 8, 8, 8, 3)
+    ).reshape(nb + 1, B, 8, 192)
+
+    lr_sigma = trainer.lr_sigma_fn(fstep)
+    lr_sh = trainer.lr_sh_fn(fstep)
+    new_d, rms_d = _finalize_rms(
+        trainer, trainer.sigma_optim, st.density_k, acc_d * md,
+        st.rms_density.astype(jnp.float32), trainer.rms_beta,
+        lr_sigma, minval=trainer.density_minval,
+    )
+    new_d = new_d * md
+    new_s, rms_s = _finalize_rms(
+        trainer, trainer.sh_optim, st.sh_k, acc_sh * msh,
+        st.rms_sh.astype(jnp.float32), trainer.rms_beta, lr_sh,
+    )
+    new_s = new_s * msh
+
+    new_st = SparseBrickState(
+        density_k=new_d,
+        sh_k=new_s,
+        density_z=None,
+        sh_z=None,
+        rms_density=rms_d.astype(st.rms_density.dtype),
+        rms_sh=rms_s.astype(st.rms_sh.dtype),
+        last_step=st.last_step,
+    )
+    psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)
+    return new_st, {
+        "loss": mse, "mse": mse, "psnr": psnr,
+        "window_miss": aux["window_miss"],
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("use_occupancy", "compact_chunks"),
+    donate_argnums=(2,),
+)
+def train_step_tiles_dense_k_jit(
+    trainer, bg, st, rays, target, step, key, *,
+    use_occupancy=False, compact_chunks=None,
+):
+    return train_step_tiles_dense_k(
+        trainer, bg, st, rays, target, step, key,
+        use_occupancy=use_occupancy, compact_chunks=compact_chunks,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnums=(0,),

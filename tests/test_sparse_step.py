@@ -124,6 +124,60 @@ class TestSparseStep:
             )
 
 
+class TestDenseKernelLayoutStep:
+    def test_matches_brick_layout_dense_step(self):
+        """The kernel-layout dense step (no per-step relayouts) must
+        reproduce train_step_tiles_pallas: same kernels, same TV
+        sampling, same dense RMSprop — only the state layout differs."""
+        trainer = make_trainer()
+        g = random_grid(24, seed=5)
+        bg = from_sparse_grid(g)
+        st = ps.sparse_state_from_grid(bg, shared_kernel_arrays=True)
+        # reference A: the sparse step in shared-f32 mode (IDENTICAL
+        # forward precision — marches the same f32 masters); proves
+        # the dense scatter + dense RMSprop recursion.
+        st_sp = ps.sparse_state_from_grid(bg, shared_kernel_arrays=True)
+        # reference B: the brick-layout dense step (marches bf16
+        # kernel-array copies — mse agrees to bf16 forward tolerance).
+        dense_bg = jax.tree_util.tree_map(jnp.copy, bg)
+        rms = trainer.init_rms_bricks(dense_bg)
+
+        def mostly_equal(a, b, frac=0.995, rtol=1e-3, atol=1e-4):
+            a, b = np.asarray(a), np.asarray(b)
+            ok = np.isclose(a, b, rtol=rtol, atol=atol)
+            assert ok.mean() > frac, f"only {ok.mean():.4f} close"
+
+        for i in range(3):
+            rays = tile_rays(2, seed=300 + 11 * i)
+            target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+            key = jax.random.PRNGKey(i)
+            step_i = jnp.asarray(i, jnp.int32)
+            st, kstats = ps.train_step_tiles_dense_k(
+                trainer, bg, st, rays, target, step_i, key,
+            )
+            st_sp, sstats = ps.train_step_tiles_sparse(
+                trainer, bg, st_sp, rays, target, step_i, key,
+            )
+            dense_bg, rms, dstats = trainer.train_step_tiles_pallas(
+                dense_bg, rms, rays, target,
+                jnp.asarray(float(i)), key,
+            )
+            np.testing.assert_allclose(
+                float(kstats["mse"]), float(sstats["mse"]),
+                rtol=1e-5, atol=1e-7,
+            )
+            np.testing.assert_allclose(
+                float(kstats["mse"]), float(dstats["mse"]), rtol=3e-3,
+            )
+        mostly_equal(st.density_k, st_sp.density_k)
+        mostly_equal(st.sh_k, st_sp.sh_k)
+        mostly_equal(st.rms_density, st_sp.rms_density)
+        # brick-layout step cross-check at looser forward tolerance
+        out = ps.grid_from_sparse_state(dense_bg, st)
+        mostly_equal(out.density_bricks, dense_bg.density_bricks,
+                     frac=0.98)
+
+
 class TestSparseBf16Rms:
     def test_bf16_rms_close_to_f32(self):
         """bf16 RMS accumulator (the 512^3 memory option) tracks the
