@@ -283,9 +283,9 @@ def _plenoxels_setup_render(reso):
 
 @jax.jit
 def _gen_z(mask):
-    """Masked random kernel-layout arrays (density_z [nb+1, 8, 64],
-    sh_z [nb+1, 9, 8, 192]) — mask fused into the RNG so each is one
-    allocation."""
+    """Masked random PACKED kernel array [nb+1, 10, 8, 192] (SH slots
+    0..8, density x3-interleaved in slot 9; see pack_kernel_arrays) —
+    mask fused into the RNG so the peak is one allocation."""
     nb = mask.shape[0]
     md = mask.reshape(nb, 8, 64)
     dz = (
@@ -293,7 +293,7 @@ def _gen_z(mask):
             jax.random.PRNGKey(0), (nb, 8, 64), jnp.bfloat16
         ) * 2.0 * md
     ).astype(jnp.bfloat16)
-    dz = jnp.concatenate([dz, jnp.zeros_like(dz[:1])])
+    d192 = jnp.repeat(dz, 3, axis=-1)[:, None]
     # kernel layout [nb, B, lx, (ly,lz,ch)=192]
     msh = mask.reshape(nb, 1, 8, 8, 8, 1)
     sz = (
@@ -301,8 +301,8 @@ def _gen_z(mask):
             jax.random.PRNGKey(1), (nb, 9, 8, 8, 8, 3), jnp.bfloat16
         ) * 0.2 * msh
     ).reshape(nb, 9, 8, 192).astype(jnp.bfloat16)
-    sz = jnp.concatenate([sz, jnp.zeros_like(sz[:1])])
-    return dz, sz
+    packed = jnp.concatenate([sz, d192], axis=1)
+    return jnp.concatenate([packed, jnp.zeros_like(packed[:1])])
 
 
 def bench_grid_render_fps(reso=512, frame=(800, 800)):
@@ -327,13 +327,13 @@ def bench_grid_render_fps(reso=512, frame=(800, 800)):
     import functools
 
     @functools.partial(jax.jit, static_argnums=0)
-    def scan_call(k, b, kad, kas, r):
+    def scan_call(k, b, kap, r):
         def body(acc, i):
             out = render_tiles_pallas(
                 b,
                 r._replace(origins=r.origins + i * 1e-6),
                 opts,
-                kernel_arrays=(kad, kas),
+                kernel_arrays=kap,
             )["rgb"]
             return acc + out.sum(), None
 
@@ -343,7 +343,7 @@ def bench_grid_render_fps(reso=512, frame=(800, 800)):
         return acc
 
     def run(k):
-        _ = float(scan_call(k, bg, ka[0], ka[1], rays))
+        _ = float(scan_call(k, bg, ka, rays))
 
     per_batch = slope_timed(run, lo=3, hi=12)
     frame_s = per_batch * (tiles / batch)
@@ -453,51 +453,68 @@ def _shell_setup_render(reso, r_lo=0.85, r_hi=1.02):
 
 
 def bench_grid_render_fps_shell(reso=512, frame=(800, 800)):
-    """Render FPS on the surface-like shell scene with exact
-    empty-chunk compaction — the octree/real-scene rendering regime."""
+    """Render FPS on the surface-like shell scene — the octree/
+    real-scene rendering regime. Measures WHOLE REAL FRAMES through
+    the bucketed renderer: tiles sorted by active-chunk count, each
+    bucket marched at its own exact compacted bound (grazing tiles no
+    longer pay the deepest tile's span)."""
     if SMOKE:
-        reso = 32
+        reso, frame = 32, (96, 96)
+    import time as _time
+
+    import jax.tree_util as tu
+
+    from nerf_projects_tpu.core.rays import camera_rays_opencv
     from nerf_projects_tpu.ops.grid import GridRenderOptions
     from nerf_projects_tpu.ops.pallas.tile_march import (
-        render_tiles_pallas,
-        required_chunks,
+        render_tiles_pallas_bucketed,
     )
-    import functools
+    from nerf_projects_tpu.ops.tile_render import tiles_from_image_rays
 
     bg, ka = _shell_setup_render(reso)
     opts = GridRenderOptions(step_size=0.5)
-    n_rays = frame[0] * frame[1]
-    tiles = n_rays // 128
-    batch = 2 if SMOKE else 125
-    rays = _tile_rays(jax.random.PRNGKey(3), batch, focal_px=800.0)
+    H, W = frame
 
-    ck = required_chunks(bg, rays, opts)
-
-    @functools.partial(jax.jit, static_argnums=0)
-    def scan_call(k, b, kad, kas, r):
-        def body(acc, i):
-            out = render_tiles_pallas(
-                b, r._replace(origins=r.origins + i * 1e-6), opts,
-                kernel_arrays=(kad, kas), compact_chunks=ck,
-            )["rgb"]
-            return acc + out.sum(), None
-
-        acc, _ = jax.lax.scan(
-            body, jnp.zeros(()), jnp.arange(k, dtype=jnp.float32)
+    def frame_tiles(i):
+        pose = np.eye(4, dtype=np.float32)
+        ang = 0.15 * i
+        pose[0, 3] = 2.4 * np.sin(ang)
+        pose[2, 3] = -2.4 * np.cos(ang)
+        r0 = camera_rays_opencv(
+            H, W, float(H), float(H), H / 2.0, W / 2.0,
+            jnp.asarray(pose),
         )
-        return acc
+        return tiles_from_image_rays(
+            tu.tree_map(lambda x: x.reshape(-1, 3), r0), H, W, 8, 16
+        )
+
+    frames = [frame_tiles(i) for i in range(4)]
+
+    def render_frame(tiles):
+        out = render_tiles_pallas_bucketed(
+            bg, tiles, opts, kernel_arrays=ka,
+            buckets=2 if SMOKE else 8,
+        )
+        return out["rgb"]
+
+    # warm up every bucket-shape variant, then time whole frames
+    # (planning + bucket dispatches + march), one host sync per batch
+    for f in frames:
+        _ = float(render_frame(f).sum())
 
     def run(k):
-        _ = float(scan_call(k, bg, ka[0], ka[1], rays))
+        acc = 0.0
+        for i in range(k):
+            acc += float(render_frame(frames[i % len(frames)]).sum())
 
-    per_batch = slope_timed(run, lo=3, hi=12)
-    frame_s = per_batch * (tiles / batch)
+    per_frame = slope_timed(run, lo=2, hi=6)
     emit(
-        "grid_render_fps_800_shell", 1.0 / frame_s, "frames/s",
-        vs_baseline=None, reso=reso, compact_chunks=ck,
-        sec_per_frame=round(frame_s, 4),
-        baseline_note="surface-topology scene + exact chunk "
-        "compaction; the real-scene rendering regime",
+        "grid_render_fps_800_shell", 1.0 / per_frame, "frames/s",
+        vs_baseline=None, reso=reso,
+        sec_per_frame=round(per_frame, 4),
+        baseline_note="surface-topology scene, whole real frames "
+        "through the bucketed renderer (per-bucket exact compaction); "
+        "the real-scene rendering regime",
     )
 
 

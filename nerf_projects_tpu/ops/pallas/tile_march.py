@@ -323,12 +323,21 @@ def default_chunks_for(bg: BrickGrid, opts: GridRenderOptions) -> int:
 
 def _make_fwd_kernel(basis_dim: int, r: int = R,
                      color_mode: str = "bias",
-                     emit_samples: bool = False):
+                     emit_samples: bool = False,
+                     packed: bool = False):
     def kernel(rows_ref, orig_ref, basis_ref, pack_ref, *rest):
-        bricks = rest[:8]         # density (1, 8, 64) each
-        sh = rest[8:16]           # SH (1, B, 8, 192) each
-        out_ref = rest[16]
-        samp_ref = rest[17] if emit_samples else None
+        if packed:
+            # ONE block per corner (1, B+1, 8, 192): SH slots 0..B-1,
+            # density x3-interleaved in slot B — halves the per-step
+            # DMA issues, the dominant cost of the latency-bound march
+            pk = rest[:8]
+            out_ref = rest[8]
+            samp_ref = rest[9] if emit_samples else None
+        else:
+            bricks = rest[:8]     # density (1, 8, 64) each
+            sh = rest[8:16]       # SH (1, B, 8, 192) each
+            out_ref = rest[16]
+            samp_ref = rest[17] if emit_samples else None
         t = pl.program_id(0)
         c = pl.program_id(1)
 
@@ -384,30 +393,55 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
         sigma_acc = jnp.zeros((1, A), jnp.float32)
         rgb_acc4 = jnp.zeros((3, A), jnp.float32)
         for k, (dx, dy, dz) in enumerate(_CORNERS):
-            dens_k = bricks[k][0]                    # [8(lx), 64(ly,lz)]
             # SH decode with the tile basis: kernel-layout bricks are
             # [B, 8(lx), 192(ly,lz,c)], so the decode is B scalar
             # multiply-adds — no lane-splitting reshapes (Mosaic cannot
             # shape-cast 27 lanes into 3x9).
-            Wc = sh[k][0, 0].astype(jnp.float32) * basis_ref[t, 0]
-            for b in range(1, basis_dim):
-                Wc = Wc + sh[k][0, b].astype(jnp.float32) * basis_ref[t, b]
+            if packed:
+                blk = pk[k]
+                Wc = blk[0, 0].astype(jnp.float32) * basis_ref[t, 0]
+                for b in range(1, basis_dim):
+                    Wc = Wc + blk[0, b].astype(jnp.float32) * basis_ref[t, b]
+            else:
+                dens_k = bricks[k][0]                # [8(lx), 64(ly,lz)]
+                Wc = sh[k][0, 0].astype(jnp.float32) * basis_ref[t, 0]
+                for b in range(1, basis_dim):
+                    Wc = Wc + sh[k][0, b].astype(jnp.float32) * basis_ref[t, b]
 
             Axk = Ax[dx * 8 : dx * 8 + 8]            # [8, A]
             Ayk = Ay[dy * 8 : dy * 8 + 8]
             Azk = Az[dz * 8 : dz * 8 + 8]
 
-            V1d = jax.lax.dot_general(
-                dens_k.astype(jnp.bfloat16), Axk.astype(jnp.bfloat16),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                        # [64, A] (ly, lz)
-            V2d = jnp.sum(
-                V1d.reshape(8, 8, A) * Ayk[:, None, :], axis=0
-            )                                        # [8, A] (lz)
-            sigma_acc = sigma_acc + jnp.sum(
-                V2d * Azk, axis=0
-            )[None]
+            if packed:
+                # density rides slot B of the packed block, repeated
+                # x3 across the (ly,lz,ch) lanes — trilerp through the
+                # same 192-wide path as color (rows identical; take 0)
+                d192 = pk[k][0, basis_dim]
+                V1d = jax.lax.dot_general(
+                    d192.astype(jnp.bfloat16),
+                    Axk.astype(jnp.bfloat16),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                    # [192, A]
+                V2d = jnp.sum(
+                    V1d.reshape(8, 24, A) * Ayk[:, None, :], axis=0
+                )                                    # [24, A]
+                sigma_acc = sigma_acc + jnp.sum(
+                    V2d.reshape(8, 3, A) * Azk[:, None, :], axis=0
+                )[0:1]
+            else:
+                V1d = jax.lax.dot_general(
+                    dens_k.astype(jnp.bfloat16),
+                    Axk.astype(jnp.bfloat16),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                    # [64, A] (ly, lz)
+                V2d = jnp.sum(
+                    V1d.reshape(8, 8, A) * Ayk[:, None, :], axis=0
+                )                                    # [8, A] (lz)
+                sigma_acc = sigma_acc + jnp.sum(
+                    V2d * Azk, axis=0
+                )[None]
 
             V1c = jax.lax.dot_general(
                 Wc.astype(jnp.bfloat16), Axk.astype(jnp.bfloat16),
@@ -490,6 +524,22 @@ def _kernel_arrays(bg: BrickGrid):
 build_kernel_arrays = jax.jit(_kernel_arrays)
 
 
+def pack_kernel_arrays(density_z, sh_z):
+    """Pack (density_z [nb+1, 8, 64], sh_z [nb+1, B, 8, 192]) into ONE
+    array [nb+1, B+1, 8, 192]: slot B carries density x3-interleaved
+    over the (ly,lz,ch) lanes (lane j holds density[j // 3]). The march
+    then fetches ONE block per window corner instead of two — the
+    per-grid-step DMA-issue latency is the render path's dominant cost
+    (~0.45 us per fetch measured at 512^3)."""
+    d192 = jnp.repeat(density_z, 3, axis=-1)[:, None]
+    return jnp.concatenate([sh_z, d192.astype(sh_z.dtype)], axis=1)
+
+
+build_packed_kernel_arrays = jax.jit(
+    lambda bg: pack_kernel_arrays(*_kernel_arrays(bg))
+)
+
+
 def geometry_only(bg: BrickGrid) -> BrickGrid:
     """Shrink the fp32 master data arrays to free HBM, keeping the
     geometry (links/coords/mask) and n_bricks intact — valid wherever
@@ -512,6 +562,8 @@ def geometry_only(bg: BrickGrid) -> BrickGrid:
 def _march_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
                 basis_dim, color_mode="bias", emit_samples=False):
     """density_z [nb+1, 8, 64]; sh_z [nb+1, B, 8, 192] (kernel layout).
+    Packed mode: density_z [nb+1, B+1, 8, 192] with sh_z=None (see
+    pack_kernel_arrays) — one corner fetch instead of two.
 
     Tiles are processed in SMEM-sized groups via lax.map (see
     _MAX_GRID_STEPS)."""
@@ -558,6 +610,7 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
     T = pack.shape[0]
     r = pack.shape[-1]
     A = SC * r
+    packed = sh_z is None
 
     def dspec(k):
         # full-brick blocks; sublane dim 8 (TPU requires the
@@ -568,12 +621,22 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
             memory_space=pltpu.VMEM,
         )
 
-    def sspec(k):
+    def sspec(k, nslots=basis_dim):
         return pl.BlockSpec(
-            (1, basis_dim, 8, 192),
+            (1, nslots, 8, 192),
             lambda t, c, rows, orig, basisf, k=k: (rows[t, c, k], 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
+
+    if packed:
+        brick_specs = [sspec(k, basis_dim + 1) for k in range(8)]
+        brick_args = [density_z] * 8
+    else:
+        brick_specs = [
+            *[dspec(k) for k in range(8)],
+            *[sspec(k) for k in range(8)],
+        ]
+        brick_args = [*([density_z] * 8), *([sh_z] * 8)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -584,8 +647,7 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
                 lambda t, c, rows, orig, basisf: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            *[dspec(k) for k in range(8)],
-            *[sspec(k) for k in range(8)],
+            *brick_specs,
         ],
         out_specs=(
             (
@@ -617,11 +679,12 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         ),
     )
     res = pl.pallas_call(
-        _make_fwd_kernel(basis_dim, r, color_mode, emit_samples),
+        _make_fwd_kernel(basis_dim, r, color_mode, emit_samples,
+                         packed=packed),
         grid_spec=grid_spec,
         out_shape=out_shape if emit_samples else out_shape[0],
         interpret=INTERPRET,
-    )(rows, orig, basisf, pack, *([density_z] * 8), *([sh_z] * 8))
+    )(rows, orig, basisf, pack, *brick_args)
     return res
 
 
@@ -688,10 +751,12 @@ def render_tiles_pallas(
         wb, rows, bg.n_bricks, C, compact_chunks
     )
 
-    if kernel_arrays is not None:
-        density_z, sh_z = kernel_arrays
-    else:
+    if kernel_arrays is None:
         density_z, sh_z = _kernel_arrays(bg)
+    elif isinstance(kernel_arrays, (tuple, list)):
+        density_z, sh_z = kernel_arrays
+    else:  # single packed array [nb+1, B+1, 8, 192]
+        density_z, sh_z = kernel_arrays, None
     basisf = eval_sh_bases(
         bg.basis_dim,
         _mean_viewdirs(rays),

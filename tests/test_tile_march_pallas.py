@@ -59,6 +59,27 @@ def tile_rays(n_tiles=2, seed=0):
     return Rays(jnp.asarray(o), jnp.asarray(d), jnp.asarray(d))
 
 
+class TestPackedKernelArrays:
+    def test_packed_render_matches_tuple(self):
+        """One-fetch-per-corner packed arrays (density x3-interleaved in
+        slot B) must render identically to the (density_z, sh_z) pair."""
+        g = random_grid(32, seed=4)
+        bg = from_sparse_grid(g)
+        rays = tile_rays(2, seed=7)
+        opts = GridRenderOptions(step_size=0.5)
+        ka = tm.build_kernel_arrays(bg)
+        packed = tm.pack_kernel_arrays(*ka)
+        assert packed.shape == (bg.n_bricks + 1, bg.basis_dim + 1, 8, 192)
+        want = tm.render_tiles_pallas(bg, rays, opts, kernel_arrays=ka)
+        got = tm.render_tiles_pallas(bg, rays, opts,
+                                     kernel_arrays=packed)
+        for k in ("rgb", "acc", "log_transmit"):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]),
+                rtol=1e-5, atol=1e-5, err_msg=k,
+            )
+
+
 class TestPallasMarch:
     def test_matches_jnp_twin(self):
         g = random_grid(32)
