@@ -795,15 +795,23 @@ def render_tiles_pallas(
 
 
 def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
-                     color_mode: str = "bias"):
+                     color_mode: str = "bias", packed_out: bool = False):
     """Fetch-free backward: consumes the forward's per-sample
     (sigma_acc, rgb_acc) stream instead of re-fetching the 16 brick
     windows and re-marching — the gradient emission needs only ray
-    geometry (hat weights) and those fields."""
+    geometry (hat weights) and those fields.
+
+    packed_out: emit ONE gradient block per corner in the PACKED state
+    layout [B+1, 8, 192] (density grad x3-interleaved in slot B) — one
+    scatter target, matching pack_kernel_arrays."""
     def kernel(orig_ref, basis_ref, pack_ref, samp_ref, *rest):
         state_ref = rest[0]       # (1, 8, 128): row 0 cum_tau, row 1 P
-        gd_ref = rest[1]          # (1, 1, 8, 8, 64)
-        gsh_ref = rest[2]         # (1, 1, 8, B, 8, 192) kernel layout
+        if packed_out:
+            gd_ref = None
+            gsh_ref = rest[1]     # (1, 1, 8, B+1, 8, 192)
+        else:
+            gd_ref = rest[1]      # (1, 1, 8, 8, 64)
+            gsh_ref = rest[2]     # (1, 1, 8, B, 8, 192) kernel layout
         t = pl.program_id(0)
         c = pl.program_id(1)
 
@@ -951,7 +959,20 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                          # [8, 64]
-            gd_ref[0, 0, k] = Gd.astype(gd_ref.dtype)
+            if packed_out:
+                # slot B: density grad expanded x3 over (ly,lz,ch)
+                Gd192 = jnp.zeros((8, 192), jnp.float32)
+                for ch in range(3):
+                    Gd192 = Gd192 + jax.lax.dot_general(
+                        Gd, E3[ch],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                gsh_ref[0, 0, k, basis_dim] = Gd192.astype(
+                    gsh_ref.dtype
+                )
+            else:
+                gd_ref[0, 0, k] = Gd.astype(gd_ref.dtype)
             Hk = jnp.zeros((8, 192), jnp.float32)
             for ch in range(3):
                 H2c = jax.lax.dot_general(
@@ -979,11 +1000,11 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
 @functools.partial(
     jax.jit,
     static_argnames=("n_chunks", "basis_dim", "sparsity_scale",
-                     "color_mode", "grad_dtype"),
+                     "color_mode", "grad_dtype", "packed_out"),
 )
 def _bwd_call(samples, orig, basisf, pack, n_chunks,
               basis_dim, sparsity_scale, color_mode="bias",
-              grad_dtype=jnp.float32):
+              grad_dtype=jnp.float32, packed_out=False):
     """SMEM-sized tile grouping like _march_call. `samples` is the
     forward pass's per-(tile, chunk) field stream [T, C, 8, A]."""
     T_full = pack.shape[0]
@@ -1008,14 +1029,22 @@ def _bwd_call(samples, orig, basisf, pack, n_chunks,
         return _bwd_group(
             samp_g, orig_g, basisf_g, pack_g,
             n_chunks, basis_dim, sparsity_scale, color_mode,
-            grad_dtype,
+            grad_dtype, packed_out,
         )
 
-    state, gd, gsh = jax.lax.map(
+    outs = jax.lax.map(
         one_group,
         (_group(samples, tg), _group(orig, tg), _group(basisf, tg),
          _group(pack, tg)),
     )
+    if packed_out:
+        state, gsh = outs
+        return (
+            state.reshape(-1, 8, pack.shape[-1])[:T_full],
+            None,
+            gsh.reshape((-1,) + gsh.shape[2:])[:T_full],
+        )
+    state, gd, gsh = outs
     return (
         state.reshape(-1, 8, pack.shape[-1])[:T_full],
         gd.reshape((-1,) + gd.shape[2:])[:T_full],
@@ -1025,11 +1054,44 @@ def _bwd_call(samples, orig, basisf, pack, n_chunks,
 
 def _bwd_group(samples, orig, basisf, pack, n_chunks,
                basis_dim, sparsity_scale, color_mode="bias",
-               grad_dtype=jnp.float32):
+               grad_dtype=jnp.float32, packed_out=False):
     T = pack.shape[0]
     C = n_chunks
     r = pack.shape[-1]
     A = SC * r
+
+    if packed_out:
+        grad_specs = (
+            pl.BlockSpec(
+                (1, 1, 8, basis_dim + 1, 8, 192),
+                lambda t, c, orig, basisf: (t, c, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        grad_shapes = (
+            jax.ShapeDtypeStruct(
+                (T, C, 8, basis_dim + 1, 8, 192), grad_dtype
+            ),
+        )
+    else:
+        grad_specs = (
+            pl.BlockSpec(
+                (1, 1, 8, 8, 64),
+                lambda t, c, orig, basisf: (t, c, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 8, basis_dim, 8, 192),
+                lambda t, c, orig, basisf: (t, c, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        grad_shapes = (
+            jax.ShapeDtypeStruct((T, C, 8, 8, 64), grad_dtype),
+            jax.ShapeDtypeStruct(
+                (T, C, 8, basis_dim, 8, 192), grad_dtype
+            ),
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1052,27 +1114,16 @@ def _bwd_group(samples, orig, basisf, pack, n_chunks,
                 lambda t, c, orig, basisf: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 1, 8, 8, 64),
-                lambda t, c, orig, basisf: (t, c, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, 8, basis_dim, 8, 192),
-                lambda t, c, orig, basisf: (t, c, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            *grad_specs,
         ),
     )
     return pl.pallas_call(
-        _make_bwd_kernel(basis_dim, sparsity_scale, r, color_mode),
+        _make_bwd_kernel(basis_dim, sparsity_scale, r, color_mode,
+                         packed_out=packed_out),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((T, 8, r), jnp.float32),
-            jax.ShapeDtypeStruct((T, C, 8, 8, 64), grad_dtype),
-            jax.ShapeDtypeStruct(
-                (T, C, 8, basis_dim, 8, 192), grad_dtype
-            ),
+            *grad_shapes,
         ),
         interpret=INTERPRET,
     )(orig, basisf, pack, samples)
@@ -1217,10 +1268,13 @@ def fused_grad_blocks(
     basisf = eval_sh_bases(bg.basis_dim, _mean_viewdirs(rays)).astype(
         jnp.float32
     )
-    if kernel_arrays is not None:
-        density_z, sh_z = kernel_arrays
-    else:
+    packed = False
+    if kernel_arrays is None:
         density_z, sh_z = _kernel_arrays(bg)
+    elif isinstance(kernel_arrays, (tuple, list)):
+        density_z, sh_z = kernel_arrays
+    else:  # single packed array -> packed fwd fetches + packed grads
+        density_z, sh_z, packed = kernel_arrays, None, True
 
     # forward for rgb_out + the per-sample field stream the fetch-free
     # backward consumes
@@ -1250,6 +1304,7 @@ def fused_grad_blocks(
     state, gd_blocks, gsh_blocks = _bwd_call(
         samples, orig, basisf, pack, C, bg.basis_dim,
         float(sparsity_loss), opts.color_mode, grad_dtype,
+        packed_out=packed,
     )
 
     aux = {
@@ -1289,6 +1344,11 @@ def render_fused_tiles_pallas(
         n_chunks=n_chunks, use_occupancy=use_occupancy,
         grad_dtype=grad_dtype, compact_chunks=compact_chunks,
     )
+    if gd_blocks is None:
+        raise ValueError(
+            "packed kernel_arrays: use train_step_tiles_packed, which "
+            "scatters the packed gradient blocks directly"
+        )
     # scatter-add per-corner blocks into the compact brick arrays
     flat_rows = rows.reshape(-1)                       # [T*C*8]
     nb = bg.n_bricks

@@ -40,6 +40,7 @@ from nerf_projects_tpu.ops.brick_grid import BrickGrid
 from nerf_projects_tpu.ops.pallas.tile_march import (
     fused_grad_blocks,
     kernel_layout_to_sh,
+    pack_kernel_arrays,
     sh_to_kernel_layout,
 )
 from nerf_projects_tpu.ops.tv_bricks import (
@@ -354,6 +355,173 @@ def train_step_tiles_sparse(
         "touched_overflow": overflow,
     }
     return new_st, stats
+
+
+class PackedState(NamedTuple):
+    """Fully-packed trainable state: ONE f32 array [nb+1, B+1, 8, 192]
+    (SH slots 0..B-1 in kernel layout; density x3-interleaved in slot
+    B — see pack_kernel_arrays) plus an rms accumulator of the same
+    shape. The march fetches one block per window corner, the backward
+    emits one gradient block per corner, the step does one scatter and
+    one optimizer sweep."""
+
+    packed_k: jnp.ndarray
+    rms: jnp.ndarray
+
+    @property
+    def basis_dim(self) -> int:
+        return self.packed_k.shape[1] - 1
+
+
+def packed_state_from_grid(bg: BrickGrid,
+                           rms_dtype=jnp.float32) -> PackedState:
+    nb, B = bg.n_bricks, bg.basis_dim
+    dk = _append_row(
+        bg.density_bricks.reshape(nb, 8, 64).astype(jnp.float32)
+    )
+    sk = _append_row(
+        sh_to_kernel_layout(bg.sh_bricks.astype(jnp.float32), B)
+    )
+    packed = pack_kernel_arrays(dk, sk)
+    return PackedState(packed_k=packed,
+                       rms=jnp.zeros(packed.shape, rms_dtype))
+
+
+def grid_from_packed_state(bg: BrickGrid, st: PackedState) -> BrickGrid:
+    from dataclasses import replace
+
+    nb, B = bg.n_bricks, st.basis_dim
+    sh = kernel_layout_to_sh(st.packed_k[:nb, :B], B)
+    density = st.packed_k[:nb, B].reshape(nb, 8, 64, 3)[..., 0]
+    return replace(bg, density_bricks=density.reshape(nb, 512),
+                   sh_bricks=sh)
+
+
+def train_step_tiles_packed(
+    trainer,
+    bg: BrickGrid,
+    st: PackedState,
+    rays: Rays,
+    target: jnp.ndarray,
+    step: jnp.ndarray,
+    key: jax.Array,
+    *,
+    use_occupancy: bool = False,
+    compact_chunks: Optional[int] = None,
+):
+    """Dense-update train step on the fully-PACKED state: exactly the
+    train_step_tiles_pallas semantics (fused kernels + sampled TV +
+    dense RMSprop/SGD) with the whole per-step data path in one layout:
+    1 fetch per window corner forward, 1 gradient block per corner
+    backward, 1 scatter, 1 optimizer sweep. Requires
+    sigma_optim == sh_optim (both rmsprop by default)."""
+    if trainer.lambda_l2_sh > 0 or trainer.lambda_tv_lumisphere > 0:
+        raise ValueError(
+            "packed step does not support lambda_l2_sh / "
+            "lambda_tv_lumisphere; use train_step_tiles_pallas"
+        )
+    if trainer.sigma_optim != trainer.sh_optim:
+        raise ValueError(
+            "packed step requires sigma_optim == sh_optim"
+        )
+    nb, B = bg.n_bricks, st.basis_dim
+    fstep = step.astype(jnp.float32)
+
+    rgb, _gd, gp_blocks, rows, aux = fused_grad_blocks(
+        bg, rays, target, trainer.opts,
+        beta_loss=trainer.lambda_beta,
+        sparsity_loss=trainer.lambda_sparsity,
+        use_occupancy=use_occupancy,
+        kernel_arrays=st.packed_k,
+        grad_dtype=trainer.grad_block_dtype,
+        compact_chunks=compact_chunks,
+    )
+    mse = jnp.mean((rgb - target) ** 2)
+
+    acc = jnp.zeros(
+        (nb + 1, B + 1, 8, 192), jnp.float32
+    ).at[rows.reshape(-1)].add(
+        gp_blocks.reshape(-1, B + 1, 8, 192).astype(jnp.float32)
+    )
+
+    # sampled TV in block form
+    k_tv, k_sh = jax.random.split(key)
+    if trainer.lambda_tv > 0:
+        w = max(int(trainer.tv_sparsity * nb), 1)
+        srows = sample_brick_window(k_tv, nb, w)
+        r4, v4 = tv_grad_brick_blocks(
+            bg,
+            lambda r: st.packed_k[r, B].reshape(
+                -1, 8, 64, 3
+            )[..., 0].reshape(-1, 512, 1),
+            srows, scale=trainer.lambda_tv, ignore_edge=False,
+        )
+        r4 = jnp.where(r4 < 0, nb, r4)
+        acc = acc.at[r4, B].add(
+            jnp.repeat(v4[..., 0].reshape(-1, 8, 64), 3, axis=-1)
+        )
+    if trainer.lambda_tv_sh > 0:
+        w = max(int(trainer.tv_sh_sparsity * nb), 1)
+        srows = sample_brick_window(k_sh, nb, w)
+        r4, v4 = tv_grad_brick_blocks(
+            bg, lambda r: kernel_layout_to_sh(st.packed_k[r, :B], B),
+            srows, scale=trainer.lambda_tv_sh, ignore_edge=True,
+        )
+        r4 = jnp.where(r4 < 0, nb, r4)
+        acc = acc.at[r4, :B].add(sh_to_kernel_layout(v4, B))
+
+    # packed cell mask (same pattern for every slot)
+    m192 = jnp.repeat(
+        jnp.concatenate(
+            [bg.cell_mask, jnp.zeros_like(bg.cell_mask[:1])]
+        ).astype(jnp.float32).reshape(nb + 1, 8, 64),
+        3, axis=-1,
+    )[:, None]                                   # [nb+1, 1, 8, 192]
+
+    # per-slot lr: SH slots get lr_sh, the density slot lr_sigma
+    lr_sigma = trainer.lr_sigma_fn(fstep)
+    lr_sh = trainer.lr_sh_fn(fstep)
+    slot = jnp.arange(B + 1)
+    lr_vec = jnp.where(slot == B, lr_sigma, lr_sh)[None, :, None, None]
+
+    g = acc * m192
+    if trainer.sigma_optim == "rmsprop":
+        b = trainer.rms_beta
+        rms = b * st.rms.astype(jnp.float32) + (1.0 - b) * g * g
+        upd = lr_vec * g / (jnp.sqrt(rms) + 1e-8)
+    else:
+        rms = st.rms.astype(jnp.float32)
+        upd = lr_vec * g
+    new = st.packed_k - upd
+    if trainer.density_minval > -1e8:
+        new = jnp.where(
+            slot[None, :, None, None] == B,
+            jnp.maximum(new, trainer.density_minval), new,
+        )
+    new = new * m192
+
+    psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)
+    return (
+        PackedState(packed_k=new, rms=rms.astype(st.rms.dtype)),
+        {"loss": mse, "mse": mse, "psnr": psnr,
+         "window_miss": aux["window_miss"]},
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("use_occupancy", "compact_chunks"),
+    donate_argnums=(2,),
+)
+def train_step_tiles_packed_jit(
+    trainer, bg, st, rays, target, step, key, *,
+    use_occupancy=False, compact_chunks=None,
+):
+    return train_step_tiles_packed(
+        trainer, bg, st, rays, target, step, key,
+        use_occupancy=use_occupancy, compact_chunks=compact_chunks,
+    )
 
 
 def train_step_tiles_dense_k(

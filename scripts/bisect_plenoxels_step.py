@@ -169,6 +169,62 @@ def main():
     report("dense_k_bf16g", lambda: dense_k_runner(
         make_trainer(bf16_grad_blocks=True)))
 
+    # --- fully-packed step (1 fetch + 1 grad block per corner)
+    def packed_runner(trainer, my_bg=None, compact=None, use_occ=False):
+        import functools
+
+        from nerf_projects_tpu.train import plenoxels_sparse as ps
+
+        geom = my_bg if my_bg is not None else bg
+        my_rays, my_target = (
+            (rays, target) if my_bg is None else
+            (B._tile_rays(jax.random.PRNGKey(2), TILES),
+             jnp.full((TILES, 128, 3), 0.4))
+        )
+        holder = {"st": ps.packed_state_from_grid(geom)}
+
+        @functools.partial(jax.jit, static_argnums=(0, 3, 4),
+                           donate_argnums=1)
+        def scan_steps(k, st, key, ck, occ):
+            def body(st, i):
+                st, stats = ps.train_step_tiles_packed(
+                    trainer, geom, st, my_rays, my_target,
+                    i, jax.random.fold_in(key, i),
+                    compact_chunks=ck, use_occupancy=occ)
+                return st, stats["mse"]
+
+            return jax.lax.scan(body, st,
+                                jnp.arange(k, dtype=jnp.int32))
+
+        def run(k):
+            st, mses = scan_steps(k, holder["st"],
+                                  jax.random.PRNGKey(k), compact,
+                                  use_occ)
+            _ = float(mses[-1])
+            holder["st"] = st
+        return run
+
+    report("packed", lambda: packed_runner(make_trainer()))
+    report("packed_bf16g", lambda: packed_runner(
+        make_trainer(bf16_grad_blocks=True)))
+
+    def shell_packed(**kw):
+        from nerf_projects_tpu.ops.pallas.tile_march import (
+            required_chunks,
+        )
+
+        sb = B._shell_setup(RESO, dtype=jnp.float32)
+        srays = B._tile_rays(jax.random.PRNGKey(2), TILES)
+        ck = required_chunks(sb, srays, opts, use_occupancy=True)
+        print(json.dumps({"shell_nb": int(sb.n_bricks),
+                          "shell_ck": ck}), flush=True)
+        return packed_runner(make_trainer(**kw), my_bg=sb,
+                             compact=ck, use_occ=True)
+
+    report("packed_shell", lambda: shell_packed())
+    report("packed_shell_bf16g", lambda: shell_packed(
+        bf16_grad_blocks=True))
+
     def shell_dense_k(**kw):
         from nerf_projects_tpu.ops.pallas.tile_march import (
             required_chunks,

@@ -178,6 +178,54 @@ class TestDenseKernelLayoutStep:
                      frac=0.98)
 
 
+class TestPackedStep:
+    def test_matches_dense_k_step(self):
+        """Fully-packed step (one fetch/corner, one grad block/corner,
+        one scatter, one optimizer sweep) must match the kernel-layout
+        dense step — identical f32 forward, identical RMSprop."""
+        trainer = make_trainer()
+        g = random_grid(24, seed=6)
+        bg = from_sparse_grid(g)
+        st_k = ps.sparse_state_from_grid(bg, shared_kernel_arrays=True)
+        st_p = ps.packed_state_from_grid(bg)
+
+        def mostly_equal(a, b, frac=0.995, rtol=1e-3, atol=1e-4):
+            a, b = np.asarray(a), np.asarray(b)
+            ok = np.isclose(a, b, rtol=rtol, atol=atol)
+            assert ok.mean() > frac, f"only {ok.mean():.4f} close"
+
+        for i in range(3):
+            rays = tile_rays(2, seed=500 + 3 * i)
+            target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+            key = jax.random.PRNGKey(i)
+            step_i = jnp.asarray(i, jnp.int32)
+            st_p, pstats = ps.train_step_tiles_packed(
+                trainer, bg, st_p, rays, target, step_i, key,
+            )
+            st_k, kstats = ps.train_step_tiles_dense_k(
+                trainer, bg, st_k, rays, target, step_i, key,
+            )
+            np.testing.assert_allclose(
+                float(pstats["mse"]), float(kstats["mse"]),
+                rtol=1e-5, atol=1e-7,
+            )
+        B = bg.basis_dim
+        nb = bg.n_bricks
+        mostly_equal(st_p.packed_k[:, :B], st_k.sh_k)
+        dens_p = np.asarray(
+            st_p.packed_k[:, B].reshape(-1, 8, 64, 3)[..., 0]
+        )
+        mostly_equal(dens_p, st_k.density_k)
+        # the three interleaved density lanes stay consistent
+        d3 = np.asarray(st_p.packed_k[:, B]).reshape(-1, 8, 64, 3)
+        np.testing.assert_allclose(d3[..., 0], d3[..., 1], rtol=1e-6)
+        np.testing.assert_allclose(d3[..., 0], d3[..., 2], rtol=1e-6)
+        # round-trip back to a grid
+        out = ps.grid_from_packed_state(bg, st_p)
+        assert out.density_bricks.shape == bg.density_bricks.shape
+        assert bool(jnp.all(jnp.isfinite(out.sh_bricks)))
+
+
 class TestSparseBf16Rms:
     def test_bf16_rms_close_to_f32(self):
         """bf16 RMS accumulator (the 512^3 memory option) tracks the
