@@ -134,12 +134,45 @@ def quality_plenoxels(ds):
     rays0 = held_out_rays(ds)
     flat = tu.tree_map(lambda x: x.reshape(-1, 3), rays0)
     tiles = tiles_from_image_rays(flat, H, W, 8, 16)
-    out = render_tiles_pallas(bg, tiles, opts)
-    img = untile_image(out["rgb"], H, W, 8, 16)
+    parts = []
+    step_b = 512
+    for i in range(0, tiles.origins.shape[0], step_b):
+        sl = tu.tree_map(lambda x: x[i : i + step_b], tiles)
+        parts.append(render_tiles_pallas(bg, sl, opts)["rgb"])
+    img = untile_image(jnp.concatenate(parts, 0), H, W, 8, 16)
     m = compute_metrics(img, ds["images"][0])
     print("plenoxels held-out:", json.dumps(
         {k: round(float(v), 3) for k, v in m.items()}
         | {"train_minutes": round(dt / 60, 1)}), flush=True)
+
+    # exact-path eval (per-sample gathers, no tile window): separates
+    # trained-grid quality from tile-render window artifacts
+    try:
+        from nerf_projects_tpu.ops.grid import volume_render_grid
+
+        from nerf_projects_tpu.ops.brick_grid import to_sparse_grid as _tsg
+
+        g_out = _tsg(bg)
+        outs = []
+        chunk = 8192
+        n = flat.origins.shape[0]
+        ex = jax.jit(lambda gg, r: volume_render_grid(gg, r, opts)["rgb"])
+        for i in range(0, n, chunk):
+            sl = tu.tree_map(lambda x: x[i : i + chunk], flat)
+            pad = chunk - sl.origins.shape[0]
+            if pad:
+                sl = tu.tree_map(
+                    lambda x: jnp.pad(x, ((0, pad), (0, 0)),
+                                      mode="edge"), sl)
+            o = ex(g_out, sl)
+            outs.append(o[: chunk - pad] if pad else o)
+        img_ex = jnp.concatenate(outs, 0).reshape(H, W, 3)
+        m_ex = compute_metrics(img_ex, ds["images"][0])
+        print("plenoxels held-out (exact path):", json.dumps(
+            {k: round(float(v), 3) for k, v in m_ex.items()}),
+            flush=True)
+    except Exception as exc:
+        print("exact-path eval failed:", repr(exc)[:200], flush=True)
     return m
 
 
