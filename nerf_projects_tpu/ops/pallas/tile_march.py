@@ -73,6 +73,57 @@ def _group(x, tg):
 _CORNERS = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
 
 
+# ---------------------------------------------------------------------------
+# In-kernel lane relayouts. Mosaic reshapes between [SC, r] and
+# [1, SC*r] are only supported when one side has 128 lanes; for
+# r == 256 the direct [16, 256] <-> [1, 4096] cast is an internal
+# compiler error. Route through [2*SC, 128] (one side 128 — legal both
+# ways) with even/odd row (de)interleave as 0/1 selection matmuls
+# (strided sublane slicing is unsafe on TPU).
+# ---------------------------------------------------------------------------
+
+def _eo_select(SC: int):
+    ri = jax.lax.broadcasted_iota(jnp.int32, (SC, 2 * SC), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (SC, 2 * SC), 1)
+    Pe = (ci == 2 * ri).astype(jnp.float32)
+    Po = (ci == 2 * ri + 1).astype(jnp.float32)
+    return Pe, Po
+
+
+def _lanes_unflat(x, SC: int, r: int):
+    """[1, SC*r] (lane a = s*r + j) -> [SC, r]."""
+    if r == 128:
+        return x.reshape(SC, r)
+    y = x.reshape(2 * SC, 128)
+    Pe, Po = _eo_select(SC)
+    E = jax.lax.dot_general(
+        Pe, y, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    O = jax.lax.dot_general(
+        Po, y, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.concatenate([E, O], axis=1)
+
+
+def _lanes_flat(x, SC: int, r: int):
+    """[SC, r] -> [1, SC*r] (lane a = s*r + j)."""
+    if r == 128:
+        return x.reshape(1, SC * r)
+    a = x[:, :128]
+    b = x[:, 128:]
+    Pe, Po = _eo_select(SC)
+    y = jax.lax.dot_general(
+        Pe, a, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        Po, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y.reshape(1, SC * r)
+
+
 def _mean_viewdirs(rays: Rays):
     vmean = jnp.mean(rays.viewdirs, axis=1)
     return vmean / jnp.maximum(
@@ -371,16 +422,16 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
         oy = orig_ref[t, c, 1].astype(jnp.float32)
         oz = orig_ref[t, c, 2].astype(jnp.float32)
 
-        lx = (og[0:1] + tt * dg[0:1]).reshape(1, A) - ox
-        ly = (og[1:2] + tt * dg[1:2]).reshape(1, A) - oy
-        lz = (og[2:3] + tt * dg[2:3]).reshape(1, A) - oz
+        lx = _lanes_flat(og[0:1] + tt * dg[0:1], SC, r) - ox
+        ly = _lanes_flat(og[1:2] + tt * dg[1:2], SC, r) - oy
+        lz = _lanes_flat(og[2:3] + tt * dg[2:3], SC, r) - oz
         in_win_f = (
             (lx >= 0.0) & (lx <= 15.0)
             & (ly >= 0.0) & (ly <= 15.0)
             & (lz >= 0.0) & (lz <= 15.0)
         ).astype(jnp.float32)
         # bool vectors cannot be relaid out on TPU; reshape as float
-        valid_f = valid.astype(jnp.float32).reshape(1, A)
+        valid_f = _lanes_flat(valid.astype(jnp.float32), SC, r)
         eff = valid_f * in_win_f
 
         iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, A), 0).astype(
@@ -469,7 +520,7 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
         else:                                        # Plenoxels +0.5 clamp
             rgb = jnp.maximum(rgb_acc4 + 0.5, 0.0)   # [3, A]
 
-        tau = (sigma.reshape(SC, r)) * step_world    # [SC, R]
+        tau = _lanes_unflat(sigma, SC, r) * step_world   # [SC, R]
         # exclusive prefix over steps: strictly-lower-triangular matmul
         r_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 0)
         c_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 1)
@@ -484,20 +535,25 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
         active = Tpref > _STOP_THRESH
         w = jnp.where(active, Tpref * alpha, 0.0)    # [SC, R]
 
-        w_flat = w.reshape(1, A)
-        rgb_w = (rgb * w_flat).reshape(3, SC, r)
-        out_ref[0, 0:3, :] += jnp.sum(rgb_w, axis=1)
+        w_flat = _lanes_flat(w, SC, r)
+        for ch in range(3):
+            out_ref[0, ch : ch + 1, :] += jnp.sum(
+                _lanes_unflat(rgb[ch : ch + 1] * w_flat, SC, r),
+                axis=0,
+            )[None]
         out_ref[0, 3:4, :] += jnp.sum(w, axis=0)[None]
         out_ref[0, 4:5, :] += jnp.sum(w * tt, axis=0)[None]
         out_ref[0, 5:6, :] += jnp.sum(
             jnp.where(active, tau, 0.0), axis=0
         )[None]
-        sig2 = sigma.reshape(SC, r)
+        sig2 = _lanes_unflat(sigma, SC, r)
         out_ref[0, 6:7, :] += jnp.sum(
             jnp.log1p(2.0 * sig2 * sig2), axis=0
         )[None]
         miss = valid_f * (1.0 - in_win_f)
-        out_ref[0, 7:8, :] += jnp.sum(miss.reshape(SC, r), axis=0)[None]
+        out_ref[0, 7:8, :] += jnp.sum(
+            _lanes_unflat(miss, SC, r), axis=0
+        )[None]
 
     return kernel
 
@@ -843,15 +899,15 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
         ox = orig_ref[t, c, 0].astype(jnp.float32)
         oy = orig_ref[t, c, 1].astype(jnp.float32)
         oz = orig_ref[t, c, 2].astype(jnp.float32)
-        lx = (og[0:1] + tt * dg[0:1]).reshape(1, A) - ox
-        ly = (og[1:2] + tt * dg[1:2]).reshape(1, A) - oy
-        lz = (og[2:3] + tt * dg[2:3]).reshape(1, A) - oz
+        lx = _lanes_flat(og[0:1] + tt * dg[0:1], SC, r) - ox
+        ly = _lanes_flat(og[1:2] + tt * dg[1:2], SC, r) - oy
+        lz = _lanes_flat(og[2:3] + tt * dg[2:3], SC, r) - oz
         in_win_f = (
             (lx >= 0.0) & (lx <= 15.0)
             & (ly >= 0.0) & (ly <= 15.0)
             & (lz >= 0.0) & (lz <= 15.0)
         ).astype(jnp.float32)
-        valid_f = valid.astype(jnp.float32).reshape(1, A)
+        valid_f = _lanes_flat(valid.astype(jnp.float32), SC, r)
         eff = valid_f * in_win_f
 
         iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, A), 0).astype(
@@ -875,7 +931,7 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
             rgb_gate = (rgb_acc + 0.5 > 0.0).astype(jnp.float32)
             rgb = jnp.maximum(rgb_acc + 0.5, 0.0)     # [3, A]
 
-        tau = sigma.reshape(SC, r) * step_world       # [SC, R]
+        tau = _lanes_unflat(sigma, SC, r) * step_world   # [SC, R]
         r_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 0)
         c_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 1)
         Lstrict = (c_iota < r_iota).astype(jnp.float32)
@@ -893,7 +949,7 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
         # per-ray rows tiled over steps (lane a = s*R + r)
         gc = jnp.concatenate([g_rows] * SC, axis=1)   # [3, A]
         cdotg = jnp.sum(rgb * gc, axis=0, keepdims=True)   # [1, A]
-        wc = (w.reshape(1, A) * cdotg).reshape(SC, r)
+        wc = _lanes_unflat(_lanes_flat(w, SC, r) * cdotg, SC, r)
 
         # suffix after sample i: S_total - inclusive prefix of w*(c.g)
         P_in = state_ref[0, 1:2, :] + jax.lax.dot_general(
@@ -901,13 +957,13 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                              # [SC, R]
-        S_tiled = jnp.concatenate([S_total] * SC, axis=1).reshape(SC, r)
+        S_tiled = jnp.broadcast_to(S_total, (SC, r))
         suffix = S_tiled - P_in
 
         # dL/dtau_i = T_i e^{-tau_i} (c_i . g) - suffix_i
         Te = Tpref * jnp.exp(-tau)
-        gtau = Te * cdotg.reshape(SC, r) - suffix
-        gsig = (gtau * step_world * active_f).reshape(1, A) * sig_pos
+        gtau = Te * _lanes_unflat(cdotg, SC, r) - suffix
+        gsig = _lanes_flat(gtau * step_world * active_f, SC, r) * sig_pos
         if sparsity_scale > 0:
             gsig = gsig + sparsity_scale * (
                 4.0 * sigma / (1.0 + 2.0 * sigma * sigma)
@@ -915,7 +971,7 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
 
         # rgb gradient per sample, gated by the decode derivative
         # (+0.5-clamp indicator, or sigmoid' = rgb*(1-rgb))
-        g_rgb = w.reshape(1, A) * gc * rgb_gate        # [3, A]
+        g_rgb = _lanes_flat(w, SC, r) * gc * rgb_gate  # [3, A]
 
         # ---- transposed trilerp: per-corner gradient blocks.
         # Factor the 4-way contraction sum_s Ax Ay Az g as

@@ -174,3 +174,42 @@ except Exception as exc:
     print(json.dumps({"variant": "sparse_scan",
                       "error": f"{type(exc).__name__}: {exc}"[:200]}),
           flush=True)
+del sh
+
+# ---- fully-packed dense-update step at 512^3: O(grid) optimizer is
+# ~4 GB x 5 HBM passes (~25 ms) — affordable; state (packed f32 3.8 GB
+# + rms bf16 1.9 GB) fits, march reads the packed masters directly and
+# a scan carries it without the sparse state's aliasing blowup.
+try:
+    st_p = ps.PackedState(
+        packed_k=jnp.zeros((nb + 1, B + 1, 8, 192), jnp.float32),
+        rms=jnp.zeros((nb + 1, B + 1, 8, 192), jnp.bfloat16),
+    )
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def scan_packed(k, st, key):
+        def body(st, i):
+            st, stats = ps.train_step_tiles_packed(
+                trainer, geom, st, rays, target, i,
+                jax.random.fold_in(key, i),
+                compact_chunks=CK, use_occupancy=True)
+            return st, stats["mse"]
+
+        return jax.lax.scan(body, st, jnp.arange(k, dtype=jnp.int32))
+
+    shp = {"st": st_p}
+    del st_p
+
+    def run_packed(k):
+        st, mses = scan_packed(k, shp["st"], jax.random.PRNGKey(k))
+        _ = float(mses[-1])
+        shp["st"] = st
+
+    ms = slope(run_packed) * 1e3
+    print(json.dumps({"variant": "packed_scan", "ms": round(ms, 2),
+                      "rays_per_s": round(TILES * 128 / ms * 1e3),
+                      "tiles": TILES, "rms": "bf16"}), flush=True)
+except Exception as exc:
+    print(json.dumps({"variant": "packed_scan",
+                      "error": f"{type(exc).__name__}: {exc}"[:300]}),
+          flush=True)

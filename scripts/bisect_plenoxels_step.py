@@ -432,6 +432,54 @@ def main():
     report("full_256_bf16g", lambda: step_runner_256(
         make_trainer(bf16_grad_blocks=True)))
 
+    def packed_runner_256(trainer, my_bg=None, compact=None,
+                          use_occ=False):
+        import functools
+
+        from nerf_projects_tpu.train import plenoxels_sparse as ps
+
+        geom = my_bg if my_bg is not None else bg
+        holder = {"st": ps.packed_state_from_grid(geom)}
+
+        @functools.partial(jax.jit, static_argnums=(0, 3, 4),
+                           donate_argnums=1)
+        def scan_steps(k, st, key, ck, occ):
+            def body(st, i):
+                st, stats = ps.train_step_tiles_packed(
+                    trainer, geom, st, rays256, target256,
+                    i, jax.random.fold_in(key, i),
+                    compact_chunks=ck, use_occupancy=occ)
+                return st, stats["mse"]
+
+            return jax.lax.scan(body, st,
+                                jnp.arange(k, dtype=jnp.int32))
+
+        def run(k):
+            st, mses = scan_steps(k, holder["st"],
+                                  jax.random.PRNGKey(k), compact,
+                                  use_occ)
+            _ = float(mses[-1])
+            holder["st"] = st
+        return run
+
+    report("packed_256", lambda: packed_runner_256(make_trainer()))
+    report("packed_256_bf16g", lambda: packed_runner_256(
+        make_trainer(bf16_grad_blocks=True)))
+
+    def shell_packed_256(**kw):
+        from nerf_projects_tpu.ops.pallas.tile_march import (
+            required_chunks,
+        )
+
+        sb = B._shell_setup(RESO, dtype=jnp.float32)
+        ck = required_chunks(sb, rays256, opts, use_occupancy=True)
+        print(json.dumps({"shell_nb": int(sb.n_bricks),
+                          "shell_ck_256": ck}), flush=True)
+        return packed_runner_256(make_trainer(**kw), my_bg=sb,
+                                 compact=ck, use_occ=True)
+
+    report("packed_shell_256", lambda: shell_packed_256())
+
     print(json.dumps({"summary": results, "reso": RESO, "tiles": TILES}),
           flush=True)
 
