@@ -1,0 +1,178 @@
+"""Single-dispatch whole-frame renderer over a BrickGrid.
+
+The interactive-rendering answer to the reference's real-time octree
+renderer (plenoctree/README.md headline; svox render_persp `fast`
+mode, octree/nerf/utils.py:448-499). The bucketed tile renderer
+(ops/pallas/tile_march.py::render_tiles_pallas_bucketed) costs ~8 host
+dispatches plus per-bucket planning per frame — through the device
+relay that alone caps frames near 1 Hz. This module renders a whole
+frame in ONE jitted program:
+
+  * plan: every (tile, window) pair of the frame is classified
+    active/empty on device; active windows are COMPACTED into a flat
+    tile-major list with a cumsum + scatter (no sort). A frame pays
+    for exactly the windows its rays intersect — grazing tiles no
+    longer inherit the deepest tile's chunk span, the win that made
+    bucketing exact, without the bucketing dispatches;
+  * march: `lax.fori_loop` over <=768-window groups (the Mosaic SMEM
+    grid budget, tile_march._MAX_GRID_STEPS). Within a group each
+    tile's windows are consecutive, sharing one output-block slot that
+    stays VMEM-resident (the same revisiting that the (T, C) grid
+    uses); across groups the per-tile compositing rows are carried in
+    a [T+1, 8, r] frame array — gathered into group slots before the
+    kernel and scattered back after, so a tile whose run crosses a
+    group boundary resumes mid-march. Dummy slots ride a sentinel row.
+
+The number of groups actually marched is data-dependent (fori_loop on
+the active-window count); the compiled program is shared by all frames
+of a (grid topology, tile count) pair.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nerf_projects_tpu.core.rays import Rays
+from nerf_projects_tpu.ops.brick_grid import BRICK, BrickGrid
+from nerf_projects_tpu.ops.grid import GridRenderOptions
+from nerf_projects_tpu.ops.pallas.tile_march import (
+    SC,
+    _MAX_GRID_STEPS,
+    _march_frame_group,
+    _pack_rays,
+    _plan_windows,
+    default_chunks_for,
+)
+from nerf_projects_tpu.ops.sh import eval_sh_bases
+
+
+def render_frame_pallas(
+    bg: BrickGrid,
+    rays: Rays,
+    opts: GridRenderOptions = GridRenderOptions(),
+    *,
+    kernel_arrays,
+    n_chunks: Optional[int] = None,
+    use_occupancy: bool = True,
+    group: int = _MAX_GRID_STEPS,
+    max_windows: Optional[int] = None,
+    return_depth: bool = False,
+):
+    """Render a whole frame of [T, r] ray tiles in one jitted program.
+
+    Semantics match render_tiles_pallas (same kernel body); requires
+    prebuilt `kernel_arrays` — either the packed [nb+1, B+1, 8, 192]
+    array or the (density_z, sh_z) pair — since rebuilding the layout
+    per frame is an eval-path cost this renderer exists to delete.
+
+    `max_windows`: optional cap on the active windows marched PER
+    TILE (front-to-back) — the plan-level analogue of the reference
+    renderer's early-stop `fast` mode: each tile keeps its nearest
+    `max_windows` occupied windows and drops the rest, which for
+    surface scenes are almost always fully occluded.
+
+    Wrap in jax.jit with opts/group static; everything inside is
+    traceable with static shapes.
+    """
+    T, r = rays.origins.shape[:2]
+    nb = bg.n_bricks
+    if isinstance(kernel_arrays, (tuple, list)):
+        density_z, sh_z = kernel_arrays
+    else:
+        density_z, sh_z = kernel_arrays, None
+
+    C = n_chunks or default_chunks_for(bg, opts)
+    pack, geom = _pack_rays(bg, rays, opts, use_occupancy)
+    wb, rows = _plan_windows(bg, geom, C)            # [T,C,3], [T,C,8]
+    base = jnp.broadcast_to(
+        (jnp.arange(C, dtype=jnp.int32) * SC)[None, :, None], (T, C, 1)
+    )
+    orig = jnp.concatenate(
+        [(wb * BRICK).astype(jnp.int32), base], axis=-1
+    )                                                 # [T, C, 4]
+    basis = eval_sh_bases(
+        bg.basis_dim,
+        jnp.mean(rays.viewdirs, axis=1)
+        / jnp.maximum(
+            jnp.linalg.norm(
+                jnp.mean(rays.viewdirs, axis=1), axis=-1, keepdims=True
+            ),
+            1e-12,
+        ),
+    ).astype(jnp.float32)                             # [T, B]
+
+    # ---- flat tile-major compaction of active windows (no sort):
+    # cumsum positions preserve the (t, c) order, c front-to-back
+    active = jnp.any(rows != nb, axis=-1)              # [T, C]
+    if max_windows is not None:
+        rank = jnp.cumsum(active.astype(jnp.int32), axis=1)
+        active = active & (rank <= max_windows)
+    active = active.reshape(-1)                        # [T*C]
+    af = active.astype(jnp.int32)
+    pos = jnp.cumsum(af) - af                          # exclusive
+    n_act = pos[-1] + af[-1]
+    Wp = -(-(T * C) // group) * group
+    dest = jnp.where(active, pos, Wp)                  # drop padding
+
+    def compact(x, fill):
+        flat = x.reshape((T * C,) + x.shape[2:])
+        out = jnp.full((Wp,) + flat.shape[1:], fill, flat.dtype)
+        return out.at[dest].set(flat, mode="drop")
+
+    tw = compact(
+        jnp.broadcast_to(
+            jnp.arange(T, dtype=jnp.int32)[:, None], (T, C)
+        ),
+        T,
+    )                                                  # [Wp]
+    rows_f = compact(rows.astype(jnp.int32), nb)[:, None]   # [Wp,1,8]
+    orig_f = compact(orig, 0)[:, None]                 # [Wp, 1, 4]
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (tw[1:] != tw[:-1]).astype(jnp.int32)]
+    )
+    basis_ext = jnp.concatenate([basis, jnp.zeros_like(basis[:1])])
+    basis_f = basis_ext[tw]                            # [Wp, B]
+    pack_ext = jnp.concatenate([pack, jnp.zeros_like(pack[:1])])
+
+    n_groups = -(-n_act // group)                      # traced scalar
+
+    def body(g, carry):
+        s = g * group
+        tw_g = jax.lax.dynamic_slice(tw, (s,), (group,))
+        first_g = jax.lax.dynamic_slice(first, (s,), (group,))
+        first_g = first_g.at[0].set(1)
+        lt_g = jnp.cumsum(first_g) - 1                 # local slot
+        rows_g = jax.lax.dynamic_slice(
+            rows_f, (s, 0, 0), (group, 1, 8))
+        orig_g = jax.lax.dynamic_slice(
+            orig_f, (s, 0, 0), (group, 1, 4))
+        basis_g = jax.lax.dynamic_slice(
+            basis_f, (s, 0), (group, basis_f.shape[1]))
+        # slot -> frame tile (unused slots -> dummy row T)
+        tiles_g = jnp.full((group,), T, jnp.int32).at[lt_g].set(tw_g)
+        pack_g = pack_ext[tiles_g]
+        state_g = carry[tiles_g]
+        out_g = _march_frame_group(
+            density_z, sh_z, lt_g, first_g, rows_g, orig_g, basis_g,
+            pack_g, state_g, bg.basis_dim, opts.color_mode,
+        )
+        return carry.at[tiles_g].set(out_g)
+
+    carry0 = jnp.zeros((T + 1, 8, r), jnp.float32)
+    out = jax.lax.fori_loop(0, n_groups, body, carry0)[:T]
+
+    world_len = geom[6]
+    acc = out[:, 3]
+    result = {
+        "rgb": jnp.moveaxis(out[:, 0:3], 1, 2)
+        + (1.0 - acc[..., None]) * opts.background_brightness,
+        "acc": acc,
+        "log_transmit": -out[:, 5],
+        "n_windows": n_act,
+    }
+    if return_depth:
+        result["depth"] = out[:, 4] * world_len
+    return result

@@ -375,8 +375,27 @@ def default_chunks_for(bg: BrickGrid, opts: GridRenderOptions) -> int:
 def _make_fwd_kernel(basis_dim: int, r: int = R,
                      color_mode: str = "bias",
                      emit_samples: bool = False,
-                     packed: bool = False):
-    def kernel(rows_ref, orig_ref, basis_ref, pack_ref, *rest):
+                     packed: bool = False,
+                     flat_state: bool = False):
+    """flat_state: the FLAT-WINDOW variant (render_frame_pallas). The
+    grid is (W, 1) over a frame's active windows in tile-major order;
+    per-tile compositing state is seeded from a `state` input block on
+    each tile's first window (prefetched `first` flag) instead of the
+    grouped variant's chunk-0 zero init — out-block revisiting carries
+    it across the tile's consecutive windows exactly as the (T, C)
+    grid does."""
+    assert not (flat_state and emit_samples)
+
+    def kernel(*refs):
+        if flat_state:
+            # tw_ref is consumed by the index maps only
+            (_tw_ref, first_ref, rows_ref, orig_ref, basis_ref,
+             pack_ref) = refs[:6]
+            rest = refs[6:]
+            state_ref, rest = rest[0], rest[1:]
+        else:
+            rows_ref, orig_ref, basis_ref, pack_ref = refs[:4]
+            rest = refs[4:]
         if packed:
             # ONE block per corner (1, B+1, 8, 192): SH slots 0..B-1,
             # density x3-interleaved in slot B — halves the per-step
@@ -392,9 +411,14 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
         t = pl.program_id(0)
         c = pl.program_id(1)
 
-        @pl.when(c == 0)
-        def _():
-            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+        if flat_state:
+            @pl.when(first_ref[t] == 1)
+            def _():
+                out_ref[...] = state_ref[...]
+        else:
+            @pl.when(c == 0)
+            def _():
+                out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
         pack = pack_ref[0]            # [16, 128]
         og = pack[0:3]
@@ -742,6 +766,85 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         interpret=INTERPRET,
     )(rows, orig, basisf, pack, *brick_args)
     return res
+
+
+def _march_frame_group(density_z, sh_z, lt, first, rows, orig, basisf,
+                       pack_g, state_g, basis_dim, color_mode="bias"):
+    """One flat window group of a whole-frame march (see
+    ops/pallas/frame_march.py). The grid is (W, 1) over active windows
+    in tile-major order; consecutive windows of the same tile share an
+    output block slot (`lt`, the LOCAL tile slot), which carries the
+    compositing state across the tile's windows exactly as the (T, C)
+    grid's chunk axis does. Each tile's first window in this group
+    (`first` flag) seeds its slot from `state_g` — the caller gathers
+    those rows from the frame-level carry, so a tile whose window run
+    crosses a group boundary resumes mid-march.
+
+      lt     [W]        int32  local out/pack/state slot per window
+      first  [W]        int32  1 on each tile's first window here
+      rows   [W, 1, 8]  int32  corner brick rows (sentinel nb = empty)
+      orig   [W, 1, 4]  int32  window voxel origin xyz + base step
+      basisf [W, B]     f32    SH basis of the window's tile
+      pack_g [S, 16, r] f32    ray pack rows per local slot
+      state_g[S, 8, r]  f32    carry rows per local slot
+
+    Returns out [S, 8, r]; slots never referenced by `lt` are
+    unspecified (callers scatter through a dummy row)."""
+    W = lt.shape[0]
+    S = pack_g.shape[0]
+    r = pack_g.shape[-1]
+    packed = sh_z is None
+
+    def local(_i):
+        return pl.BlockSpec(
+            (1, pack_g.shape[1] if _i == 0 else 8, r),
+            lambda w, c, lt, first, rows, orig, basisf: (lt[w], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def dspec(k):
+        return pl.BlockSpec(
+            (1, 8, 64),
+            lambda w, c, lt, first, rows, orig, basisf, k=k: (
+                rows[w, 0, k], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def sspec(k, nslots=basis_dim):
+        return pl.BlockSpec(
+            (1, nslots, 8, 192),
+            lambda w, c, lt, first, rows, orig, basisf, k=k: (
+                rows[w, 0, k], 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    if packed:
+        brick_specs = [sspec(k, basis_dim + 1) for k in range(8)]
+        brick_args = [density_z] * 8
+    else:
+        brick_specs = [
+            *[dspec(k) for k in range(8)],
+            *[sspec(k) for k in range(8)],
+        ]
+        brick_args = [*([density_z] * 8), *([sh_z] * 8)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(W, 1),
+        in_specs=[local(0), local(1), *brick_specs],
+        out_specs=pl.BlockSpec(
+            (1, 8, r),
+            lambda w, c, lt, first, rows, orig, basisf: (lt[w], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        _make_fwd_kernel(basis_dim, r, color_mode, packed=packed,
+                         flat_state=True),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, 8, r), jnp.float32),
+        interpret=INTERPRET,
+    )(lt, first, rows, orig, basisf, pack_g, state_g, *brick_args)
 
 
 def sh_to_kernel_layout(sh_bricks: jnp.ndarray, basis_dim: int):

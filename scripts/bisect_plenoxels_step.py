@@ -480,6 +480,93 @@ def main():
 
     report("packed_shell_256", lambda: shell_packed_256())
 
+    # ---- packed-path attribution: kernels / scatter / optimizer
+    def packed_parts(which, use_256):
+        import functools
+
+        from nerf_projects_tpu.ops.pallas.tile_march import (
+            fused_grad_blocks,
+        )
+        from nerf_projects_tpu.train import plenoxels_sparse as ps
+
+        st0 = ps.packed_state_from_grid(bg)
+        my_rays = rays256 if use_256 else rays
+        my_tgt = target256 if use_256 else target
+        nb, B = bg.n_bricks, st0.basis_dim
+        trainer = make_trainer()
+
+        if which == "kernels":
+            fused = jax.jit(lambda k, r: fused_grad_blocks(
+                bg, r, my_tgt, opts, kernel_arrays=k))
+
+            def run(k):
+                out = None
+                for i in range(k):
+                    out = fused(st0.packed_k, my_rays._replace(
+                        origins=my_rays.origins + i * 1e-7))
+                _ = float(out[0].sum())
+            return run
+
+        _, _, gp_blocks, rows, _ = jax.block_until_ready(
+            jax.jit(lambda kk, r: fused_grad_blocks(
+                bg, r, my_tgt, opts, kernel_arrays=kk))(
+                    st0.packed_k, my_rays))
+
+        if which == "scatter":
+            @jax.jit
+            def scat(gp, rws):
+                return jnp.zeros(
+                    (nb + 1, B + 1, 8, 192), jnp.float32
+                ).at[rws.reshape(-1)].add(
+                    gp.reshape(-1, B + 1, 8, 192).astype(jnp.float32)
+                ).sum()
+
+            def run(k):
+                out = None
+                for i in range(k):
+                    out = scat(gp_blocks, rows)
+                    gp_blocks_alias = gp_blocks  # noqa
+                _ = float(out)
+            return run
+
+        # optimizer sweep over the packed state
+        acc = jax.block_until_ready(jnp.zeros(
+            (nb + 1, B + 1, 8, 192), jnp.float32
+        ).at[rows.reshape(-1)].add(
+            gp_blocks.reshape(-1, B + 1, 8, 192).astype(jnp.float32)))
+        m192 = jnp.repeat(
+            jnp.concatenate(
+                [bg.cell_mask, jnp.zeros_like(bg.cell_mask[:1])]
+            ).astype(jnp.float32).reshape(nb + 1, 8, 64), 3, axis=-1,
+        )[:, None]
+        slot = jnp.arange(B + 1)
+
+        @jax.jit
+        def optim(pk, rms, a, i):
+            lr_vec = jnp.where(
+                slot == B, trainer.lr_sigma_fn(i), trainer.lr_sh_fn(i)
+            )[None, :, None, None]
+            g = a * m192
+            b = trainer.rms_beta
+            nrms = b * rms + (1.0 - b) * g * g
+            upd = lr_vec * g / (jnp.sqrt(nrms) + 1e-8)
+            new = (pk - upd) * m192
+            return new.sum() + nrms.sum()
+
+        pk0, rms0 = st0.packed_k, jnp.zeros_like(st0.rms)
+
+        def run(k):
+            out = None
+            for i in range(k):
+                out = optim(pk0, rms0, acc, jnp.asarray(float(i)))
+            _ = float(out)
+        return run
+
+    report("pk_kernels_128", lambda: packed_parts("kernels", False))
+    report("pk_kernels_256", lambda: packed_parts("kernels", True))
+    report("pk_scatter", lambda: packed_parts("scatter", False))
+    report("pk_optim", lambda: packed_parts("optim", False))
+
     print(json.dumps({"summary": results, "reso": RESO, "tiles": TILES}),
           flush=True)
 

@@ -1,0 +1,170 @@
+"""Whole-frame single-dispatch renderer FPS probe at 512^3 (shell).
+
+Variants: r=128 vs r=256 tiles, occupancy span clipping, per-tile
+window caps (plan-level fast mode). Slope-fit over whole frames.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as tu
+import numpy as np
+
+RESO = int(os.environ.get("PROBE_RESO", 512))
+ONLY = [s for s in os.environ.get("PROBE_ONLY", "").split(",") if s]
+
+
+def main():
+    import bench as B
+    from nerf_projects_tpu.core.rays import camera_rays_opencv
+    from nerf_projects_tpu.ops.grid import GridRenderOptions
+    from nerf_projects_tpu.ops.pallas.frame_march import render_frame_pallas
+    from nerf_projects_tpu.ops.pallas.tile_march import default_chunks_for
+
+    print("devices:", jax.devices(), flush=True)
+    smoke = bool(os.environ.get("PROBE_SMOKE"))
+    if smoke:
+        import nerf_projects_tpu.ops.pallas.tile_march as tm
+        tm.INTERPRET = True
+        jax.config.update("jax_platforms", "cpu")
+    bg, ka = B._shell_setup_render(RESO)
+    opts = GridRenderOptions(step_size=0.5)
+    H = W = int(os.environ.get("PROBE_H", 800))
+    C = default_chunks_for(bg, opts)
+    print(json.dumps({"reso": RESO, "nb": int(bg.n_bricks), "C": C}),
+          flush=True)
+
+    from nerf_projects_tpu.ops.tile_render import tiles_from_image_rays
+
+    def frame_tiles(i, th, tw):
+        pose = np.eye(4, dtype=np.float32)
+        ang = 0.15 * i
+        pose[0, 3] = 2.4 * np.sin(ang)
+        pose[2, 3] = -2.4 * np.cos(ang)
+        r0 = camera_rays_opencv(
+            H, W, float(H), float(H), H / 2.0, W / 2.0, jnp.asarray(pose)
+        )
+        return tiles_from_image_rays(
+            tu.tree_map(lambda x: x.reshape(-1, 3), r0), H, W, th, tw
+        )
+
+    results = {}
+
+    def run_variant(name, th, tw, occ, cap):
+        if ONLY and name not in ONLY:
+            return
+        try:
+            frames = [
+                jax.block_until_ready(frame_tiles(i, th, tw))
+                for i in range(4)
+            ]
+
+            @jax.jit
+            def render(bg_, rays, ka_):
+                return render_frame_pallas(
+                    bg_, rays, opts, kernel_arrays=ka_, n_chunks=C,
+                    use_occupancy=occ, max_windows=cap,
+                )
+
+            out = render(bg, frames[0], ka)
+            nw = [int(render(bg, f, ka)["n_windows"]) for f in frames]
+            s = float(out["rgb"].sum())
+
+            def run(k):
+                acc = 0.0
+                for i in range(k):
+                    acc += float(
+                        render(bg, frames[i % 4], ka)["rgb"][0, 0, 0]
+                    )
+
+            run(1)
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter(); run(2); t1 = time.perf_counter()
+                run(6); t2 = time.perf_counter()
+                sl = ((t2 - t1) - (t1 - t0)) / 4
+                if sl > 0:
+                    best = sl if best is None else min(best, sl)
+            results[name] = {
+                "ms_frame": round(best * 1e3, 2),
+                "fps": round(1.0 / best, 2),
+                "n_windows": nw, "checksum": round(s, 1),
+            }
+            print(json.dumps({"variant": name, **results[name]}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            msg = f"{type(e).__name__}: {e}"
+            results[name] = {"error": msg[:300]}
+            print(json.dumps({"variant": name, "error": msg[:300]}),
+                  flush=True)
+
+    def run_device_loop(name, th, tw, occ, cap):
+        """Pure device frame time: lax.map over stacked frames inside
+        one jit — no per-frame dispatch/readback through the relay."""
+        if ONLY and name not in ONLY:
+            return
+        try:
+            frames = [frame_tiles(i, th, tw) for i in range(4)]
+            stack = tu.tree_map(
+                lambda *xs: jnp.stack(xs), *frames
+            )
+
+            def one(rays):
+                out = render_frame_pallas(
+                    bg, rays, opts, kernel_arrays=ka, n_chunks=C,
+                    use_occupancy=occ, max_windows=cap,
+                )
+                return out["rgb"][0, 0, 0]
+
+            reps = {}
+            for k in (4, 12):
+                big = tu.tree_map(
+                    lambda x: jnp.concatenate([x] * (k // 4)), stack
+                )
+                reps[k] = jax.jit(
+                    lambda s: jax.lax.map(one, s).sum()
+                ).lower(big).compile(), big
+            for k in (4, 12):
+                fn, big = reps[k]
+                _ = float(fn(big))
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _ = float(reps[4][0](reps[4][1]))
+                t1 = time.perf_counter()
+                _ = float(reps[12][0](reps[12][1]))
+                t2 = time.perf_counter()
+                sl = ((t2 - t1) - (t1 - t0)) / 8
+                if sl > 0:
+                    best = sl if best is None else min(best, sl)
+            results[name] = {
+                "ms_frame": round(best * 1e3, 2),
+                "fps": round(1.0 / best, 2),
+            }
+            print(json.dumps({"variant": name, **results[name]}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            msg = f"{type(e).__name__}: {e}"
+            results[name] = {"error": msg[:300]}
+            print(json.dumps({"variant": name, "error": msg[:300]}),
+                  flush=True)
+
+    run_variant("r128", 8, 16, False, None)
+    run_variant("r128_occ", 8, 16, True, None)
+    run_variant("r256", 16, 16, False, None)
+    run_variant("r256_occ", 16, 16, True, None)
+    run_variant("r256_occ_cap24", 16, 16, True, 24)
+    run_variant("r128_occ_cap24", 8, 16, True, 24)
+    run_device_loop("r256_occ_dev", 16, 16, True, None)
+    run_device_loop("r128_occ_dev", 8, 16, True, None)
+
+    print(json.dumps({"summary": results, "reso": RESO}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

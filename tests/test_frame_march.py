@@ -1,0 +1,100 @@
+"""Whole-frame single-dispatch renderer vs the grouped tile march."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nerf_projects_tpu.ops.pallas.tile_march as tm
+from nerf_projects_tpu.ops.brick_grid import from_sparse_grid
+from nerf_projects_tpu.ops.grid import GridRenderOptions
+from nerf_projects_tpu.ops.pallas.frame_march import render_frame_pallas
+from tests.test_tile_march_pallas import (
+    random_grid,
+    tile_rays,
+    tile_rays_256,
+)
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    old = tm.INTERPRET
+    tm.INTERPRET = True
+    yield
+    tm.INTERPRET = old
+
+
+def _setup(seed=0, n_tiles=3, r256=False):
+    g = random_grid(16, seed=seed)
+    bg = from_sparse_grid(g)
+    rays = (tile_rays_256 if r256 else tile_rays)(n_tiles, seed=seed + 1)
+    opts = GridRenderOptions(step_size=0.5)
+    return bg, rays, opts
+
+
+class TestRenderFramePallas:
+    @pytest.mark.parametrize("group", [768, 8])
+    def test_matches_grouped_march(self, group):
+        bg, rays, opts = _setup()
+        ka = tm.build_packed_kernel_arrays(bg)
+        ref = tm.render_tiles_pallas(bg, rays, opts, kernel_arrays=ka)
+        out = render_frame_pallas(
+            bg, rays, opts, kernel_arrays=ka, group=group,
+            use_occupancy=False, return_depth=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"]), np.asarray(ref["rgb"]),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["acc"]), np.asarray(ref["acc"]),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_tuple_kernel_arrays_and_256(self):
+        bg, rays, opts = _setup(seed=3, r256=True)
+        ka = tm.build_kernel_arrays(bg)
+        ref = tm.render_tiles_pallas(bg, rays, opts, kernel_arrays=ka)
+        # group=10 forces tile runs to straddle group boundaries
+        out = render_frame_pallas(
+            bg, rays, opts, kernel_arrays=ka, group=10,
+            use_occupancy=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"]), np.asarray(ref["rgb"]),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_occupancy_plan_matches(self):
+        bg, rays, opts = _setup(seed=5)
+        ka = tm.build_packed_kernel_arrays(bg)
+        ref = tm.render_tiles_pallas(
+            bg, rays, opts, kernel_arrays=ka, use_occupancy=True
+        )
+        out = render_frame_pallas(
+            bg, rays, opts, kernel_arrays=ka, use_occupancy=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"]), np.asarray(ref["rgb"]),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_max_windows_cap(self):
+        bg, rays, opts = _setup(seed=7)
+        ka = tm.build_packed_kernel_arrays(bg)
+        full = render_frame_pallas(
+            bg, rays, opts, kernel_arrays=ka, use_occupancy=False,
+        )
+        # a generous per-tile budget is exact
+        capped = render_frame_pallas(
+            bg, rays, opts, kernel_arrays=ka, use_occupancy=False,
+            max_windows=int(full["n_windows"]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(capped["rgb"]), np.asarray(full["rgb"]),
+            rtol=1e-5, atol=1e-5,
+        )
+        # a budget of 1 marches fewer windows and changes the frame
+        fast = render_frame_pallas(
+            bg, rays, opts, kernel_arrays=ka, use_occupancy=False,
+            max_windows=1,
+        )
+        assert int(fast["n_windows"]) < int(full["n_windows"])
