@@ -112,10 +112,18 @@ def make_dataset(
     render = jax.jit(
         lambda r: render_scene(scene, r, near=near, far=far)
     )
+    # chunk ground-truth rendering by rows: dense sampling materializes
+    # H*W*num_samples points (67M at 512^2 — past single-chip HBM)
+    rows = max(1, min(H, (1 << 24) // max(W * 256, 1)))
     all_rays, all_rgb = [], []
     for v in range(n_views):
         rays = camera_rays(H, W, K, jnp.asarray(poses[v]))
-        rgb = render(rays)
+        parts = [
+            render(jax.tree_util.tree_map(
+                lambda x: x[i : i + rows], rays))
+            for i in range(0, H, rows)
+        ]
+        rgb = jnp.concatenate(parts, axis=0)
         all_rays.append(rays)
         all_rgb.append(rgb)
     images = jnp.stack(all_rgb)  # [V, H, W, 3]

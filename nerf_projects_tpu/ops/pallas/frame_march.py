@@ -56,7 +56,7 @@ def render_frame_pallas(
     kernel_arrays,
     n_chunks: Optional[int] = None,
     use_occupancy: bool = True,
-    group: int = _MAX_GRID_STEPS,
+    group: int = 640,
     max_windows: Optional[int] = None,
     return_depth: bool = False,
 ):
@@ -75,6 +75,13 @@ def render_frame_pallas(
 
     Wrap in jax.jit with opts/group static; everything inside is
     traceable with static shapes.
+
+    Hardware limits (round-3 compile bisect): the Mosaic compiler
+    crashes above ~640 flat grid steps per call (the grouped (T, C)
+    kernels survive up to 768 — the flat variant's 5 prefetch arrays
+    push the per-step SMEM bookkeeping over first), and the packed
+    single-array fetch crashes with r=256 tiles at any group size —
+    pass the (density_z, sh_z) TUPLE for 256-ray tiles.
     """
     T, r = rays.origins.shape[:2]
     nb = bg.n_bricks

@@ -467,34 +467,48 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
 
         sigma_acc = jnp.zeros((1, A), jnp.float32)
         rgb_acc4 = jnp.zeros((3, A), jnp.float32)
-        for k, (dx, dy, dz) in enumerate(_CORNERS):
+        Axb = Ax.astype(jnp.bfloat16)                # [16, A]
+        # corners PAIRED over dx: for each (dy, dz) the x-stage matmul
+        # stacks both dx bricks along the contraction (K=16) — its
+        # output IS the dx-sum, so the VPU y/z reduction stages run 4x
+        # instead of 8x and the MXU sees half the matmul issues.
+        for j in range(4):
+            dy, dz = j >> 1, j & 1
+            k0, k1 = j, 4 + j
+            Ayk = Ay[dy * 8 : dy * 8 + 8]
+            Azk = Az[dz * 8 : dz * 8 + 8]
+
             # SH decode with the tile basis: kernel-layout bricks are
             # [B, 8(lx), 192(ly,lz,c)], so the decode is B scalar
             # multiply-adds — no lane-splitting reshapes (Mosaic cannot
             # shape-cast 27 lanes into 3x9).
-            if packed:
-                blk = pk[k]
-                Wc = blk[0, 0].astype(jnp.float32) * basis_ref[t, 0]
+            def decode(src):
+                Wc = src[0].astype(jnp.float32) * basis_ref[t, 0]
                 for b in range(1, basis_dim):
-                    Wc = Wc + blk[0, b].astype(jnp.float32) * basis_ref[t, b]
-            else:
-                dens_k = bricks[k][0]                # [8(lx), 64(ly,lz)]
-                Wc = sh[k][0, 0].astype(jnp.float32) * basis_ref[t, 0]
-                for b in range(1, basis_dim):
-                    Wc = Wc + sh[k][0, b].astype(jnp.float32) * basis_ref[t, b]
+                    Wc = Wc + src[b].astype(jnp.float32) * basis_ref[t, b]
+                return Wc
 
-            Axk = Ax[dx * 8 : dx * 8 + 8]            # [8, A]
-            Ayk = Ay[dy * 8 : dy * 8 + 8]
-            Azk = Az[dz * 8 : dz * 8 + 8]
+            if packed:
+                Wp = jnp.concatenate(
+                    [decode(pk[k0][0]), decode(pk[k1][0])], axis=0
+                )                                    # [16, 192]
+                dp = jnp.concatenate(
+                    [pk[k0][0, basis_dim], pk[k1][0, basis_dim]], axis=0
+                )                                    # [16, 192]
+            else:
+                Wp = jnp.concatenate(
+                    [decode(sh[k0][0]), decode(sh[k1][0])], axis=0
+                )
+                dp = jnp.concatenate(
+                    [bricks[k0][0], bricks[k1][0]], axis=0
+                )                                    # [16, 64]
 
             if packed:
                 # density rides slot B of the packed block, repeated
                 # x3 across the (ly,lz,ch) lanes — trilerp through the
                 # same 192-wide path as color (rows identical; take 0)
-                d192 = pk[k][0, basis_dim]
                 V1d = jax.lax.dot_general(
-                    d192.astype(jnp.bfloat16),
-                    Axk.astype(jnp.bfloat16),
+                    dp.astype(jnp.bfloat16), Axb,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                    # [192, A]
@@ -506,8 +520,7 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
                 )[0:1]
             else:
                 V1d = jax.lax.dot_general(
-                    dens_k.astype(jnp.bfloat16),
-                    Axk.astype(jnp.bfloat16),
+                    dp.astype(jnp.bfloat16), Axb,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                    # [64, A] (ly, lz)
@@ -519,7 +532,7 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
                 )[None]
 
             V1c = jax.lax.dot_general(
-                Wc.astype(jnp.bfloat16), Axk.astype(jnp.bfloat16),
+                Wp.astype(jnp.bfloat16), Axb,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                        # [192, A] (ly,lz,ch)
@@ -1095,15 +1108,22 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
                     (Ayk[:, None, :] * Azk[None, :, :])
                     .reshape(64, A).astype(jnp.bfloat16)
                 )
-        axg3 = []
-        axs = []
+        # ONE x-side stack [64, A]: rows (dx, {r,g,b,sigma}, lx). The
+        # per-(corner, channel) [8, A] x [A, 64] products then batch
+        # into 4 per-(dy, dz) matmuls [64, A] x [A, 64] — the MXU
+        # K-streams A once per OUTPUT TILE, so 32 narrow matmuls cost
+        # ~8x more MXU time than 4 full-tile ones carrying the same
+        # dot products (the round-3 bisect put these kernels at 61 ms
+        # of the 85 ms step).
+        axg_parts = []
         for dx in range(2):
             Axk = Ax[dx * 8 : dx * 8 + 8]
-            axg3.append([
-                (Axk * g_rgb[ch : ch + 1]).astype(jnp.bfloat16)
-                for ch in range(3)
-            ])
-            axs.append((Axk * gsig).astype(jnp.bfloat16))
+            for ch in range(3):
+                axg_parts.append(
+                    (Axk * g_rgb[ch : ch + 1]).astype(jnp.bfloat16)
+                )
+            axg_parts.append((Axk * gsig).astype(jnp.bfloat16))
+        AXG = jnp.concatenate(axg_parts, axis=0)       # [64, A]
         # lane expansion: E_ch[lyz, lyz*3 + ch] = 1
         r64 = jax.lax.broadcasted_iota(jnp.int32, (64, 192), 0)
         c192 = jax.lax.broadcasted_iota(jnp.int32, (64, 192), 1)
@@ -1111,43 +1131,42 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
             (c192 == r64 * 3 + ch).astype(jnp.float32)
             for ch in range(3)
         ]
-        for k, (dx, dy, dz) in enumerate(_CORNERS):
-            Byz = byz[dy * 2 + dz]
-            Gd = jax.lax.dot_general(
-                axs[dx], Byz,
+        for j in range(4):
+            dy, dz = j >> 1, j & 1
+            P = jax.lax.dot_general(
+                AXG, byz[j],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                          # [8, 64]
-            if packed_out:
-                # slot B: density grad expanded x3 over (ly,lz,ch)
-                Gd192 = jnp.zeros((8, 192), jnp.float32)
+            )                                          # [64, 64]
+            for dx in range(2):
+                k = dx * 4 + dy * 2 + dz
+                base = dx * 32
+                Gd = P[base + 24 : base + 32]          # [8, 64]
+                if packed_out:
+                    # slot B: density grad expanded x3 over (ly,lz,ch)
+                    Gd192 = jnp.zeros((8, 192), jnp.float32)
+                    for ch in range(3):
+                        Gd192 = Gd192 + jax.lax.dot_general(
+                            Gd, E3[ch],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    gsh_ref[0, 0, k, basis_dim] = Gd192.astype(
+                        gsh_ref.dtype
+                    )
+                else:
+                    gd_ref[0, 0, k] = Gd.astype(gd_ref.dtype)
+                Hk = jnp.zeros((8, 192), jnp.float32)
                 for ch in range(3):
-                    Gd192 = Gd192 + jax.lax.dot_general(
-                        Gd, E3[ch],
+                    Hk = Hk + jax.lax.dot_general(
+                        P[base + ch * 8 : base + ch * 8 + 8], E3[ch],
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )
-                gsh_ref[0, 0, k, basis_dim] = Gd192.astype(
-                    gsh_ref.dtype
-                )
-            else:
-                gd_ref[0, 0, k] = Gd.astype(gd_ref.dtype)
-            Hk = jnp.zeros((8, 192), jnp.float32)
-            for ch in range(3):
-                H2c = jax.lax.dot_general(
-                    axg3[dx][ch], Byz,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                      # [8, 64]
-                Hk = Hk + jax.lax.dot_general(
-                    H2c, E3[ch],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                      # [8, 192]
-            for b in range(basis_dim):
-                gsh_ref[0, 0, k, b] = (
-                    Hk * basis_ref[t, b]
-                ).astype(gsh_ref.dtype)
+                    )                                  # [8, 192]
+                for b in range(basis_dim):
+                    gsh_ref[0, 0, k, b] = (
+                        Hk * basis_ref[t, b]
+                    ).astype(gsh_ref.dtype)
 
         # carry updates
         state_ref[0, 0:1, :] += jnp.sum(active_f * tau, axis=0)[None]

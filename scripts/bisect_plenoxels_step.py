@@ -207,6 +207,15 @@ def main():
     report("packed", lambda: packed_runner(make_trainer()))
     report("packed_bf16g", lambda: packed_runner(
         make_trainer(bf16_grad_blocks=True)))
+    # in-context tail attribution: the isolated parts (pk_kernels /
+    # pk_scatter / pk_optim) do not add up to `packed` — these localise
+    # the residual (sampled-TV layout gathers vs optimizer in situ)
+    report("packed_no_tv", lambda: packed_runner(
+        make_trainer(lambda_tv=0.0, lambda_tv_sh=0.0)))
+    report("packed_no_shtv", lambda: packed_runner(
+        make_trainer(lambda_tv_sh=0.0)))
+    report("packed_sgd", lambda: packed_runner(
+        make_trainer(sigma_optim="sgd", sh_optim="sgd")))
 
     def shell_packed(**kw):
         from nerf_projects_tpu.ops.pallas.tile_march import (

@@ -55,9 +55,26 @@ def main():
 
     results = {}
 
+    # r=256 tiles cannot use the packed fetch (Mosaic crash — see
+    # render_frame_pallas docstring); derive the tuple view once
+    B_dim = 9
+    ka_tuple = None
+
+    def tuple_ka():
+        nonlocal ka_tuple
+        if ka_tuple is None:
+            sh_z = ka[:, :B_dim]
+            density_z = ka[:, B_dim, :, ::3]
+            ka_tuple = (
+                jax.block_until_ready(density_z),
+                jax.block_until_ready(sh_z),
+            )
+        return ka_tuple
+
     def run_variant(name, th, tw, occ, cap):
         if ONLY and name not in ONLY:
             return
+        my_ka = tuple_ka() if th * tw == 256 else ka
         try:
             frames = [
                 jax.block_until_ready(frame_tiles(i, th, tw))
@@ -71,15 +88,15 @@ def main():
                     use_occupancy=occ, max_windows=cap,
                 )
 
-            out = render(bg, frames[0], ka)
-            nw = [int(render(bg, f, ka)["n_windows"]) for f in frames]
+            out = render(bg, frames[0], my_ka)
+            nw = [int(render(bg, f, my_ka)["n_windows"]) for f in frames]
             s = float(out["rgb"].sum())
 
             def run(k):
                 acc = 0.0
                 for i in range(k):
                     acc += float(
-                        render(bg, frames[i % 4], ka)["rgb"][0, 0, 0]
+                        render(bg, frames[i % 4], my_ka)["rgb"][0, 0, 0]
                     )
 
             run(1)
@@ -108,6 +125,7 @@ def main():
         one jit — no per-frame dispatch/readback through the relay."""
         if ONLY and name not in ONLY:
             return
+        my_ka = tuple_ka() if th * tw == 256 else ka
         try:
             frames = [frame_tiles(i, th, tw) for i in range(4)]
             stack = tu.tree_map(
@@ -116,7 +134,7 @@ def main():
 
             def one(rays):
                 out = render_frame_pallas(
-                    bg, rays, opts, kernel_arrays=ka, n_chunks=C,
+                    bg, rays, opts, kernel_arrays=my_ka, n_chunks=C,
                     use_occupancy=occ, max_windows=cap,
                 )
                 return out["rgb"][0, 0, 0]
