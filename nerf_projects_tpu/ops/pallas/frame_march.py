@@ -33,6 +33,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nerf_projects_tpu.core.rays import Rays
 from nerf_projects_tpu.ops.brick_grid import BRICK, BrickGrid
@@ -59,6 +60,7 @@ def render_frame_pallas(
     group: int = 640,
     max_windows: Optional[int] = None,
     return_depth: bool = False,
+    early_stop: bool = True,
 ):
     """Render a whole frame of [T, r] ray tiles in one jitted program.
 
@@ -72,6 +74,14 @@ def render_frame_pallas(
     renderer's early-stop `fast` mode: each tile keeps its nearest
     `max_windows` occupied windows and drops the rest, which for
     surface scenes are almost always fully occluded.
+
+    `early_stop` (default on): in-kernel all-rays-saturated skip —
+    once every ray of a tile has -log T past -log(opts.stop_thresh),
+    the remaining windows' march bodies are predicated away (their
+    weights are exactly zero, so rgb/acc/depth/log_transmit are
+    bit-identical; only the aux sparsity/miss accumulators stop).
+    The fetches still issue but overlap; for opaque scenes this cuts
+    the marched compute by the occluded-window fraction.
 
     Wrap in jax.jit with opts/group static; everything inside is
     traceable with static shapes.
@@ -165,6 +175,9 @@ def render_frame_pallas(
         out_g = _march_frame_group(
             density_z, sh_z, lt_g, first_g, rows_g, orig_g, basis_g,
             pack_g, state_g, bg.basis_dim, opts.color_mode,
+            early_stop_logt=(
+                -float(np.log(opts.stop_thresh)) if early_stop else None
+            ),
         )
         return carry.at[tiles_g].set(out_g)
 

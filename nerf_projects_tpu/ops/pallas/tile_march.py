@@ -376,7 +376,8 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
                      color_mode: str = "bias",
                      emit_samples: bool = False,
                      packed: bool = False,
-                     flat_state: bool = False):
+                     flat_state: bool = False,
+                     early_stop_logt=None):
     """flat_state: the FLAT-WINDOW variant (render_frame_pallas). The
     grid is (W, 1) over a frame's active windows in tile-major order;
     per-tile compositing state is seeded from a `state` input block on
@@ -420,177 +421,192 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
             def _():
                 out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-        pack = pack_ref[0]            # [16, 128]
-        og = pack[0:3]
-        dg = pack[3:6]
-        dt = pack[6:7]
-        t0 = pack[7:8]
-        t1 = pack[8:9]
-        T0 = pack[9:10]
-        step_world = pack[11:12]
+        def _march_window():
+            pack = pack_ref[0]            # [16, 128]
+            og = pack[0:3]
+            dg = pack[3:6]
+            dt = pack[6:7]
+            t0 = pack[7:8]
+            t1 = pack[8:9]
+            T0 = pack[9:10]
+            step_world = pack[11:12]
 
-        A = SC * r
-        # t values per (step, ray) in [SC, R]; the chunk's base step
-        # comes from the plan (orig col 3) so empty chunks can be
-        # compacted away without changing the t parametrization
-        step_idx = (
-            orig_ref[t, c, 3].astype(jnp.float32)
-            + jax.lax.broadcasted_iota(jnp.int32, (SC, r), 0).astype(
+            A = SC * r
+            # t values per (step, ray) in [SC, R]; the chunk's base step
+            # comes from the plan (orig col 3) so empty chunks can be
+            # compacted away without changing the t parametrization
+            step_idx = (
+                orig_ref[t, c, 3].astype(jnp.float32)
+                + jax.lax.broadcasted_iota(jnp.int32, (SC, r), 0).astype(
+                    jnp.float32
+                )
+            )
+            tt = T0 + step_idx * dt                     # [SC, R]
+            valid = (tt >= t0) & (tt < t1)
+
+            ox = orig_ref[t, c, 0].astype(jnp.float32)
+            oy = orig_ref[t, c, 1].astype(jnp.float32)
+            oz = orig_ref[t, c, 2].astype(jnp.float32)
+
+            lx = _lanes_flat(og[0:1] + tt * dg[0:1], SC, r) - ox
+            ly = _lanes_flat(og[1:2] + tt * dg[1:2], SC, r) - oy
+            lz = _lanes_flat(og[2:3] + tt * dg[2:3], SC, r) - oz
+            in_win_f = (
+                (lx >= 0.0) & (lx <= 15.0)
+                & (ly >= 0.0) & (ly <= 15.0)
+                & (lz >= 0.0) & (lz <= 15.0)
+            ).astype(jnp.float32)
+            # bool vectors cannot be relaid out on TPU; reshape as float
+            valid_f = _lanes_flat(valid.astype(jnp.float32), SC, r)
+            eff = valid_f * in_win_f
+
+            iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, A), 0).astype(
                 jnp.float32
             )
-        )
-        tt = T0 + step_idx * dt                     # [SC, R]
-        valid = (tt >= t0) & (tt < t1)
+            Ax = jnp.maximum(0.0, 1.0 - jnp.abs(lx - iota16)) * eff
+            Ay = jnp.maximum(0.0, 1.0 - jnp.abs(ly - iota16))
+            Az = jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota16))
 
-        ox = orig_ref[t, c, 0].astype(jnp.float32)
-        oy = orig_ref[t, c, 1].astype(jnp.float32)
-        oz = orig_ref[t, c, 2].astype(jnp.float32)
+            sigma_acc = jnp.zeros((1, A), jnp.float32)
+            rgb_acc4 = jnp.zeros((3, A), jnp.float32)
+            Axb = Ax.astype(jnp.bfloat16)                # [16, A]
+            # corners PAIRED over dx: for each (dy, dz) the x-stage matmul
+            # stacks both dx bricks along the contraction (K=16) — its
+            # output IS the dx-sum, so the VPU y/z reduction stages run 4x
+            # instead of 8x and the MXU sees half the matmul issues.
+            for j in range(4):
+                dy, dz = j >> 1, j & 1
+                k0, k1 = j, 4 + j
+                Ayk = Ay[dy * 8 : dy * 8 + 8]
+                Azk = Az[dz * 8 : dz * 8 + 8]
 
-        lx = _lanes_flat(og[0:1] + tt * dg[0:1], SC, r) - ox
-        ly = _lanes_flat(og[1:2] + tt * dg[1:2], SC, r) - oy
-        lz = _lanes_flat(og[2:3] + tt * dg[2:3], SC, r) - oz
-        in_win_f = (
-            (lx >= 0.0) & (lx <= 15.0)
-            & (ly >= 0.0) & (ly <= 15.0)
-            & (lz >= 0.0) & (lz <= 15.0)
-        ).astype(jnp.float32)
-        # bool vectors cannot be relaid out on TPU; reshape as float
-        valid_f = _lanes_flat(valid.astype(jnp.float32), SC, r)
-        eff = valid_f * in_win_f
+                # SH decode with the tile basis: kernel-layout bricks are
+                # [B, 8(lx), 192(ly,lz,c)], so the decode is B scalar
+                # multiply-adds — no lane-splitting reshapes (Mosaic cannot
+                # shape-cast 27 lanes into 3x9).
+                def decode(src):
+                    Wc = src[0].astype(jnp.float32) * basis_ref[t, 0]
+                    for b in range(1, basis_dim):
+                        Wc = Wc + src[b].astype(jnp.float32) * basis_ref[t, b]
+                    return Wc
 
-        iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, A), 0).astype(
-            jnp.float32
-        )
-        Ax = jnp.maximum(0.0, 1.0 - jnp.abs(lx - iota16)) * eff
-        Ay = jnp.maximum(0.0, 1.0 - jnp.abs(ly - iota16))
-        Az = jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota16))
+                if packed:
+                    Wp = jnp.concatenate(
+                        [decode(pk[k0][0]), decode(pk[k1][0])], axis=0
+                    )                                    # [16, 192]
+                    dp = jnp.concatenate(
+                        [pk[k0][0, basis_dim], pk[k1][0, basis_dim]], axis=0
+                    )                                    # [16, 192]
+                else:
+                    Wp = jnp.concatenate(
+                        [decode(sh[k0][0]), decode(sh[k1][0])], axis=0
+                    )
+                    dp = jnp.concatenate(
+                        [bricks[k0][0], bricks[k1][0]], axis=0
+                    )                                    # [16, 64]
 
-        sigma_acc = jnp.zeros((1, A), jnp.float32)
-        rgb_acc4 = jnp.zeros((3, A), jnp.float32)
-        Axb = Ax.astype(jnp.bfloat16)                # [16, A]
-        # corners PAIRED over dx: for each (dy, dz) the x-stage matmul
-        # stacks both dx bricks along the contraction (K=16) — its
-        # output IS the dx-sum, so the VPU y/z reduction stages run 4x
-        # instead of 8x and the MXU sees half the matmul issues.
-        for j in range(4):
-            dy, dz = j >> 1, j & 1
-            k0, k1 = j, 4 + j
-            Ayk = Ay[dy * 8 : dy * 8 + 8]
-            Azk = Az[dz * 8 : dz * 8 + 8]
+                if packed:
+                    # density rides slot B of the packed block, repeated
+                    # x3 across the (ly,lz,ch) lanes — trilerp through the
+                    # same 192-wide path as color (rows identical; take 0)
+                    V1d = jax.lax.dot_general(
+                        dp.astype(jnp.bfloat16), Axb,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                    # [192, A]
+                    V2d = jnp.sum(
+                        V1d.reshape(8, 24, A) * Ayk[:, None, :], axis=0
+                    )                                    # [24, A]
+                    sigma_acc = sigma_acc + jnp.sum(
+                        V2d.reshape(8, 3, A) * Azk[:, None, :], axis=0
+                    )[0:1]
+                else:
+                    V1d = jax.lax.dot_general(
+                        dp.astype(jnp.bfloat16), Axb,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                    # [64, A] (ly, lz)
+                    V2d = jnp.sum(
+                        V1d.reshape(8, 8, A) * Ayk[:, None, :], axis=0
+                    )                                    # [8, A] (lz)
+                    sigma_acc = sigma_acc + jnp.sum(
+                        V2d * Azk, axis=0
+                    )[None]
 
-            # SH decode with the tile basis: kernel-layout bricks are
-            # [B, 8(lx), 192(ly,lz,c)], so the decode is B scalar
-            # multiply-adds — no lane-splitting reshapes (Mosaic cannot
-            # shape-cast 27 lanes into 3x9).
-            def decode(src):
-                Wc = src[0].astype(jnp.float32) * basis_ref[t, 0]
-                for b in range(1, basis_dim):
-                    Wc = Wc + src[b].astype(jnp.float32) * basis_ref[t, b]
-                return Wc
+                V1c = jax.lax.dot_general(
+                    Wp.astype(jnp.bfloat16), Axb,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                        # [192, A] (ly,lz,ch)
+                V2c = jnp.sum(
+                    V1c.reshape(8, 24, A) * Ayk[:, None, :], axis=0
+                )                                        # [24, A] (lz, ch)
+                rgb_acc4 = rgb_acc4 + jnp.sum(
+                    V2c.reshape(8, 3, A) * Azk[:, None, :], axis=0
+                )                                        # [3, A]
 
-            if packed:
-                Wp = jnp.concatenate(
-                    [decode(pk[k0][0]), decode(pk[k1][0])], axis=0
-                )                                    # [16, 192]
-                dp = jnp.concatenate(
-                    [pk[k0][0, basis_dim], pk[k1][0, basis_dim]], axis=0
-                )                                    # [16, 192]
-            else:
-                Wp = jnp.concatenate(
-                    [decode(sh[k0][0]), decode(sh[k1][0])], axis=0
+            if emit_samples:
+                # pre-activation per-sample fields for the fetch-free
+                # backward: row 0 sigma_acc, rows 1..3 rgb_acc
+                samp_ref[0, 0] = jnp.concatenate(
+                    [sigma_acc, rgb_acc4, jnp.zeros((4, A), jnp.float32)],
+                    axis=0,
                 )
-                dp = jnp.concatenate(
-                    [bricks[k0][0], bricks[k1][0]], axis=0
-                )                                    # [16, 64]
+            sigma = sigma_acc                            # [1, A]
+            sigma = jnp.where(sigma > _SIGMA_THRESH, sigma, 0.0)
+            if color_mode == "sigmoid":                  # PlenOctree decode
+                rgb = 1.0 / (1.0 + jnp.exp(-rgb_acc4))   # [3, A]
+            else:                                        # Plenoxels +0.5 clamp
+                rgb = jnp.maximum(rgb_acc4 + 0.5, 0.0)   # [3, A]
 
-            if packed:
-                # density rides slot B of the packed block, repeated
-                # x3 across the (ly,lz,ch) lanes — trilerp through the
-                # same 192-wide path as color (rows identical; take 0)
-                V1d = jax.lax.dot_general(
-                    dp.astype(jnp.bfloat16), Axb,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                    # [192, A]
-                V2d = jnp.sum(
-                    V1d.reshape(8, 24, A) * Ayk[:, None, :], axis=0
-                )                                    # [24, A]
-                sigma_acc = sigma_acc + jnp.sum(
-                    V2d.reshape(8, 3, A) * Azk[:, None, :], axis=0
-                )[0:1]
-            else:
-                V1d = jax.lax.dot_general(
-                    dp.astype(jnp.bfloat16), Axb,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                    # [64, A] (ly, lz)
-                V2d = jnp.sum(
-                    V1d.reshape(8, 8, A) * Ayk[:, None, :], axis=0
-                )                                    # [8, A] (lz)
-                sigma_acc = sigma_acc + jnp.sum(
-                    V2d * Azk, axis=0
-                )[None]
-
-            V1c = jax.lax.dot_general(
-                Wp.astype(jnp.bfloat16), Axb,
-                dimension_numbers=(((0,), (0,)), ((), ())),
+            tau = _lanes_unflat(sigma, SC, r) * step_world   # [SC, R]
+            # exclusive prefix over steps: strictly-lower-triangular matmul
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 0)
+            c_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 1)
+            Lstrict = (c_iota < r_iota).astype(jnp.float32)
+            prefix = out_ref[0, 5:6, :] + jax.lax.dot_general(
+                Lstrict, tau,
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                        # [192, A] (ly,lz,ch)
-            V2c = jnp.sum(
-                V1c.reshape(8, 24, A) * Ayk[:, None, :], axis=0
-            )                                        # [24, A] (lz, ch)
-            rgb_acc4 = rgb_acc4 + jnp.sum(
-                V2c.reshape(8, 3, A) * Azk[:, None, :], axis=0
-            )                                        # [3, A]
+            )                                            # [SC, R]
+            Tpref = jnp.exp(-prefix)
+            alpha = 1.0 - jnp.exp(-tau)
+            active = Tpref > _STOP_THRESH
+            w = jnp.where(active, Tpref * alpha, 0.0)    # [SC, R]
 
-        if emit_samples:
-            # pre-activation per-sample fields for the fetch-free
-            # backward: row 0 sigma_acc, rows 1..3 rgb_acc
-            samp_ref[0, 0] = jnp.concatenate(
-                [sigma_acc, rgb_acc4, jnp.zeros((4, A), jnp.float32)],
-                axis=0,
-            )
-        sigma = sigma_acc                            # [1, A]
-        sigma = jnp.where(sigma > _SIGMA_THRESH, sigma, 0.0)
-        if color_mode == "sigmoid":                  # PlenOctree decode
-            rgb = 1.0 / (1.0 + jnp.exp(-rgb_acc4))   # [3, A]
-        else:                                        # Plenoxels +0.5 clamp
-            rgb = jnp.maximum(rgb_acc4 + 0.5, 0.0)   # [3, A]
-
-        tau = _lanes_unflat(sigma, SC, r) * step_world   # [SC, R]
-        # exclusive prefix over steps: strictly-lower-triangular matmul
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 0)
-        c_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 1)
-        Lstrict = (c_iota < r_iota).astype(jnp.float32)
-        prefix = out_ref[0, 5:6, :] + jax.lax.dot_general(
-            Lstrict, tau,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                            # [SC, R]
-        Tpref = jnp.exp(-prefix)
-        alpha = 1.0 - jnp.exp(-tau)
-        active = Tpref > _STOP_THRESH
-        w = jnp.where(active, Tpref * alpha, 0.0)    # [SC, R]
-
-        w_flat = _lanes_flat(w, SC, r)
-        for ch in range(3):
-            out_ref[0, ch : ch + 1, :] += jnp.sum(
-                _lanes_unflat(rgb[ch : ch + 1] * w_flat, SC, r),
-                axis=0,
+            w_flat = _lanes_flat(w, SC, r)
+            for ch in range(3):
+                out_ref[0, ch : ch + 1, :] += jnp.sum(
+                    _lanes_unflat(rgb[ch : ch + 1] * w_flat, SC, r),
+                    axis=0,
+                )[None]
+            out_ref[0, 3:4, :] += jnp.sum(w, axis=0)[None]
+            out_ref[0, 4:5, :] += jnp.sum(w * tt, axis=0)[None]
+            out_ref[0, 5:6, :] += jnp.sum(
+                jnp.where(active, tau, 0.0), axis=0
             )[None]
-        out_ref[0, 3:4, :] += jnp.sum(w, axis=0)[None]
-        out_ref[0, 4:5, :] += jnp.sum(w * tt, axis=0)[None]
-        out_ref[0, 5:6, :] += jnp.sum(
-            jnp.where(active, tau, 0.0), axis=0
-        )[None]
-        sig2 = _lanes_unflat(sigma, SC, r)
-        out_ref[0, 6:7, :] += jnp.sum(
-            jnp.log1p(2.0 * sig2 * sig2), axis=0
-        )[None]
-        miss = valid_f * (1.0 - in_win_f)
-        out_ref[0, 7:8, :] += jnp.sum(
-            _lanes_unflat(miss, SC, r), axis=0
-        )[None]
+            sig2 = _lanes_unflat(sigma, SC, r)
+            out_ref[0, 6:7, :] += jnp.sum(
+                jnp.log1p(2.0 * sig2 * sig2), axis=0
+            )[None]
+            miss = valid_f * (1.0 - in_win_f)
+            out_ref[0, 7:8, :] += jnp.sum(
+                _lanes_unflat(miss, SC, r), axis=0
+            )[None]
+
+        if flat_state and early_stop_logt is not None:
+            # all-rays-saturated skip (render fast path): once every
+            # lane's accumulated -log T passed -log(stop_thresh), each
+            # further window's weights are exactly zero — skip the
+            # whole march body (the aux sparsity/miss rows [6]/[7] stop
+            # accumulating; the returned rgb/acc/depth/log_transmit are
+            # bit-identical). The analogue of svox render_persp `fast`
+            # (octree/nerf/utils.py:448-499).
+            pl.when(
+                jnp.min(out_ref[0, 5, :]) < early_stop_logt
+            )(_march_window)
+        else:
+            _march_window()
 
     return kernel
 
@@ -782,7 +798,8 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
 
 
 def _march_frame_group(density_z, sh_z, lt, first, rows, orig, basisf,
-                       pack_g, state_g, basis_dim, color_mode="bias"):
+                       pack_g, state_g, basis_dim, color_mode="bias",
+                       early_stop_logt=None):
     """One flat window group of a whole-frame march (see
     ops/pallas/frame_march.py). The grid is (W, 1) over active windows
     in tile-major order; consecutive windows of the same tile share an
@@ -853,7 +870,8 @@ def _march_frame_group(density_z, sh_z, lt, first, rows, orig, basisf,
     )
     return pl.pallas_call(
         _make_fwd_kernel(basis_dim, r, color_mode, packed=packed,
-                         flat_state=True),
+                         flat_state=True,
+                         early_stop_logt=early_stop_logt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, 8, r), jnp.float32),
         interpret=INTERPRET,

@@ -182,9 +182,16 @@ def train_step_tiles_sparse(
     max_touched: Optional[int] = None,
     use_occupancy: bool = False,
     compact_chunks: Optional[int] = None,
+    n_chunks: Optional[int] = None,
 ):
     """One row-sparse fused train step. `bg` supplies geometry only (may
     be `geometry_only`-slimmed); all data lives in `st`.
+
+    `n_chunks`: static chunk count for the march. REQUIRED when `bg` is
+    traced (e.g. under lax.scan with the grid as a scan-carried or jit
+    argument) and use_occupancy is set: the occupancy bound is otherwise
+    derived host-side from brick coords (active_chunk_bound), which
+    cannot run on a tracer.
 
     `step` must be an int32 scalar (the global step counter).
     `max_touched`: static bound on unique touched bricks per step
@@ -214,6 +221,7 @@ def train_step_tiles_sparse(
         kernel_arrays=ka,
         grad_dtype=trainer.grad_block_dtype,
         compact_chunks=compact_chunks,
+        n_chunks=n_chunks,
     )
     mse = jnp.mean((rgb - target) ** 2)
 
@@ -408,6 +416,7 @@ def train_step_tiles_packed(
     *,
     use_occupancy: bool = False,
     compact_chunks: Optional[int] = None,
+    n_chunks: Optional[int] = None,
 ):
     """Dense-update train step on the fully-PACKED state: exactly the
     train_step_tiles_pallas semantics (fused kernels + sampled TV +
@@ -435,6 +444,7 @@ def train_step_tiles_packed(
         kernel_arrays=st.packed_k,
         grad_dtype=trainer.grad_block_dtype,
         compact_chunks=compact_chunks,
+        n_chunks=n_chunks,
     )
     mse = jnp.mean((rgb - target) ** 2)
 
@@ -511,16 +521,17 @@ def train_step_tiles_packed(
 @functools.partial(
     jax.jit,
     static_argnums=(0,),
-    static_argnames=("use_occupancy", "compact_chunks"),
+    static_argnames=("use_occupancy", "compact_chunks", "n_chunks"),
     donate_argnums=(2,),
 )
 def train_step_tiles_packed_jit(
     trainer, bg, st, rays, target, step, key, *,
-    use_occupancy=False, compact_chunks=None,
+    use_occupancy=False, compact_chunks=None, n_chunks=None,
 ):
     return train_step_tiles_packed(
         trainer, bg, st, rays, target, step, key,
         use_occupancy=use_occupancy, compact_chunks=compact_chunks,
+        n_chunks=n_chunks,
     )
 
 
@@ -535,6 +546,7 @@ def train_step_tiles_dense_k(
     *,
     use_occupancy: bool = False,
     compact_chunks: Optional[int] = None,
+    n_chunks: Optional[int] = None,
 ):
     """Dense-update train step on KERNEL-LAYOUT state — the fast dense
     path. Same semantics as `PlenoxelsTrainer.train_step_tiles_pallas`
@@ -567,6 +579,7 @@ def train_step_tiles_dense_k(
         kernel_arrays=(st.density_k, st.sh_k),
         grad_dtype=trainer.grad_block_dtype,
         compact_chunks=compact_chunks,
+        n_chunks=n_chunks,
     )
     mse = jnp.mean((rgb - target) ** 2)
 
@@ -644,31 +657,35 @@ def train_step_tiles_dense_k(
 @functools.partial(
     jax.jit,
     static_argnums=(0,),
-    static_argnames=("use_occupancy", "compact_chunks"),
+    static_argnames=("use_occupancy", "compact_chunks", "n_chunks"),
     donate_argnums=(2,),
 )
 def train_step_tiles_dense_k_jit(
     trainer, bg, st, rays, target, step, key, *,
-    use_occupancy=False, compact_chunks=None,
+    use_occupancy=False, compact_chunks=None, n_chunks=None,
 ):
     return train_step_tiles_dense_k(
         trainer, bg, st, rays, target, step, key,
         use_occupancy=use_occupancy, compact_chunks=compact_chunks,
+        n_chunks=n_chunks,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnums=(0,),
-    static_argnames=("max_touched", "use_occupancy", "compact_chunks"),
+    static_argnames=(
+        "max_touched", "use_occupancy", "compact_chunks", "n_chunks",
+    ),
     donate_argnums=(2,),
 )
 def train_step_tiles_sparse_jit(
     trainer, bg, st, rays, target, step, key, *,
     max_touched=None, use_occupancy=False, compact_chunks=None,
+    n_chunks=None,
 ):
     return train_step_tiles_sparse(
         trainer, bg, st, rays, target, step, key,
         max_touched=max_touched, use_occupancy=use_occupancy,
-        compact_chunks=compact_chunks,
+        compact_chunks=compact_chunks, n_chunks=n_chunks,
     )

@@ -332,6 +332,36 @@ def main():
         _, samples = jax.block_until_ready(
             fwd_samp(density_z, sh_z, rows, orig, basisf, pack))
 
+        # fetch-cost diagnostic: fwd march with ALL corner rows == 0 —
+        # Mosaic skips a block refetch when its index is unchanged from
+        # the previous grid step, so constant rows measure the no-DMA
+        # per-step floor (sequencing + VPU). fwd_march minus this =
+        # the corner-DMA cost per step.
+        fwd_plain = jax.jit(
+            lambda dz, sz, rws, org, bsf, pck: _march_call(
+                dz, sz, rws, org, bsf, pck, C, bg.basis_dim,
+                "bias")[0])
+
+        def run_fwd_plain(k):
+            out = None
+            for i in range(k):
+                out = fwd_plain(density_z, sh_z, rows, orig, basisf,
+                                pack.at[:, 12].add(i * 1e-9))
+            _ = float(out.sum())
+
+        report("fwd_march_only", lambda: run_fwd_plain)
+
+        rows0 = jnp.zeros_like(rows)
+
+        def run_fwd_const(k):
+            out = None
+            for i in range(k):
+                out = fwd_plain(density_z, sh_z, rows0, orig, basisf,
+                                pack.at[:, 12].add(i * 1e-9))
+            _ = float(out.sum())
+
+        report("fwd_march_constrows", lambda: run_fwd_const)
+
         bwdk = jax.jit(lambda smp, org, bsf, pck: _bwd_call(
             smp, org, bsf, pck, C, bg.basis_dim, 0.0, "bias",
             jnp.float32))

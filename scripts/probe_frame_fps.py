@@ -17,6 +17,11 @@ import numpy as np
 
 RESO = int(os.environ.get("PROBE_RESO", 512))
 ONLY = [s for s in os.environ.get("PROBE_ONLY", "").split(",") if s]
+# density multiplier: the default U[0,2] voxel sigma gives tau/sample
+# ~0.002 at 512^3 (no ray ever saturates — translucent-fog regime);
+# trained fields have surface sigma in the hundreds, where rays
+# saturate a few samples past the surface and early-stop/caps pay
+SIGMA = float(os.environ.get("PROBE_SIGMA", 1.0))
 
 
 def main():
@@ -33,6 +38,10 @@ def main():
         tm.INTERPRET = True
         jax.config.update("jax_platforms", "cpu")
     bg, ka = B._shell_setup_render(RESO)
+    if SIGMA != 1.0:
+        ka = jax.block_until_ready(
+            jax.jit(lambda a: a.at[:, 9].multiply(SIGMA))(ka)
+        )
     opts = GridRenderOptions(step_size=0.5)
     H = W = int(os.environ.get("PROBE_H", 800))
     C = default_chunks_for(bg, opts)
@@ -71,7 +80,9 @@ def main():
             )
         return ka_tuple
 
-    def run_variant(name, th, tw, occ, cap):
+    exact_rgb = {}
+
+    def run_variant(name, th, tw, occ, cap, stop=True):
         if ONLY and name not in ONLY:
             return
         my_ka = tuple_ka() if th * tw == 256 else ka
@@ -86,11 +97,20 @@ def main():
                 return render_frame_pallas(
                     bg_, rays, opts, kernel_arrays=ka_, n_chunks=C,
                     use_occupancy=occ, max_windows=cap,
+                    early_stop=stop,
                 )
 
             out = render(bg, frames[0], my_ka)
             nw = [int(render(bg, f, my_ka)["n_windows"]) for f in frames]
             s = float(out["rgb"].sum())
+            # fast-mode error vs the uncapped render of the same tiling
+            psnr = None
+            rgb0 = np.asarray(out["rgb"])
+            if cap is None and occ is False and stop:
+                exact_rgb[(th, tw)] = rgb0
+            elif (th, tw) in exact_rgb:
+                mse = float(np.mean((rgb0 - exact_rgb[(th, tw)]) ** 2))
+                psnr = round(-10.0 * np.log10(max(mse, 1e-12)), 2)
 
             def run(k):
                 acc = 0.0
@@ -111,6 +131,7 @@ def main():
                 "ms_frame": round(best * 1e3, 2),
                 "fps": round(1.0 / best, 2),
                 "n_windows": nw, "checksum": round(s, 1),
+                **({"psnr_vs_exact": psnr} if psnr is not None else {}),
             }
             print(json.dumps({"variant": name, **results[name]}),
                   flush=True)
@@ -172,16 +193,24 @@ def main():
             print(json.dumps({"variant": name, "error": msg[:300]}),
                   flush=True)
 
-    run_variant("r128", 8, 16, False, None)
-    run_variant("r128_occ", 8, 16, True, None)
+    # occupancy is OUT of the frame path: r2 probe measured the
+    # occupancy PLAN at ~2 s/frame while pruning <25% of windows on a
+    # shell scene (the rows != nb activity already encodes geometry).
     run_variant("r256", 16, 16, False, None)
-    run_variant("r256_occ", 16, 16, True, None)
-    run_variant("r256_occ_cap24", 16, 16, True, 24)
-    run_variant("r128_occ_cap24", 8, 16, True, 24)
-    run_device_loop("r256_occ_dev", 16, 16, True, None)
-    run_device_loop("r128_occ_dev", 8, 16, True, None)
+    run_variant("r256_nostop", 16, 16, False, None, stop=False)
+    if SIGMA == 1.0:
+        run_variant("r128", 8, 16, False, None)
+        run_variant("r256_cap16", 16, 16, False, 16)
+        run_variant("r256_cap12", 16, 16, False, 12)
+        run_device_loop("r256_dev", 16, 16, False, None)
+    else:
+        # opaque-surface regime: caps should be near-lossless here
+        run_variant("r256_cap16", 16, 16, False, 16)
+        run_variant("r256_cap12", 16, 16, False, 12)
+        run_variant("r256_cap8", 16, 16, False, 8)
 
-    print(json.dumps({"summary": results, "reso": RESO}), flush=True)
+    print(json.dumps({"summary": results, "reso": RESO,
+                      "sigma_scale": SIGMA}), flush=True)
 
 
 if __name__ == "__main__":

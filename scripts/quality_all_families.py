@@ -5,6 +5,7 @@ quality_check_tpu.py: 31.2 dB held-out on TPU v5e).
 Each family trains on 15 views and scores held-out view 0
 (PSNR / SSIM). Select with argv[1] in {plenoxels, nerf_sh, all}.
 """
+import functools
 import json
 import os
 import sys
@@ -70,7 +71,12 @@ def quality_plenoxels(ds):
     )
     pixels = ds["pixels"].reshape(N_VIEWS, H * W, 3)[1:]
 
-    def draw(key, n_tiles=40, th=8, tw=16):
+    # jitted draw (rays/pixels as ARGS, not closures: closed-over
+    # device arrays become jaxpr constants the remote compile helper
+    # serializes) — eager per-step gathers cost ~8 relay round trips
+    # (~0.4 s/step), 5x the train step itself
+    @functools.partial(jax.jit, static_argnums=(3, 4, 5))
+    def _draw(key, r_all, pix, n_tiles, th, tw):
         kv, ky, kx = jax.random.split(key, 3)
         v = jax.random.randint(kv, (n_tiles,), 0, N_VIEWS - 1)
         y0 = jax.random.randint(ky, (n_tiles,), 0, H - th + 1)
@@ -79,10 +85,11 @@ def quality_plenoxels(ds):
         flat = (y0[:, None] + dy.reshape(-1)[None]) * W + (
             x0[:, None] + dx.reshape(-1)[None]
         )
-        r = tu.tree_map(
-            lambda a: a[v[:, None], flat], rays_all
-        )
-        return r, pixels[v[:, None], flat]
+        r = tu.tree_map(lambda a: a[v[:, None], flat], r_all)
+        return r, pix[v[:, None], flat]
+
+    def draw(key, n_tiles=40, th=8, tw=16):
+        return _draw(key, rays_all, pixels, n_tiles, th, tw)
 
     upsample_step = (
         int(PLENOXEL_STEPS * PLENOXEL_UPSAMPLE_AT)
@@ -102,7 +109,9 @@ def quality_plenoxels(ds):
         lambda_tv_sh=1e-3 * PLENOXEL_TV_SCALE,
         lambda_sparsity=PLENOXEL_SPARSITY,
     )
-    rms = trainer.init_rms_bricks(bg)
+    from nerf_projects_tpu.train import plenoxels_sparse as ps
+
+    pst = ps.packed_state_from_grid(bg)
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     for i in range(PLENOXEL_STEPS):
@@ -110,24 +119,26 @@ def quality_plenoxels(ds):
             from nerf_projects_tpu.models.grid_lifecycle import resample
             from nerf_projects_tpu.ops.brick_grid import to_sparse_grid
 
+            bg = ps.grid_from_packed_state(bg, pst)
             g2 = resample(
                 to_sparse_grid(bg),
                 (PLENOXEL_RESO,) * 3,
                 sigma_thresh=0.5, dilate=2,
             )
             bg = from_sparse_grid(g2)
-            rms = trainer.init_rms_bricks(bg)
+            pst = ps.packed_state_from_grid(bg)
             print(f"upsampled to {PLENOXEL_RESO}^3: "
                   f"{bg.n_bricks} bricks", flush=True)
         key, kd, kt = jax.random.split(key, 3)
         rays, target = draw(kd, n_tiles=PLENOXEL_TILES)
-        bg, rms, st = trainer.train_step_tiles_pallas(
-            bg, rms, rays, target, jnp.asarray(float(i)), kt
+        pst, st = ps.train_step_tiles_packed_jit(
+            trainer, bg, pst, rays, target, jnp.asarray(float(i)), kt
         )
         if i % 500 == 0:
             print(f"plenoxels step {i}: train psnr "
                   f"{float(st['psnr']):.2f} miss "
                   f"{float(st.get('window_miss', -1)):.4f}", flush=True)
+    bg = ps.grid_from_packed_state(bg, pst)
     dt = time.time() - t0
 
     # held-out render through the Pallas path (8x16 tiles)

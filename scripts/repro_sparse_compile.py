@@ -40,8 +40,13 @@ def main():
     trainer = PlenoxelsTrainer(opts, n_iters=128_000, lambda_tv=1e-5,
                                lambda_tv_sh=1e-3, bf16_grad_blocks=True)
     CK = required_chunks(geom, rays, opts)
+    from nerf_projects_tpu.ops.pallas.tile_march import (
+        active_chunk_bound,
+    )
+
+    CN = active_chunk_bound(geom, opts.step_size)
     nb, Bd = bg.n_bricks, bg.basis_dim
-    print(json.dumps({"nb": int(nb), "CK": CK}), flush=True)
+    print(json.dumps({"nb": int(nb), "CK": CK, "CN": CN}), flush=True)
 
     def sds(shape, dt=jnp.float32):
         return jax.ShapeDtypeStruct(shape, dt)
@@ -94,11 +99,43 @@ def main():
             return st, stats["mse"]
         return jax.lax.scan(body, st, jnp.arange(k, dtype=jnp.int32))
 
+    def scan_steps_arg(k, g, st, key):
+        # geom as a jit ARG (closure device constants stall/crash the
+        # remote compile helper — see memory: axon-tpu-measurement)
+        def body(st, i):
+            st, stats = ps.train_step_tiles_sparse(
+                trainer, g, st, rays, target, i,
+                jax.random.fold_in(key, i),
+                compact_chunks=CK, max_touched=4096)
+            return st, stats["mse"]
+        return jax.lax.scan(body, st, jnp.arange(k, dtype=jnp.int32))
+
+    def scan_packed_arg(k, g, st, key):
+        # n_chunks is the host-precomputed occupancy bound: with g
+        # traced, active_chunk_bound cannot run inside the scan
+        def body(st, i):
+            st, stats = ps.train_step_tiles_packed(
+                trainer, g, st, rays, target, i,
+                jax.random.fold_in(key, i),
+                compact_chunks=CK, use_occupancy=True, n_chunks=CN)
+            return st, stats["mse"]
+        return jax.lax.scan(body, st, jnp.arange(k, dtype=jnp.int32))
+
+    geom_sds = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), geom)
+
     key = sds((2,), jnp.uint32)
     case("one_step", one_step, 1, st_s, jax.random.PRNGKey(0))
+    case("scan2", scan_steps, 2, st_s, jax.random.PRNGKey(0))
     case("scan4", scan_steps, 4, st_s, jax.random.PRNGKey(0))
     case("scan16", scan_steps, 16, st_s, jax.random.PRNGKey(0))
+    case("scan4_arg", scan_steps_arg, 4, geom_sds, st_s,
+         jax.random.PRNGKey(0))
+    case("scan16_arg", scan_steps_arg, 16, geom_sds, st_s,
+         jax.random.PRNGKey(0))
     case("packed_scan4", scan_packed, 4, st_p, jax.random.PRNGKey(0))
+    case("packed_scan4_arg", scan_packed_arg, 4, geom_sds, st_p,
+         jax.random.PRNGKey(0))
 
 
 if __name__ == "__main__":
