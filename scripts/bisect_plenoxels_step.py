@@ -278,7 +278,8 @@ def main():
 
     # --- backward-tail attribution: kernels vs scatter vs relayout
     tail_names = {"kernel_arrays_build", "bwd_kernel_only",
-                  "scatter_relayout_only", "gsh_scatter_only"}
+                  "scatter_relayout_only", "gsh_scatter_only",
+                  "fwd_march_only", "fwd_march_constrows"}
     if only and not (set(only) & tail_names):
         tail_on = False
     else:

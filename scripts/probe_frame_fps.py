@@ -39,9 +39,20 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     bg, ka = B._shell_setup_render(RESO)
     if SIGMA != 1.0:
-        ka = jax.block_until_ready(
-            jax.jit(lambda a: a.at[:, 9].multiply(SIGMA))(ka)
-        )
+        # opaque regime: sigma ~ U[S/2, 3S/2] on ACTIVE cells (solid
+        # interiors, like trained fields) — a pure multiply keeps the
+        # U[0,..] lower tail at 0 where the analytic cull's min-density
+        # bound never fires
+        def _opaque(a, mask):
+            nb = mask.shape[0]
+            m = jnp.concatenate(
+                [mask, jnp.zeros_like(mask[:1])]
+            ).astype(a.dtype).reshape(nb + 1, 8, 64)
+            m192 = jnp.repeat(m, 3, axis=-1)
+            d = (a[:, 9] * (SIGMA / 2.0) + SIGMA / 2.0) * m192
+            return a.at[:, 9].set(d)
+
+        ka = jax.block_until_ready(jax.jit(_opaque)(ka, bg.cell_mask))
     opts = GridRenderOptions(step_size=0.5)
     H = W = int(os.environ.get("PROBE_H", 800))
     C = default_chunks_for(bg, opts)
@@ -82,7 +93,7 @@ def main():
 
     exact_rgb = {}
 
-    def run_variant(name, th, tw, occ, cap, stop=True):
+    def run_variant(name, th, tw, occ, cap, stop=True, cull=True):
         if ONLY and name not in ONLY:
             return
         my_ka = tuple_ka() if th * tw == 256 else ka
@@ -97,7 +108,7 @@ def main():
                 return render_frame_pallas(
                     bg_, rays, opts, kernel_arrays=ka_, n_chunks=C,
                     use_occupancy=occ, max_windows=cap,
-                    early_stop=stop,
+                    early_stop=stop, term_cull=cull,
                 )
 
             out = render(bg, frames[0], my_ka)
@@ -113,11 +124,13 @@ def main():
                 psnr = round(-10.0 * np.log10(max(mse, 1e-12)), 2)
 
             def run(k):
-                acc = 0.0
-                for i in range(k):
-                    acc += float(
-                        render(bg, frames[i % 4], my_ka)["rgb"][0, 0, 0]
-                    )
+                # async dispatch, ONE readback at the end (the chip
+                # executes in order; the final float syncs them all)
+                outs = [
+                    render(bg, frames[i % 4], my_ka)["rgb"][0, 0, 0]
+                    for i in range(k)
+                ]
+                _ = float(outs[-1])
 
             run(1)
             best = None
@@ -204,7 +217,11 @@ def main():
         run_variant("r256_cap12", 16, 16, False, 12)
         run_device_loop("r256_dev", 16, 16, False, None)
     else:
-        # opaque-surface regime: caps should be near-lossless here
+        # opaque-surface regime: term_cull + caps should be
+        # near-lossless here. NB the "exact" reference for
+        # psnr_vs_exact is the r256 run (cull on, provably-zero
+        # windows dropped).
+        run_variant("r256_nocull", 16, 16, False, None, cull=False)
         run_variant("r256_cap16", 16, 16, False, 16)
         run_variant("r256_cap12", 16, 16, False, 12)
         run_variant("r256_cap8", 16, 16, False, 8)

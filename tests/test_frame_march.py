@@ -98,3 +98,57 @@ class TestRenderFramePallas:
             max_windows=1,
         )
         assert int(fast["n_windows"]) < int(full["n_windows"])
+
+    def test_term_cull_opaque_parity(self):
+        """Analytic occlusion cull: on an opaque grid it must DROP
+        windows yet keep the frame within march tolerance of the
+        uncapped tile march (the culled windows' weights are zero by
+        the transmittance bound)."""
+        from dataclasses import replace
+
+        # 32^3 so the sphere has fully-interior bricks: the cull's
+        # min-density bound is 0 for any brick that straddles the
+        # surface (empty cells), so it only fires through interiors
+        g = random_grid(32, seed=11)
+        # opaque regime: tau/sample >> 1 inside occupied bricks
+        g = replace(g, density_data=g.density_data * 400.0 + 50.0)
+        bg = from_sparse_grid(g)
+        rays = tile_rays(3, seed=12)
+        opts = GridRenderOptions(step_size=0.5)
+        ka = tm.build_packed_kernel_arrays(bg)
+        ref = tm.render_tiles_pallas(bg, rays, opts, kernel_arrays=ka)
+        full = render_frame_pallas(
+            bg, rays, opts, kernel_arrays=ka, use_occupancy=False,
+            term_cull=False,
+        )
+        culled = render_frame_pallas(
+            bg, rays, opts, kernel_arrays=ka, use_occupancy=False,
+            term_cull=True,
+        )
+        assert int(culled["n_windows"]) < int(full["n_windows"])
+        np.testing.assert_allclose(
+            np.asarray(culled["rgb"]), np.asarray(ref["rgb"]),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(culled["rgb"]), np.asarray(full["rgb"]),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_term_cull_translucent_noop(self):
+        """With low densities the bound never fires: the cull must be
+        a no-op (same window count, bit-identical output)."""
+        bg, rays, opts = _setup(seed=13)
+        ka = tm.build_packed_kernel_arrays(bg)
+        a = render_frame_pallas(
+            bg, rays, opts, kernel_arrays=ka, use_occupancy=False,
+            term_cull=True,
+        )
+        b = render_frame_pallas(
+            bg, rays, opts, kernel_arrays=ka, use_occupancy=False,
+            term_cull=False,
+        )
+        assert int(a["n_windows"]) == int(b["n_windows"])
+        np.testing.assert_array_equal(
+            np.asarray(a["rgb"]), np.asarray(b["rgb"])
+        )
