@@ -64,6 +64,7 @@ def render_frame_pallas(
     return_depth: bool = False,
     early_stop: bool = True,
     term_cull: bool = True,
+    gather_fetch: bool = False,
 ):
     """Render a whole frame of [T, r] ray tiles in one jitted program.
 
@@ -208,13 +209,30 @@ def render_frame_pallas(
         tiles_g = jnp.full((group,), T, jnp.int32).at[lt_g].set(tw_g)
         pack_g = pack_ext[tiles_g]
         state_g = carry[tiles_g]
-        out_g = _march_frame_group(
-            density_z, sh_z, lt_g, first_g, rows_g, orig_g, basis_g,
-            pack_g, state_g, bg.basis_dim, opts.color_mode,
-            early_stop_logt=(
-                -float(np.log(opts.stop_thresh)) if early_stop else None
-            ),
-        )
+        logt = -float(np.log(opts.stop_thresh)) if early_stop else None
+        if gather_fetch:
+            # XLA row-gather of each window's 8 corner bricks into a
+            # contiguous per-window buffer: the kernel then fetches
+            # 1-2 big DMAs per step instead of 8 row fetches (the
+            # per-window fetch-issue cost is the frame renderer's
+            # dominant term), at the price of one extra HBM
+            # write+read of the gathered stream per group
+            rws = rows_g[:, 0]                       # [group, 8]
+            if sh_z is None:
+                dz_g, sz_g = density_z[rws], None
+            else:
+                dz_g, sz_g = density_z[rws], sh_z[rws]
+            out_g = _march_frame_group(
+                dz_g, sz_g, lt_g, first_g, None, orig_g, basis_g,
+                pack_g, state_g, bg.basis_dim, opts.color_mode,
+                early_stop_logt=logt, gathered=True,
+            )
+        else:
+            out_g = _march_frame_group(
+                density_z, sh_z, lt_g, first_g, rows_g, orig_g,
+                basis_g, pack_g, state_g, bg.basis_dim,
+                opts.color_mode, early_stop_logt=logt,
+            )
         return carry.at[tiles_g].set(out_g)
 
     carry0 = jnp.zeros((T + 1, 8, r), jnp.float32)

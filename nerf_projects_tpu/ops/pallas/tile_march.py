@@ -377,7 +377,8 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
                      emit_samples: bool = False,
                      packed: bool = False,
                      flat_state: bool = False,
-                     early_stop_logt=None):
+                     early_stop_logt=None,
+                     gathered: bool = False):
     """flat_state: the FLAT-WINDOW variant (render_frame_pallas). The
     grid is (W, 1) over a frame's active windows in tile-major order;
     per-tile compositing state is seeded from a `state` input block on
@@ -386,9 +387,19 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
     it across the tile's consecutive windows exactly as the (T, C)
     grid does."""
     assert not (flat_state and emit_samples)
+    assert not (gathered and not flat_state)
 
     def kernel(*refs):
-        if flat_state:
+        if flat_state and gathered:
+            # gathered mode: the caller pre-gathered each window's 8
+            # corner bricks into ONE contiguous per-window block, so
+            # the step issues 1-2 big DMAs instead of 8 row fetches
+            # (rows leave the scalar-prefetch set entirely)
+            (_tw_ref, first_ref, orig_ref, basis_ref,
+             pack_ref) = refs[:5]
+            rest = refs[5:]
+            state_ref, rest = rest[0], rest[1:]
+        elif flat_state:
             # tw_ref is consumed by the index maps only
             (_tw_ref, first_ref, rows_ref, orig_ref, basis_ref,
              pack_ref) = refs[:6]
@@ -401,14 +412,42 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
             # ONE block per corner (1, B+1, 8, 192): SH slots 0..B-1,
             # density x3-interleaved in slot B — halves the per-step
             # DMA issues, the dominant cost of the latency-bound march
-            pk = rest[:8]
-            out_ref = rest[8]
-            samp_ref = rest[9] if emit_samples else None
+            if gathered:
+                gref = rest[0]
+                out_ref = rest[1]
+                samp_ref = None
+
+                def get_pk(k):
+                    return gref[0, k]
+            else:
+                pk = rest[:8]
+                out_ref = rest[8]
+                samp_ref = rest[9] if emit_samples else None
+
+                def get_pk(k):
+                    return pk[k][0]
         else:
-            bricks = rest[:8]     # density (1, 8, 64) each
-            sh = rest[8:16]       # SH (1, B, 8, 192) each
-            out_ref = rest[16]
-            samp_ref = rest[17] if emit_samples else None
+            if gathered:
+                gd_ref, gs_ref = rest[0], rest[1]
+                out_ref = rest[2]
+                samp_ref = None
+
+                def get_d(k):
+                    return gd_ref[0, k]
+
+                def get_sh(k):
+                    return gs_ref[0, k]
+            else:
+                bricks = rest[:8]     # density (1, 8, 64) each
+                sh = rest[8:16]       # SH (1, B, 8, 192) each
+                out_ref = rest[16]
+                samp_ref = rest[17] if emit_samples else None
+
+                def get_d(k):
+                    return bricks[k][0]
+
+                def get_sh(k):
+                    return sh[k][0]
         t = pl.program_id(0)
         c = pl.program_id(1)
 
@@ -492,17 +531,18 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
 
                 if packed:
                     Wp = jnp.concatenate(
-                        [decode(pk[k0][0]), decode(pk[k1][0])], axis=0
+                        [decode(get_pk(k0)), decode(get_pk(k1))], axis=0
                     )                                    # [16, 192]
                     dp = jnp.concatenate(
-                        [pk[k0][0, basis_dim], pk[k1][0, basis_dim]], axis=0
+                        [get_pk(k0)[basis_dim], get_pk(k1)[basis_dim]],
+                        axis=0
                     )                                    # [16, 192]
                 else:
                     Wp = jnp.concatenate(
-                        [decode(sh[k0][0]), decode(sh[k1][0])], axis=0
+                        [decode(get_sh(k0)), decode(get_sh(k1))], axis=0
                     )
                     dp = jnp.concatenate(
-                        [bricks[k0][0], bricks[k1][0]], axis=0
+                        [get_d(k0), get_d(k1)], axis=0
                     )                                    # [16, 64]
 
                 if packed:
@@ -799,7 +839,7 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
 
 def _march_frame_group(density_z, sh_z, lt, first, rows, orig, basisf,
                        pack_g, state_g, basis_dim, color_mode="bias",
-                       early_stop_logt=None):
+                       early_stop_logt=None, gathered=False):
     """One flat window group of a whole-frame march (see
     ops/pallas/frame_march.py). The grid is (W, 1) over active windows
     in tile-major order; consecutive windows of the same tile share an
@@ -818,12 +858,63 @@ def _march_frame_group(density_z, sh_z, lt, first, rows, orig, basisf,
       pack_g [S, 16, r] f32    ray pack rows per local slot
       state_g[S, 8, r]  f32    carry rows per local slot
 
+    `gathered`: density_z/sh_z are PER-WINDOW pre-gathered corner
+    blocks ([W, 8, B+1, 8, 192] packed, or ([W, 8, 8, 64],
+    [W, 8, B, 8, 192])) — the step issues 1-2 contiguous DMAs instead
+    of 8 row fetches, and `rows` leaves the scalar-prefetch set (pass
+    rows=None).
+
     Returns out [S, 8, r]; slots never referenced by `lt` are
     unspecified (callers scatter through a dummy row)."""
     W = lt.shape[0]
     S = pack_g.shape[0]
     r = pack_g.shape[-1]
     packed = sh_z is None
+
+    if gathered:
+        def local(_i):
+            return pl.BlockSpec(
+                (1, pack_g.shape[1] if _i == 0 else 8, r),
+                lambda w, c, lt, first, orig, basisf: (lt[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        gmap5 = lambda w, c, lt, first, orig, basisf: (w, 0, 0, 0, 0)
+        gmap4 = lambda w, c, lt, first, orig, basisf: (w, 0, 0, 0)
+        if packed:
+            brick_specs = [pl.BlockSpec(
+                (1, 8, basis_dim + 1, 8, 192), gmap5,
+                memory_space=pltpu.VMEM,
+            )]
+            brick_args = [density_z]
+        else:
+            brick_specs = [
+                pl.BlockSpec((1, 8, 8, 64), gmap4,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, basis_dim, 8, 192), gmap5,
+                             memory_space=pltpu.VMEM),
+            ]
+            brick_args = [density_z, sh_z]
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(W, 1),
+            in_specs=[local(0), local(1), *brick_specs],
+            out_specs=pl.BlockSpec(
+                (1, 8, r),
+                lambda w, c, lt, first, orig, basisf: (lt[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        return pl.pallas_call(
+            _make_fwd_kernel(basis_dim, r, color_mode, packed=packed,
+                             flat_state=True,
+                             early_stop_logt=early_stop_logt,
+                             gathered=True),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((S, 8, r), jnp.float32),
+            interpret=INTERPRET,
+        )(lt, first, orig, basisf, pack_g, state_g, *brick_args)
 
     def local(_i):
         return pl.BlockSpec(

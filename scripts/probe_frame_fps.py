@@ -93,7 +93,8 @@ def main():
 
     exact_rgb = {}
 
-    def run_variant(name, th, tw, occ, cap, stop=True, cull=True):
+    def run_variant(name, th, tw, occ, cap, stop=True, cull=True,
+                    gather=False):
         if ONLY and name not in ONLY:
             return
         my_ka = tuple_ka() if th * tw == 256 else ka
@@ -109,6 +110,7 @@ def main():
                     bg_, rays, opts, kernel_arrays=ka_, n_chunks=C,
                     use_occupancy=occ, max_windows=cap,
                     early_stop=stop, term_cull=cull,
+                    gather_fetch=gather,
                 )
 
             out = render(bg, frames[0], my_ka)
@@ -210,6 +212,8 @@ def main():
     # occupancy PLAN at ~2 s/frame while pruning <25% of windows on a
     # shell scene (the rows != nb activity already encodes geometry).
     run_variant("r256", 16, 16, False, None)
+    run_variant("r256_gather", 16, 16, False, None, gather=True)
+    run_variant("r128_gather", 8, 16, False, None, gather=True)
     run_variant("r256_nostop", 16, 16, False, None, stop=False)
     if SIGMA == 1.0:
         run_variant("r128", 8, 16, False, None)

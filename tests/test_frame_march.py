@@ -152,3 +152,27 @@ class TestRenderFramePallas:
         np.testing.assert_array_equal(
             np.asarray(a["rgb"]), np.asarray(b["rgb"])
         )
+
+    @pytest.mark.parametrize("r256", [False, True])
+    def test_gather_fetch_parity(self, r256):
+        """Gathered-fetch mode (per-window contiguous corner blocks,
+        1-2 DMAs/step) must match the 8-row-fetch path bit for bit."""
+        bg, rays, opts = _setup(seed=17, r256=r256)
+        ka = (
+            tm.build_kernel_arrays(bg) if r256
+            else tm.build_packed_kernel_arrays(bg)
+        )
+        a = render_frame_pallas(
+            bg, rays, opts, kernel_arrays=ka, use_occupancy=False,
+            gather_fetch=False,
+        )
+        b = render_frame_pallas(
+            bg, rays, opts, kernel_arrays=ka, use_occupancy=False,
+            gather_fetch=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a["rgb"]), np.asarray(b["rgb"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a["acc"]), np.asarray(b["acc"])
+        )
