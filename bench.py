@@ -211,6 +211,16 @@ def _tile_rays(key, n_tiles, radius=3.0, focal_px=800.0, tile_shape=(8, 16)):
 
 
 def bench_plenoxels_train(reso=256, tiles=40):
+    """Plenoxels train step, slope-fit over scan-wrapped steps.
+
+    BENCH_PLEN_STEP selects the step mode (all parity-tested against
+    each other in tests/test_sparse_step.py):
+      brick  — brick-layout masters (train_step_tiles_pallas)
+      packed — fully-packed state, dense update (train_step_tiles_packed)
+      sparse — kernel-layout state, exact-lazy touched-row update
+               (train_step_tiles_sparse) — the ship mode: the dense
+               modes pay an O(grid) optimizer sweep per step
+    """
     if SMOKE:
         reso, tiles = 32, 2
     from nerf_projects_tpu.ops.grid import GridRenderOptions
@@ -218,6 +228,7 @@ def bench_plenoxels_train(reso=256, tiles=40):
 
     import functools
 
+    mode = os.environ.get("BENCH_PLEN_STEP", "sparse")
     bg = _plenoxels_setup(reso)
     trainer = PlenoxelsTrainer(
         GridRenderOptions(step_size=0.5), n_iters=128_000,
@@ -226,42 +237,78 @@ def bench_plenoxels_train(reso=256, tiles=40):
         # delta does not reproduce above cross-process relay jitter;
         # keep the reference-faithful f32 accumulation as the default
     )
-    rms = trainer.init_rms_bricks(bg)
     rays = _tile_rays(jax.random.PRNGKey(2), tiles)
     target = jnp.full(rays.origins.shape[:2] + (3,), 0.4)
 
     # scan-wrapped steps: per-dispatch host cost (~15-30 ms through the
     # relay) would otherwise swamp the step time
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
-    def scan_steps(k, b, r, key):
-        def body(carry, i):
-            b, r = carry
-            b, r, stats = trainer.train_step_tiles_pallas(
-                b, r, rays, target, i, jax.random.fold_in(key, i.astype(jnp.int32)),
+    if mode == "brick":
+        rms = trainer.init_rms_bricks(bg)
+
+        @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+        def scan_steps(k, st, key):
+            def body(carry, i):
+                b, r = carry
+                b, r, stats = trainer.train_step_tiles_pallas(
+                    b, r, rays, target, i,
+                    jax.random.fold_in(key, i.astype(jnp.int32)),
+                )
+                return (b, r), stats["mse"]
+
+            return jax.lax.scan(
+                body, st, jnp.arange(k, dtype=jnp.float32)
             )
-            return (b, r), stats["mse"]
 
-        (b, r), mses = jax.lax.scan(
-            body, (b, r), jnp.arange(k, dtype=jnp.float32)
-        )
-        return b, r, mses
+        holder = {"st": (bg, rms)}
+    else:
+        from nerf_projects_tpu.train import plenoxels_sparse as ps
 
-    holder = {"bg": bg, "rms": rms}
+        geom = bg
+        if mode == "packed":
+            st0 = ps.packed_state_from_grid(bg)
+
+            def step(st, i, key):
+                return ps.train_step_tiles_packed(
+                    trainer, geom, st, rays, target, i, key
+                )
+        else:
+            st0 = ps.sparse_state_from_grid(
+                bg, shared_kernel_arrays=True
+            )
+
+            def step(st, i, key):
+                return ps.train_step_tiles_sparse(
+                    trainer, geom, st, rays, target, i, key,
+                    max_touched=None,
+                )
+
+        @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+        def scan_steps(k, st, key):
+            def body(st, i):
+                st, stats = step(
+                    st, i, jax.random.fold_in(key, i)
+                )
+                return st, stats["mse"]
+
+            return jax.lax.scan(
+                body, st, jnp.arange(k, dtype=jnp.int32)
+            )
+
+        holder = {"st": st0}
 
     def run(k):
-        b, r, mses = scan_steps(k, holder["bg"], holder["rms"],
-                                jax.random.PRNGKey(k))
+        st, mses = scan_steps(k, holder["st"], jax.random.PRNGKey(k))
         _ = float(mses[-1])
-        holder["bg"], holder["rms"] = b, r
+        holder["st"] = st
 
     per_step = slope_timed(run, lo=5, hi=25)
     n_rays = tiles * 128
     emit(
         "plenoxels_train_rays_per_sec", n_rays / per_step, "rays/s",
-        vs_baseline=None, reso=reso,
+        vs_baseline=None, reso=reso, step_mode=mode,
         baseline_note="no recorded reference throughput in repo; "
         "reference trains a scene (128k steps x 5k rays) in tens of "
-        "minutes on a desktop GPU",
+        "minutes on a desktop GPU (~400-800k rays/s implied)",
     )
 
 
