@@ -215,11 +215,16 @@ def bench_plenoxels_train(reso=256, tiles=40):
 
     BENCH_PLEN_STEP selects the step mode (all parity-tested against
     each other in tests/test_sparse_step.py):
-      brick  — brick-layout masters (train_step_tiles_pallas)
-      packed — fully-packed state, dense update (train_step_tiles_packed)
-      sparse — kernel-layout state, exact-lazy touched-row update
-               (train_step_tiles_sparse) — the ship mode: the dense
-               modes pay an O(grid) optimizer sweep per step
+      brick   — brick-layout masters (train_step_tiles_pallas)
+      packed  — fully-packed state, dense update (train_step_tiles_packed)
+      sparse  — multi-array state, unique()-based touched-row update
+                (train_step_tiles_sparse)
+      touched — fully-packed state, flag+cumsum touched-row update,
+                lazy-exact RMSprop (train_step_tiles_packed_touched) —
+                the ship mode: the dense modes pay an O(grid)
+                optimizer sweep per step, and `sparse`'s
+                unique/searchsorted + 4-array scatter measured ~58 ms
+                of overhead the flag compaction avoids
     """
     if SMOKE:
         reso, tiles = 32, 2
@@ -228,7 +233,7 @@ def bench_plenoxels_train(reso=256, tiles=40):
 
     import functools
 
-    mode = os.environ.get("BENCH_PLEN_STEP", "sparse")
+    mode = os.environ.get("BENCH_PLEN_STEP", "touched")
     bg = _plenoxels_setup(reso)
     trainer = PlenoxelsTrainer(
         GridRenderOptions(step_size=0.5), n_iters=128_000,
@@ -270,6 +275,14 @@ def bench_plenoxels_train(reso=256, tiles=40):
             def step(st, i, key):
                 return ps.train_step_tiles_packed(
                     trainer, geom, st, rays, target, i, key
+                )
+        elif mode == "touched":
+            st0 = ps.packed_state_from_grid(bg)
+
+            def step(st, i, key):
+                return ps.train_step_tiles_packed_touched(
+                    trainer, geom, st, rays, target, i, key,
+                    max_touched=2048 if SMOKE else 16384,
                 )
         else:
             st0 = ps.sparse_state_from_grid(

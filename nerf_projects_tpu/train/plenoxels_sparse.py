@@ -371,10 +371,15 @@ class PackedState(NamedTuple):
     B — see pack_kernel_arrays) plus an rms accumulator of the same
     shape. The march fetches one block per window corner, the backward
     emits one gradient block per corner, the step does one scatter and
-    one optimizer sweep."""
+    one optimizer sweep.
+
+    `last_step` (int32 [nb+1], -1 = never touched) exists for the
+    TOUCHED-row step's lazy-exact RMSprop decay; the dense packed step
+    carries it unchanged."""
 
     packed_k: jnp.ndarray
     rms: jnp.ndarray
+    last_step: Optional[jnp.ndarray] = None
 
     @property
     def basis_dim(self) -> int:
@@ -392,7 +397,8 @@ def packed_state_from_grid(bg: BrickGrid,
     )
     packed = pack_kernel_arrays(dk, sk)
     return PackedState(packed_k=packed,
-                       rms=jnp.zeros(packed.shape, rms_dtype))
+                       rms=jnp.zeros(packed.shape, rms_dtype),
+                       last_step=jnp.full((nb + 1,), -1, jnp.int32))
 
 
 def grid_from_packed_state(bg: BrickGrid, st: PackedState) -> BrickGrid:
@@ -512,7 +518,8 @@ def train_step_tiles_packed(
 
     psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)
     return (
-        PackedState(packed_k=new, rms=rms.astype(st.rms.dtype)),
+        PackedState(packed_k=new, rms=rms.astype(st.rms.dtype),
+                    last_step=st.last_step),
         {"loss": mse, "mse": mse, "psnr": psnr,
          "window_miss": aux["window_miss"]},
     )
@@ -532,6 +539,193 @@ def train_step_tiles_packed_jit(
         trainer, bg, st, rays, target, step, key,
         use_occupancy=use_occupancy, compact_chunks=compact_chunks,
         n_chunks=n_chunks,
+    )
+
+
+def train_step_tiles_packed_touched(
+    trainer,
+    bg: BrickGrid,
+    st: PackedState,
+    rays: Rays,
+    target: jnp.ndarray,
+    step: jnp.ndarray,
+    key: jax.Array,
+    *,
+    max_touched: int = 12288,
+    use_occupancy: bool = False,
+    compact_chunks: Optional[int] = None,
+    n_chunks: Optional[int] = None,
+):
+    """Touched-row train step on the fully-packed state — the fast
+    sparse path. Same math as `train_step_tiles_packed` (fused kernels
+    + sampled TV + RMSprop/SGD, lazy-EXACT: an untouched row's update
+    is identically zero and its rms decay is applied in closed form
+    b^D on next touch), but the optimizer reads/writes ONLY the rows
+    the step touched, so the dense modes' O(grid) sweep (HBM floor
+    ~12 ms per 2 GB state pass at 256^3) does not exist.
+
+    Touched rows are found WITHOUT sort: scatter a dense flag
+    [nb+1], exclusive-cumsum for each touched row's compact slot, and
+    scatter row ids into the [max_touched] slot list (ascending by
+    construction). `max_touched` is a static bound on unique touched
+    bricks; overflowing rows are dropped and reported in
+    stats["touched_overflow"] (fraction of unique rows dropped).
+
+    `step` must be an int32 scalar that equals the true global step
+    (the lazy decay is keyed on it). Replaces the reference's
+    always-dense RMSprop sweep (opt.py optim_density_step /
+    svox2.cu rmsprop_step kernels) with the update locality its
+    sparse-gradient structure implies.
+    """
+    if trainer.lambda_l2_sh > 0 or trainer.lambda_tv_lumisphere > 0:
+        raise ValueError(
+            "packed step does not support lambda_l2_sh / "
+            "lambda_tv_lumisphere; use train_step_tiles_pallas"
+        )
+    if trainer.sigma_optim != trainer.sh_optim:
+        raise ValueError(
+            "packed step requires sigma_optim == sh_optim"
+        )
+    if st.last_step is None:
+        raise ValueError(
+            "touched step needs PackedState.last_step "
+            "(packed_state_from_grid provides it)"
+        )
+    nb, B = bg.n_bricks, st.basis_dim
+    K = int(max_touched)
+    fstep = step.astype(jnp.float32)
+
+    rgb, _gd, gp_blocks, rows, aux = fused_grad_blocks(
+        bg, rays, target, trainer.opts,
+        beta_loss=trainer.lambda_beta,
+        sparsity_loss=trainer.lambda_sparsity,
+        use_occupancy=use_occupancy,
+        kernel_arrays=st.packed_k,
+        grad_dtype=trainer.grad_block_dtype,
+        compact_chunks=compact_chunks,
+        n_chunks=n_chunks,
+    )
+    mse = jnp.mean((rgb - target) ** 2)
+    rows_r = rows.reshape(-1)
+
+    # sampled TV FIRST so its rows join the touched flag
+    k_tv, k_sh = jax.random.split(key)
+    tv_parts = []
+    if trainer.lambda_tv > 0:
+        w = max(int(trainer.tv_sparsity * nb), 1)
+        srows = sample_brick_window(k_tv, nb, w)
+        r4, v4 = tv_grad_brick_blocks(
+            bg,
+            lambda r: st.packed_k[r, B].reshape(
+                -1, 8, 64, 3
+            )[..., 0].reshape(-1, 512, 1),
+            srows, scale=trainer.lambda_tv, ignore_edge=False,
+        )
+        tv_parts.append(("d", jnp.where(r4 < 0, nb, r4), v4))
+    if trainer.lambda_tv_sh > 0:
+        w = max(int(trainer.tv_sh_sparsity * nb), 1)
+        srows = sample_brick_window(k_sh, nb, w)
+        r4, v4 = tv_grad_brick_blocks(
+            bg, lambda r: kernel_layout_to_sh(st.packed_k[r, :B], B),
+            srows, scale=trainer.lambda_tv_sh, ignore_edge=True,
+        )
+        tv_parts.append(("s", jnp.where(r4 < 0, nb, r4), v4))
+
+    # ---- touched-row compaction: flag -> cumsum slots (no sort) ----
+    flag = jnp.zeros((nb + 1,), jnp.int32).at[rows_r].set(1)
+    for _, r4, _v in tv_parts:
+        flag = flag.at[r4].set(1)
+    flag = flag.at[nb].set(0)
+    pos = jnp.cumsum(flag) - flag                  # exclusive
+    n_touched = pos[-1] + flag[-1]
+    live = (flag == 1) & (pos < K)
+    slot = jnp.where(live, pos, K)                 # dense row -> slot
+    uniq_rows = jnp.full((K + 1,), nb, jnp.int32).at[
+        jnp.where(live, pos, K)
+    ].set(jnp.arange(nb + 1, dtype=jnp.int32))[:K]  # ascending
+    overflow = jnp.maximum(n_touched - K, 0) / jnp.maximum(
+        n_touched, 1
+    )
+
+    # ---- segment-sum all gradient blocks into the slot space -------
+    acc = jnp.zeros(
+        (K + 1, B + 1, 8, 192), jnp.float32
+    ).at[slot[rows_r]].add(
+        gp_blocks.reshape(-1, B + 1, 8, 192).astype(jnp.float32)
+    )
+    for kind, r4, v4 in tv_parts:
+        if kind == "d":
+            acc = acc.at[slot[r4], B].add(
+                jnp.repeat(v4[..., 0].reshape(-1, 8, 64), 3, axis=-1)
+            )
+        else:
+            acc = acc.at[slot[r4], :B].add(sh_to_kernel_layout(v4, B))
+    acc = acc[:K]
+
+    # ---- lazy-exact optimizer on the touched rows ------------------
+    cm = jnp.concatenate(
+        [bg.cell_mask, jnp.zeros_like(bg.cell_mask[:1])]
+    )[uniq_rows].astype(jnp.float32)               # [K, 512]
+    mp = jnp.repeat(cm.reshape(K, 8, 64), 3, axis=-1)[:, None]
+
+    lr_sigma = trainer.lr_sigma_fn(fstep)
+    lr_sh = trainer.lr_sh_fn(fstep)
+    slot_ax = jnp.arange(B + 1)
+    lr_vec = jnp.where(
+        slot_ax == B, lr_sigma, lr_sh
+    )[None, :, None, None]
+
+    g = acc * mp
+    pk_rows = st.packed_k[uniq_rows]
+    if trainer.sigma_optim == "rmsprop":
+        b = trainer.rms_beta
+        delta = (step - st.last_step[uniq_rows]).astype(jnp.float32)
+        decay = jnp.power(b, delta)[:, None, None, None]
+        rms_rows = decay * st.rms[uniq_rows].astype(jnp.float32) + (
+            1.0 - b
+        ) * g * g
+        upd = lr_vec * g / (jnp.sqrt(rms_rows) + 1e-8)
+    else:
+        rms_rows = st.rms[uniq_rows].astype(jnp.float32)
+        upd = lr_vec * g
+    new = pk_rows - upd
+    if trainer.density_minval > -1e8:
+        new = jnp.where(
+            slot_ax[None, :, None, None] == B,
+            jnp.maximum(new, trainer.density_minval), new,
+        )
+    new = new * mp  # empty slots carry row nb -> stay exactly zero
+
+    new_st = PackedState(
+        packed_k=st.packed_k.at[uniq_rows].set(new),
+        rms=st.rms.at[uniq_rows].set(rms_rows.astype(st.rms.dtype)),
+        last_step=st.last_step.at[uniq_rows].set(step).at[nb].set(-1),
+    )
+    psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)
+    return new_st, {
+        "loss": mse, "mse": mse, "psnr": psnr,
+        "window_miss": aux["window_miss"],
+        "touched_overflow": overflow,
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=(
+        "max_touched", "use_occupancy", "compact_chunks", "n_chunks",
+    ),
+    donate_argnums=(2,),
+)
+def train_step_tiles_packed_touched_jit(
+    trainer, bg, st, rays, target, step, key, *,
+    max_touched=12288, use_occupancy=False, compact_chunks=None,
+    n_chunks=None,
+):
+    return train_step_tiles_packed_touched(
+        trainer, bg, st, rays, target, step, key,
+        max_touched=max_touched, use_occupancy=use_occupancy,
+        compact_chunks=compact_chunks, n_chunks=n_chunks,
     )
 
 

@@ -274,3 +274,57 @@ class TestSparseBf16Rms:
         scale = np.abs(b).max() + 1e-12
         close = np.isclose(a / scale, b / scale, rtol=0, atol=2e-2)
         assert close.mean() > 0.99
+
+
+class TestPackedTouchedStep:
+    def test_matches_packed_dense_update(self):
+        """Touched-row packed step == dense packed step numerics:
+        identical kernels + TV; the lazy b^D rms decay must reproduce
+        the dense sweep's per-step decay exactly (disjoint ray sets
+        across steps leave rows untouched in between)."""
+        trainer = make_trainer()
+        g = random_grid(24, seed=9)
+        bg = from_sparse_grid(g)
+        st_d = ps.packed_state_from_grid(bg)
+        st_t = ps.packed_state_from_grid(bg)
+
+        for i in range(4):
+            rays = tile_rays(2, seed=900 + 11 * i)
+            target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+            key = jax.random.PRNGKey(i)
+            step_i = jnp.asarray(i, jnp.int32)
+            st_t, tstats = ps.train_step_tiles_packed_touched(
+                trainer, bg, st_t, rays, target, step_i, key,
+                max_touched=4096,
+            )
+            st_d, dstats = ps.train_step_tiles_packed(
+                trainer, bg, st_d, rays, target, step_i, key,
+            )
+            np.testing.assert_allclose(
+                float(tstats["mse"]), float(dstats["mse"]),
+                rtol=1e-5, atol=1e-7,
+            )
+            assert float(tstats["touched_overflow"]) == 0.0
+        np.testing.assert_allclose(
+            np.asarray(st_t.packed_k), np.asarray(st_d.packed_k),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_t.rms), np.asarray(st_d.rms),
+            rtol=1e-4, atol=1e-6,
+        )
+
+    def test_overflow_reported(self):
+        trainer = make_trainer()
+        g = random_grid(24, seed=10)
+        bg = from_sparse_grid(g)
+        st = ps.packed_state_from_grid(bg)
+        rays = tile_rays(2, seed=31)
+        target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+        st, stats = ps.train_step_tiles_packed_touched(
+            trainer, bg, st, rays, target,
+            jnp.asarray(0, jnp.int32), jax.random.PRNGKey(0),
+            max_touched=8,
+        )
+        assert float(stats["touched_overflow"]) > 0.0
+        assert bool(jnp.all(jnp.isfinite(st.packed_k)))
