@@ -279,10 +279,14 @@ def bench_plenoxels_train(reso=256, tiles=40):
         elif mode == "touched":
             st0 = ps.packed_state_from_grid(bg)
 
+            k_cap = int(os.environ.get(
+                "BENCH_PLEN_TOUCHED", 2048 if SMOKE else 16384
+            ))
+
             def step(st, i, key):
                 return ps.train_step_tiles_packed_touched(
                     trainer, geom, st, rays, target, i, key,
-                    max_touched=2048 if SMOKE else 16384,
+                    max_touched=k_cap,
                 )
         else:
             st0 = ps.sparse_state_from_grid(
