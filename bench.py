@@ -305,7 +305,10 @@ def bench_plenoxels_train(reso=256, tiles=40):
                 st, stats = step(
                     st, i, jax.random.fold_in(key, i)
                 )
-                return st, stats["mse"]
+                return st, (
+                    stats["mse"],
+                    stats.get("touched_overflow", jnp.zeros(())),
+                )
 
             return jax.lax.scan(
                 body, st, jnp.arange(k, dtype=jnp.int32)
@@ -313,8 +316,15 @@ def bench_plenoxels_train(reso=256, tiles=40):
 
         holder = {"st": st0}
 
+    overflow = {"max": 0.0}
+
     def run(k):
-        st, mses = scan_steps(k, holder["st"], jax.random.PRNGKey(k))
+        st, out = scan_steps(k, holder["st"], jax.random.PRNGKey(k))
+        if isinstance(out, tuple):
+            mses, ovf = out
+            overflow["max"] = max(overflow["max"], float(ovf.max()))
+        else:
+            mses = out
         _ = float(mses[-1])
         holder["st"] = st
 
@@ -323,6 +333,7 @@ def bench_plenoxels_train(reso=256, tiles=40):
     emit(
         "plenoxels_train_rays_per_sec", n_rays / per_step, "rays/s",
         vs_baseline=None, reso=reso, step_mode=mode,
+        touched_overflow=round(overflow["max"], 5),
         baseline_note="no recorded reference throughput in repo; "
         "reference trains a scene (128k steps x 5k rays) in tens of "
         "minutes on a desktop GPU (~400-800k rays/s implied)",
