@@ -266,15 +266,25 @@ def bench_plenoxels_train(reso=256, tiles=40):
 
         holder = {"st": (bg, rms)}
     else:
+        from nerf_projects_tpu.ops.pallas.tile_march import (
+            required_chunks,
+        )
         from nerf_projects_tpu.train import plenoxels_sparse as ps
 
         geom = bg
+        # exact per-batch chunk bound (the scene is sphere-bounded:
+        # ~34 of the 56 planned chunks are ever active; compaction
+        # drops the rest from the kernels, block emission and scatter
+        # with dropped_active == 0)
+        ck = required_chunks(bg, rays, GridRenderOptions(step_size=0.5))
+        print(json.dumps({"compact_chunks": ck}), flush=True)
         if mode == "packed":
             st0 = ps.packed_state_from_grid(bg)
 
             def step(st, i, key):
                 return ps.train_step_tiles_packed(
-                    trainer, geom, st, rays, target, i, key
+                    trainer, geom, st, rays, target, i, key,
+                    compact_chunks=ck,
                 )
         elif mode == "touched":
             st0 = ps.packed_state_from_grid(bg)
@@ -286,7 +296,7 @@ def bench_plenoxels_train(reso=256, tiles=40):
             def step(st, i, key):
                 return ps.train_step_tiles_packed_touched(
                     trainer, geom, st, rays, target, i, key,
-                    max_touched=k_cap,
+                    max_touched=k_cap, compact_chunks=ck,
                 )
         else:
             st0 = ps.sparse_state_from_grid(
@@ -296,7 +306,7 @@ def bench_plenoxels_train(reso=256, tiles=40):
             def step(st, i, key):
                 return ps.train_step_tiles_sparse(
                     trainer, geom, st, rays, target, i, key,
-                    max_touched=None,
+                    max_touched=None, compact_chunks=ck,
                 )
 
         @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)

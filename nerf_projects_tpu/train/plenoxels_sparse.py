@@ -706,6 +706,7 @@ def train_step_tiles_packed_touched(
         "loss": mse, "mse": mse, "psnr": psnr,
         "window_miss": aux["window_miss"],
         "touched_overflow": overflow,
+        "dropped_active_chunks": aux["dropped_active_chunks"],
     }
 
 

@@ -131,8 +131,12 @@ def quality_plenoxels(ds):
                   f"{bg.n_bricks} bricks", flush=True)
         key, kd, kt = jax.random.split(key, 3)
         rays, target = draw(kd, n_tiles=PLENOXEL_TILES)
-        pst, st = ps.train_step_tiles_packed_jit(
-            trainer, bg, pst, rays, target, jnp.asarray(float(i)), kt
+        # touched-row step: O(touched) optimizer, lazy-exact RMSprop
+        # (parity-tested vs the dense packed step)
+        pst, st = ps.train_step_tiles_packed_touched_jit(
+            trainer, bg, pst, rays, target,
+            jnp.asarray(i, jnp.int32), kt,
+            max_touched=12288,
         )
         if i % 500 == 0:
             print(f"plenoxels step {i}: train psnr "
