@@ -7,6 +7,7 @@ import functools
 import jax, jax.numpy as jnp
 import bench as B
 from nerf_projects_tpu.ops.grid import GridRenderOptions
+from nerf_projects_tpu.ops.pallas.tile_march import sh_to_kernel_layout
 from nerf_projects_tpu.train import plenoxels_sparse as ps
 from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
 
@@ -82,7 +83,59 @@ from nerf_projects_tpu.ops.pallas.tile_march import (
 )
 geom = geometry_only(bg)
 CK = required_chunks(geom, rays, opts)
+nb, B = bg.n_bricks, bg.basis_dim
 print(json.dumps({"compact_chunks": CK}), flush=True)
+
+# ---- touched-row packed step (the ship mode): ONE f32 packed array
+# (3.8 GB at 512^3 shell) + bf16 rms (1.9 GB); the march reads the
+# packed masters directly and the optimizer touches only this step's
+# rows — the smallest-footprint AND fastest path at this scale.
+try:
+    st_t = ps.PackedState(
+        packed_k=ps.pack_kernel_arrays(
+            jnp.zeros((nb + 1, 8, 64), jnp.float32).at[:nb].set(
+                bg.density_bricks.reshape(nb, 8, 64)
+            ),
+            jnp.zeros((nb + 1, B, 8, 192), jnp.float32).at[:nb].set(
+                sh_to_kernel_layout(bg.sh_bricks, B)
+            ),
+        ),
+        rms=jnp.zeros((nb + 1, B + 1, 8, 192), jnp.bfloat16),
+        last_step=jnp.full((nb + 1,), -1, jnp.int32),
+    )
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def scan_touched(k, st, key):
+        def body(st, i):
+            st, stats = ps.train_step_tiles_packed_touched(
+                trainer, geom, st, rays, target, i,
+                jax.random.fold_in(key, i),
+                max_touched=MAX_TOUCHED, compact_chunks=CK)
+            return st, (stats["mse"], stats["touched_overflow"])
+
+        return jax.lax.scan(body, st, jnp.arange(k, dtype=jnp.int32))
+
+    sht = {"st": st_t}
+    del st_t
+    ovf = {"max": 0.0}
+
+    def run_touched(k):
+        st, (mses, o) = scan_touched(
+            k, sht["st"], jax.random.PRNGKey(k))
+        ovf["max"] = max(ovf["max"], float(o.max()))
+        _ = float(mses[-1])
+        sht["st"] = st
+
+    ms = slope(run_touched) * 1e3
+    print(json.dumps({"variant": "touched_scan", "ms": round(ms, 2),
+                      "rays_per_s": round(TILES * 128 / ms * 1e3),
+                      "tiles": TILES, "max_touched": MAX_TOUCHED,
+                      "overflow": round(ovf["max"], 5)}), flush=True)
+    del sht
+except Exception as exc:
+    print(json.dumps({"variant": "touched_scan",
+                      "error": f"{type(exc).__name__}: {exc}"[:300]}),
+          flush=True)
 
 # build the state FIELD BY FIELD with explicit free points — the
 # monolithic build holds master+kernel+bf16 copies concurrently
