@@ -210,21 +210,22 @@ def _tile_rays(key, n_tiles, radius=3.0, focal_px=800.0, tile_shape=(8, 16)):
     return Rays(o, dn, dn)
 
 
-def bench_plenoxels_train(reso=256, tiles=40):
+def bench_plenoxels_train(reso=256, tiles=40, shell=False):
     """Plenoxels train step, slope-fit over scan-wrapped steps.
 
-    BENCH_PLEN_STEP selects the step mode (all parity-tested against
-    each other in tests/test_sparse_step.py):
-      brick   — brick-layout masters (train_step_tiles_pallas)
-      packed  — fully-packed state, dense update (train_step_tiles_packed)
-      sparse  — multi-array state, unique()-based touched-row update
-                (train_step_tiles_sparse)
-      touched — fully-packed state, flag+cumsum touched-row update,
-                lazy-exact RMSprop (train_step_tiles_packed_touched) —
-                the ship mode: the dense modes pay an O(grid)
-                optimizer sweep per step, and `sparse`'s
-                unique/searchsorted + 4-array scatter measured ~58 ms
-                of overhead the flag compaction avoids
+    Two scene regimes, two metrics:
+      dense (default)          — every brick active, ~half the grid
+        touched per 5120-ray step: the worst case. Dense-update
+        `packed` wins here (hardware A/B: packed 81.6k > brick 63.9k
+        > sparse 63.5k > touched 59.9k rays/s — O(touched) degenerates
+        to O(grid) plus gather overhead when touched ~ grid/2).
+      shell (plenoxels_train_shell) — surface-topology occupancy, the
+        real-scene regime (reference scenes train like this): a step
+        touches a few thousand rows, where the touched-row step's
+        O(touched) optimizer pays.
+
+    BENCH_PLEN_STEP overrides the per-regime default (brick / packed /
+    sparse / touched — all parity-tested in tests/test_sparse_step.py).
     """
     if SMOKE:
         reso, tiles = 32, 2
@@ -233,8 +234,11 @@ def bench_plenoxels_train(reso=256, tiles=40):
 
     import functools
 
-    mode = os.environ.get("BENCH_PLEN_STEP", "touched")
-    bg = _plenoxels_setup(reso)
+    mode = os.environ.get(
+        "BENCH_PLEN_STEP", "touched" if shell else "packed"
+    )
+    bg = _shell_setup(reso, dtype=jnp.float32) if shell \
+        else _plenoxels_setup(reso)
     trainer = PlenoxelsTrainer(
         GridRenderOptions(step_size=0.5), n_iters=128_000,
         lambda_tv=1e-5, lambda_tv_sh=1e-3,
@@ -272,11 +276,13 @@ def bench_plenoxels_train(reso=256, tiles=40):
         from nerf_projects_tpu.train import plenoxels_sparse as ps
 
         geom = bg
-        # exact per-batch chunk bound (the scene is sphere-bounded:
-        # ~34 of the 56 planned chunks are ever active; compaction
-        # drops the rest from the kernels, block emission and scatter
-        # with dropped_active == 0)
-        ck = required_chunks(bg, rays, GridRenderOptions(step_size=0.5))
+        # exact per-batch chunk bound — a no-op on the dense scene
+        # (all 56 planned chunks active) but the big lever on the
+        # shell, where most planned chunks cross empty space
+        ck = required_chunks(
+            bg, rays, GridRenderOptions(step_size=0.5),
+            use_occupancy=shell,
+        )
         print(json.dumps({"compact_chunks": ck}), flush=True)
         if mode == "packed":
             st0 = ps.packed_state_from_grid(bg)
@@ -290,7 +296,8 @@ def bench_plenoxels_train(reso=256, tiles=40):
             st0 = ps.packed_state_from_grid(bg)
 
             k_cap = int(os.environ.get(
-                "BENCH_PLEN_TOUCHED", 2048 if SMOKE else 16384
+                "BENCH_PLEN_TOUCHED",
+                2048 if SMOKE else (6144 if shell else 16384),
             ))
 
             def step(st, i, key):
@@ -341,13 +348,21 @@ def bench_plenoxels_train(reso=256, tiles=40):
     per_step = slope_timed(run, lo=5, hi=25)
     n_rays = tiles * 128
     emit(
-        "plenoxels_train_rays_per_sec", n_rays / per_step, "rays/s",
+        "plenoxels_train_rays_per_sec" + ("_shell" if shell else ""),
+        n_rays / per_step, "rays/s",
         vs_baseline=None, reso=reso, step_mode=mode,
         touched_overflow=round(overflow["max"], 5),
-        baseline_note="no recorded reference throughput in repo; "
-        "reference trains a scene (128k steps x 5k rays) in tens of "
-        "minutes on a desktop GPU (~400-800k rays/s implied)",
+        baseline_note=(
+            "surface-topology scene (the regime reference scenes "
+            "train in); " if shell else "dense worst-case scene; "
+        ) + "no recorded reference throughput in repo; reference "
+        "trains a scene (128k steps x 5k rays) in tens of minutes on "
+        "a desktop GPU (~400-800k rays/s implied)",
     )
+
+
+def bench_plenoxels_train_shell(reso=256, tiles=40):
+    bench_plenoxels_train(reso, tiles, shell=True)
 
 
 # ---------------------------------------------------------------------------
@@ -614,6 +629,7 @@ def bench_grid_render_fps_shell(reso=512, frame=(800, 800)):
 WORKLOADS = {
     "nerf_train": bench_nerf_train,
     "plenoxels_train": bench_plenoxels_train,
+    "plenoxels_train_shell": bench_plenoxels_train_shell,
     "grid_render_fps": bench_grid_render_fps,
     "grid_render_fps_shell": bench_grid_render_fps_shell,
     "nerf_sh_train": bench_nerf_sh_train,
