@@ -286,11 +286,12 @@ def bench_plenoxels_train(reso=256, tiles=40, shell=False):
         print(json.dumps({"compact_chunks": ck}), flush=True)
         if mode == "packed":
             st0 = ps.packed_state_from_grid(bg)
+            wps_d = int(os.environ.get("BENCH_PLEN_WPS", 4))
 
             def step(st, i, key):
                 return ps.train_step_tiles_packed(
                     trainer, geom, st, rays, target, i, key,
-                    compact_chunks=ck,
+                    compact_chunks=ck, wps=wps_d,
                 )
         elif mode == "touched":
             st0 = ps.packed_state_from_grid(bg)
@@ -299,11 +300,26 @@ def bench_plenoxels_train(reso=256, tiles=40, shell=False):
                 "BENCH_PLEN_TOUCHED",
                 2048 if SMOKE else (6144 if shell else 16384),
             ))
+            # ship config: multi-window kernel steps (wps) + MXU
+            # per-tile block pre-reduction before the global
+            # scatter-add; both bit-parity-tested vs the plain step
+            # (tests/test_sparse_step.py). BENCH_PLEN_WPS=1 /
+            # BENCH_PLEN_TRED=0 fall back.
+            wps = int(os.environ.get("BENCH_PLEN_WPS", 4))
+            if int(os.environ.get("BENCH_PLEN_TRED", 1)):
+                k_tile = ps.required_tile_rows(
+                    bg, rays, GridRenderOptions(step_size=0.5),
+                    use_occupancy=shell, compact_chunks=ck,
+                )
+                print(json.dumps({"tile_rows": k_tile}), flush=True)
+            else:
+                k_tile = None
 
             def step(st, i, key):
                 return ps.train_step_tiles_packed_touched(
                     trainer, geom, st, rays, target, i, key,
                     max_touched=k_cap, compact_chunks=ck,
+                    wps=wps, tile_rows=k_tile,
                 )
         else:
             st0 = ps.sparse_state_from_grid(
@@ -324,7 +340,10 @@ def bench_plenoxels_train(reso=256, tiles=40, shell=False):
                 )
                 return st, (
                     stats["mse"],
-                    stats.get("touched_overflow", jnp.zeros(())),
+                    stats.get("touched_overflow", jnp.zeros(()))
+                    + stats.get(
+                        "dropped_tile_rows", jnp.zeros((), jnp.int32)
+                    ).astype(jnp.float32),
                 )
 
             return jax.lax.scan(

@@ -378,7 +378,8 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
                      packed: bool = False,
                      flat_state: bool = False,
                      early_stop_logt=None,
-                     gathered: bool = False):
+                     gathered: bool = False,
+                     wps: int = 1):
     """flat_state: the FLAT-WINDOW variant (render_frame_pallas). The
     grid is (W, 1) over a frame's active windows in tile-major order;
     per-tile compositing state is seeded from a `state` input block on
@@ -388,6 +389,15 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
     grid does."""
     assert not (flat_state and emit_samples)
     assert not (gathered and not flat_state)
+    # wps (windows per grid step): the (T, C) grid marches `wps`
+    # consecutive chunks per step — the per-step fixed cost
+    # (sequencing ~3.7 us; corner DMAs measured fully hidden, see the
+    # fwd_march_constrows bisect) amortizes over wps windows. The
+    # caller pads C to a wps multiple with sentinel rows + an
+    # out-of-range base step (contributes exactly nothing). Sub-windows
+    # run sequentially in-kernel, so results are bit-identical to
+    # wps=1.
+    assert wps == 1 or not (flat_state or gathered)
 
     def kernel(*refs):
         if flat_state and gathered:
@@ -417,37 +427,39 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
                 out_ref = rest[1]
                 samp_ref = None
 
-                def get_pk(k):
+                def get_pk(k, i=0):
                     return gref[0, k]
             else:
-                pk = rest[:8]
-                out_ref = rest[8]
-                samp_ref = rest[9] if emit_samples else None
+                pk = rest[:8 * wps]
+                out_ref = rest[8 * wps]
+                samp_ref = rest[8 * wps + 1] if emit_samples else None
 
-                def get_pk(k):
-                    return pk[k][0]
+                def get_pk(k, i=0):
+                    return pk[i * 8 + k][0]
         else:
             if gathered:
                 gd_ref, gs_ref = rest[0], rest[1]
                 out_ref = rest[2]
                 samp_ref = None
 
-                def get_d(k):
+                def get_d(k, i=0):
                     return gd_ref[0, k]
 
-                def get_sh(k):
+                def get_sh(k, i=0):
                     return gs_ref[0, k]
             else:
-                bricks = rest[:8]     # density (1, 8, 64) each
-                sh = rest[8:16]       # SH (1, B, 8, 192) each
-                out_ref = rest[16]
-                samp_ref = rest[17] if emit_samples else None
+                bricks = rest[:8 * wps]      # density (1, 8, 64) each
+                sh = rest[8 * wps:16 * wps]  # SH (1, B, 8, 192) each
+                out_ref = rest[16 * wps]
+                samp_ref = (
+                    rest[16 * wps + 1] if emit_samples else None
+                )
 
-                def get_d(k):
-                    return bricks[k][0]
+                def get_d(k, i=0):
+                    return bricks[i * 8 + k][0]
 
-                def get_sh(k):
-                    return sh[k][0]
+                def get_sh(k, i=0):
+                    return sh[i * 8 + k][0]
         t = pl.program_id(0)
         c = pl.program_id(1)
 
@@ -460,7 +472,8 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
             def _():
                 out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-        def _march_window():
+        def _march_window(i=0):
+            cc = c if wps == 1 else c * wps + i
             pack = pack_ref[0]            # [16, 128]
             og = pack[0:3]
             dg = pack[3:6]
@@ -475,7 +488,7 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
             # comes from the plan (orig col 3) so empty chunks can be
             # compacted away without changing the t parametrization
             step_idx = (
-                orig_ref[t, c, 3].astype(jnp.float32)
+                orig_ref[t, cc, 3].astype(jnp.float32)
                 + jax.lax.broadcasted_iota(jnp.int32, (SC, r), 0).astype(
                     jnp.float32
                 )
@@ -483,9 +496,9 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
             tt = T0 + step_idx * dt                     # [SC, R]
             valid = (tt >= t0) & (tt < t1)
 
-            ox = orig_ref[t, c, 0].astype(jnp.float32)
-            oy = orig_ref[t, c, 1].astype(jnp.float32)
-            oz = orig_ref[t, c, 2].astype(jnp.float32)
+            ox = orig_ref[t, cc, 0].astype(jnp.float32)
+            oy = orig_ref[t, cc, 1].astype(jnp.float32)
+            oz = orig_ref[t, cc, 2].astype(jnp.float32)
 
             lx = _lanes_flat(og[0:1] + tt * dg[0:1], SC, r) - ox
             ly = _lanes_flat(og[1:2] + tt * dg[1:2], SC, r) - oy
@@ -531,18 +544,21 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
 
                 if packed:
                     Wp = jnp.concatenate(
-                        [decode(get_pk(k0)), decode(get_pk(k1))], axis=0
+                        [decode(get_pk(k0, i)), decode(get_pk(k1, i))],
+                        axis=0
                     )                                    # [16, 192]
                     dp = jnp.concatenate(
-                        [get_pk(k0)[basis_dim], get_pk(k1)[basis_dim]],
+                        [get_pk(k0, i)[basis_dim],
+                         get_pk(k1, i)[basis_dim]],
                         axis=0
                     )                                    # [16, 192]
                 else:
                     Wp = jnp.concatenate(
-                        [decode(get_sh(k0)), decode(get_sh(k1))], axis=0
+                        [decode(get_sh(k0, i)), decode(get_sh(k1, i))],
+                        axis=0
                     )
                     dp = jnp.concatenate(
-                        [get_d(k0), get_d(k1)], axis=0
+                        [get_d(k0, i), get_d(k1, i)], axis=0
                     )                                    # [16, 64]
 
                 if packed:
@@ -588,7 +604,7 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
             if emit_samples:
                 # pre-activation per-sample fields for the fetch-free
                 # backward: row 0 sigma_acc, rows 1..3 rgb_acc
-                samp_ref[0, 0] = jnp.concatenate(
+                samp_ref[0, i] = jnp.concatenate(
                     [sigma_acc, rgb_acc4, jnp.zeros((4, A), jnp.float32)],
                     axis=0,
                 )
@@ -646,7 +662,8 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
                 jnp.min(out_ref[0, 5, :]) < early_stop_logt
             )(_march_window)
         else:
-            _march_window()
+            for i in range(wps):
+                _march_window(i)
 
     return kernel
 
@@ -703,21 +720,43 @@ def geometry_only(bg: BrickGrid) -> BrickGrid:
     )
 
 
+def _pad_chunks(orig, rows, nb: int, wps: int):
+    """Pad the chunk axis to a multiple of wps with windows that
+    contribute exactly nothing: sentinel corner rows (nb) and a base
+    step far past every ray's [t0, t1) span."""
+    C = orig.shape[1]
+    padc = (-C) % wps
+    if padc == 0:
+        return orig, rows, C
+    T = orig.shape[0]
+    pad_orig = jnp.zeros((T, padc, 4), orig.dtype).at[:, :, 3].set(
+        jnp.int32(1 << 22)
+    )
+    orig = jnp.concatenate([orig, pad_orig], axis=1)
+    rows = jnp.concatenate(
+        [rows, jnp.full((T, padc, 8), nb, rows.dtype)], axis=1
+    )
+    return orig, rows, C + padc
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_chunks", "basis_dim", "color_mode",
-                     "emit_samples"),
+                     "emit_samples", "wps"),
 )
 def _march_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
-                basis_dim, color_mode="bias", emit_samples=False):
+                basis_dim, color_mode="bias", emit_samples=False,
+                wps=1):
     """density_z [nb+1, 8, 64]; sh_z [nb+1, B, 8, 192] (kernel layout).
     Packed mode: density_z [nb+1, B+1, 8, 192] with sh_z=None (see
     pack_kernel_arrays) — one corner fetch instead of two.
 
     Tiles are processed in SMEM-sized groups via lax.map (see
-    _MAX_GRID_STEPS)."""
+    _MAX_GRID_STEPS). `n_chunks` must be a multiple of `wps` (callers
+    pad with _pad_chunks)."""
+    assert n_chunks % wps == 0
     T_full = pack.shape[0]
-    tg, padn = _tile_groups(T_full, n_chunks)
+    tg, padn = _tile_groups(T_full, n_chunks // wps)
     if padn:
         nb = density_z.shape[0] - 1
         rows = jnp.concatenate(
@@ -737,7 +776,7 @@ def _march_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         rows_g, orig_g, basisf_g, pack_g = args
         return _march_group(
             density_z, sh_z, rows_g, orig_g, basisf_g, pack_g,
-            n_chunks, basis_dim, color_mode, emit_samples,
+            n_chunks, basis_dim, color_mode, emit_samples, wps,
         )
 
     outs = jax.lax.map(
@@ -755,41 +794,46 @@ def _march_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
 
 
 def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
-                 basis_dim, color_mode="bias", emit_samples=False):
+                 basis_dim, color_mode="bias", emit_samples=False,
+                 wps=1):
     T = pack.shape[0]
     r = pack.shape[-1]
     A = SC * r
     packed = sh_z is None
 
-    def dspec(k):
+    def dspec(k, i):
         # full-brick blocks; sublane dim 8 (TPU requires the
         # second-to-last block dim divisible by 8)
         return pl.BlockSpec(
             (1, 8, 64),
-            lambda t, c, rows, orig, basisf, k=k: (rows[t, c, k], 0, 0),
+            lambda t, c, rows, orig, basisf, k=k, i=i: (
+                rows[t, c * wps + i, k], 0, 0),
             memory_space=pltpu.VMEM,
         )
 
-    def sspec(k, nslots=basis_dim):
+    def sspec(k, i, nslots=basis_dim):
         return pl.BlockSpec(
             (1, nslots, 8, 192),
-            lambda t, c, rows, orig, basisf, k=k: (rows[t, c, k], 0, 0, 0),
+            lambda t, c, rows, orig, basisf, k=k, i=i: (
+                rows[t, c * wps + i, k], 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     if packed:
-        brick_specs = [sspec(k, basis_dim + 1) for k in range(8)]
-        brick_args = [density_z] * 8
+        brick_specs = [sspec(k, i, basis_dim + 1)
+                       for i in range(wps) for k in range(8)]
+        brick_args = [density_z] * (8 * wps)
     else:
         brick_specs = [
-            *[dspec(k) for k in range(8)],
-            *[sspec(k) for k in range(8)],
+            *[dspec(k, i) for i in range(wps) for k in range(8)],
+            *[sspec(k, i) for i in range(wps) for k in range(8)],
         ]
-        brick_args = [*([density_z] * 8), *([sh_z] * 8)]
+        brick_args = [*([density_z] * (8 * wps)),
+                      *([sh_z] * (8 * wps))]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(T, n_chunks),
+        grid=(T, n_chunks // wps),
         in_specs=[
             pl.BlockSpec(
                 (1, PACK_ROWS, r),
@@ -806,7 +850,7 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 1, 8, A),
+                    (1, wps, 8, A),
                     lambda t, c, rows, orig, basisf: (t, c, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -827,12 +871,18 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
             else []
         ),
     )
+    extra = {}
+    if wps > 1:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
     res = pl.pallas_call(
         _make_fwd_kernel(basis_dim, r, color_mode, emit_samples,
-                         packed=packed),
+                         packed=packed, wps=wps),
         grid_spec=grid_spec,
         out_shape=out_shape if emit_samples else out_shape[0],
         interpret=INTERPRET,
+        **extra,
     )(rows, orig, basisf, pack, *brick_args)
     return res
 
@@ -999,6 +1049,7 @@ def render_tiles_pallas(
     return_depth: bool = False,
     kernel_arrays=None,
     compact_chunks: Optional[int] = None,
+    wps: int = 1,
 ):
     """Fused Pallas forward render of [T, 128] coherent ray tiles.
 
@@ -1031,6 +1082,8 @@ def render_tiles_pallas(
     (orig, rows), C, dropped = _orig_with_base(
         wb, rows, bg.n_bricks, C, compact_chunks
     )
+    if wps > 1:
+        orig, rows, C = _pad_chunks(orig, rows, bg.n_bricks, wps)
 
     if kernel_arrays is None:
         density_z, sh_z = _kernel_arrays(bg)
@@ -1044,7 +1097,7 @@ def render_tiles_pallas(
     ).astype(jnp.float32)
 
     out = _march_call(density_z, sh_z, rows, orig, basisf, pack, C,
-                      bg.basis_dim, opts.color_mode)
+                      bg.basis_dim, opts.color_mode, wps=wps)
     world_len = geom[6]
     acc = out[:, 3]
     result = {
@@ -1076,7 +1129,8 @@ def render_tiles_pallas(
 
 
 def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
-                     color_mode: str = "bias", packed_out: bool = False):
+                     color_mode: str = "bias", packed_out: bool = False,
+                     wps: int = 1):
     """Fetch-free backward: consumes the forward's per-sample
     (sigma_acc, rgb_acc) stream instead of re-fetching the 16 brick
     windows and re-marching — the gradient emission needs only ray
@@ -1084,15 +1138,19 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
 
     packed_out: emit ONE gradient block per corner in the PACKED state
     layout [B+1, 8, 192] (density grad x3-interleaved in slot B) — one
-    scatter target, matching pack_kernel_arrays."""
+    scatter target, matching pack_kernel_arrays.
+
+    wps: chunks emitted per grid step (same contract as the
+    forward's wps — sequential sub-windows, bit-identical to
+    wps=1)."""
     def kernel(orig_ref, basis_ref, pack_ref, samp_ref, *rest):
         state_ref = rest[0]       # (1, 8, 128): row 0 cum_tau, row 1 P
         if packed_out:
             gd_ref = None
-            gsh_ref = rest[1]     # (1, 1, 8, B+1, 8, 192)
+            gsh_ref = rest[1]     # (1, wps, 8, B+1, 8, 192)
         else:
-            gd_ref = rest[1]      # (1, 1, 8, 8, 64)
-            gsh_ref = rest[2]     # (1, 1, 8, B, 8, 192) kernel layout
+            gd_ref = rest[1]      # (1, wps, 8, 8, 64)
+            gsh_ref = rest[2]     # (1, wps, 8, B, 8, 192) kernel layout
         t = pl.program_id(0)
         c = pl.program_id(1)
 
@@ -1112,174 +1170,180 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
         S_total = pack[15:16]         # [1, 128]
 
         A = SC * r
-        step_idx = (
-            orig_ref[t, c, 3].astype(jnp.float32)
-            + jax.lax.broadcasted_iota(jnp.int32, (SC, r), 0).astype(
+
+        def _bwd_window(i):
+            cc = c if wps == 1 else c * wps + i
+            step_idx = (
+                orig_ref[t, cc, 3].astype(jnp.float32)
+                + jax.lax.broadcasted_iota(jnp.int32, (SC, r), 0).astype(
+                    jnp.float32
+                )
+            )
+            tt = T0 + step_idx * dt
+            valid = (tt >= t0) & (tt < t1)
+
+            ox = orig_ref[t, cc, 0].astype(jnp.float32)
+            oy = orig_ref[t, cc, 1].astype(jnp.float32)
+            oz = orig_ref[t, cc, 2].astype(jnp.float32)
+            lx = _lanes_flat(og[0:1] + tt * dg[0:1], SC, r) - ox
+            ly = _lanes_flat(og[1:2] + tt * dg[1:2], SC, r) - oy
+            lz = _lanes_flat(og[2:3] + tt * dg[2:3], SC, r) - oz
+            in_win_f = (
+                (lx >= 0.0) & (lx <= 15.0)
+                & (ly >= 0.0) & (ly <= 15.0)
+                & (lz >= 0.0) & (lz <= 15.0)
+            ).astype(jnp.float32)
+            valid_f = _lanes_flat(valid.astype(jnp.float32), SC, r)
+            eff = valid_f * in_win_f
+
+            iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, A), 0).astype(
                 jnp.float32
             )
-        )
-        tt = T0 + step_idx * dt
-        valid = (tt >= t0) & (tt < t1)
+            Ax = jnp.maximum(0.0, 1.0 - jnp.abs(lx - iota16)) * eff
+            Ay = jnp.maximum(0.0, 1.0 - jnp.abs(ly - iota16))
+            Az = jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota16))
 
-        ox = orig_ref[t, c, 0].astype(jnp.float32)
-        oy = orig_ref[t, c, 1].astype(jnp.float32)
-        oz = orig_ref[t, c, 2].astype(jnp.float32)
-        lx = _lanes_flat(og[0:1] + tt * dg[0:1], SC, r) - ox
-        ly = _lanes_flat(og[1:2] + tt * dg[1:2], SC, r) - oy
-        lz = _lanes_flat(og[2:3] + tt * dg[2:3], SC, r) - oz
-        in_win_f = (
-            (lx >= 0.0) & (lx <= 15.0)
-            & (ly >= 0.0) & (ly <= 15.0)
-            & (lz >= 0.0) & (lz <= 15.0)
-        ).astype(jnp.float32)
-        valid_f = _lanes_flat(valid.astype(jnp.float32), SC, r)
-        eff = valid_f * in_win_f
+            # ---- per-sample fields from the forward pass (no recompute)
+            samp = samp_ref[0, i]                        # [8, A]
+            sigma_acc = samp[0:1]
+            rgb_acc = samp[1:4]
 
-        iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, A), 0).astype(
-            jnp.float32
-        )
-        Ax = jnp.maximum(0.0, 1.0 - jnp.abs(lx - iota16)) * eff
-        Ay = jnp.maximum(0.0, 1.0 - jnp.abs(ly - iota16))
-        Az = jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota16))
+            sig_pos = (sigma_acc > _SIGMA_THRESH).astype(jnp.float32)
+            sigma = sigma_acc * sig_pos                   # [1, A]
+            if color_mode == "sigmoid":
+                rgb = 1.0 / (1.0 + jnp.exp(-rgb_acc))     # [3, A]
+                rgb_gate = rgb * (1.0 - rgb)              # d sigmoid
+            else:
+                rgb_gate = (rgb_acc + 0.5 > 0.0).astype(jnp.float32)
+                rgb = jnp.maximum(rgb_acc + 0.5, 0.0)     # [3, A]
 
-        # ---- per-sample fields from the forward pass (no recompute)
-        samp = samp_ref[0, 0]                        # [8, A]
-        sigma_acc = samp[0:1]
-        rgb_acc = samp[1:4]
-
-        sig_pos = (sigma_acc > _SIGMA_THRESH).astype(jnp.float32)
-        sigma = sigma_acc * sig_pos                   # [1, A]
-        if color_mode == "sigmoid":
-            rgb = 1.0 / (1.0 + jnp.exp(-rgb_acc))     # [3, A]
-            rgb_gate = rgb * (1.0 - rgb)              # d sigmoid
-        else:
-            rgb_gate = (rgb_acc + 0.5 > 0.0).astype(jnp.float32)
-            rgb = jnp.maximum(rgb_acc + 0.5, 0.0)     # [3, A]
-
-        tau = _lanes_unflat(sigma, SC, r) * step_world   # [SC, R]
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 0)
-        c_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 1)
-        Lstrict = (c_iota < r_iota).astype(jnp.float32)
-        Lincl = (c_iota <= r_iota).astype(jnp.float32)
-        prefix = state_ref[0, 0:1, :] + jax.lax.dot_general(
-            Lstrict, tau,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        Tpref = jnp.exp(-prefix)
-        alpha = 1.0 - jnp.exp(-tau)
-        active_f = (Tpref > _STOP_THRESH).astype(jnp.float32)
-        w = active_f * Tpref * alpha                  # [SC, R]
-
-        # per-ray rows tiled over steps (lane a = s*R + r)
-        gc = jnp.concatenate([g_rows] * SC, axis=1)   # [3, A]
-        cdotg = jnp.sum(rgb * gc, axis=0, keepdims=True)   # [1, A]
-        wc = _lanes_unflat(_lanes_flat(w, SC, r) * cdotg, SC, r)
-
-        # suffix after sample i: S_total - inclusive prefix of w*(c.g)
-        P_in = state_ref[0, 1:2, :] + jax.lax.dot_general(
-            Lincl, wc,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                              # [SC, R]
-        S_tiled = jnp.broadcast_to(S_total, (SC, r))
-        suffix = S_tiled - P_in
-
-        # dL/dtau_i = T_i e^{-tau_i} (c_i . g) - suffix_i
-        Te = Tpref * jnp.exp(-tau)
-        gtau = Te * _lanes_unflat(cdotg, SC, r) - suffix
-        gsig = _lanes_flat(gtau * step_world * active_f, SC, r) * sig_pos
-        if sparsity_scale > 0:
-            gsig = gsig + sparsity_scale * (
-                4.0 * sigma / (1.0 + 2.0 * sigma * sigma)
-            ) * sig_pos
-
-        # rgb gradient per sample, gated by the decode derivative
-        # (+0.5-clamp indicator, or sigmoid' = rgb*(1-rgb))
-        g_rgb = _lanes_flat(w, SC, r) * gc * rgb_gate  # [3, A]
-
-        # ---- transposed trilerp: per-corner gradient blocks.
-        # Factor the 4-way contraction sum_s Ax Ay Az g as
-        # dot(Axg_ch[lx, s], Byz[(b,c), s]) per (corner, channel): the
-        # y/z hat planes are shared by corner PAIRS and built once
-        # (4 x [64, A]). Per channel the [8, 64] product is expanded
-        # straight into the march's KERNEL LAYOUT lanes
-        # ((ly*8+lz)*3+ch) by a 0/1 matmul, so the emitted SH blocks
-        # need NO post-scatter permutation: the scatter target IS the
-        # sh_z layout (kernel_layout_to_sh only runs for brick-layout
-        # consumers).
-        byz = []
-        for dy in range(2):
-            for dz in range(2):
-                Ayk = Ay[dy * 8 : dy * 8 + 8]
-                Azk = Az[dz * 8 : dz * 8 + 8]
-                byz.append(
-                    (Ayk[:, None, :] * Azk[None, :, :])
-                    .reshape(64, A).astype(jnp.bfloat16)
-                )
-        # ONE x-side stack [64, A]: rows (dx, {r,g,b,sigma}, lx). The
-        # per-(corner, channel) [8, A] x [A, 64] products then batch
-        # into 4 per-(dy, dz) matmuls [64, A] x [A, 64] — the MXU
-        # K-streams A once per OUTPUT TILE, so 32 narrow matmuls cost
-        # ~8x more MXU time than 4 full-tile ones carrying the same
-        # dot products (the round-3 bisect put these kernels at 61 ms
-        # of the 85 ms step).
-        axg_parts = []
-        for dx in range(2):
-            Axk = Ax[dx * 8 : dx * 8 + 8]
-            for ch in range(3):
-                axg_parts.append(
-                    (Axk * g_rgb[ch : ch + 1]).astype(jnp.bfloat16)
-                )
-            axg_parts.append((Axk * gsig).astype(jnp.bfloat16))
-        AXG = jnp.concatenate(axg_parts, axis=0)       # [64, A]
-        # lane expansion: E_ch[lyz, lyz*3 + ch] = 1
-        r64 = jax.lax.broadcasted_iota(jnp.int32, (64, 192), 0)
-        c192 = jax.lax.broadcasted_iota(jnp.int32, (64, 192), 1)
-        E3 = [
-            (c192 == r64 * 3 + ch).astype(jnp.float32)
-            for ch in range(3)
-        ]
-        for j in range(4):
-            dy, dz = j >> 1, j & 1
-            P = jax.lax.dot_general(
-                AXG, byz[j],
-                dimension_numbers=(((1,), (1,)), ((), ())),
+            tau = _lanes_unflat(sigma, SC, r) * step_world   # [SC, R]
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 0)
+            c_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 1)
+            Lstrict = (c_iota < r_iota).astype(jnp.float32)
+            Lincl = (c_iota <= r_iota).astype(jnp.float32)
+            prefix = state_ref[0, 0:1, :] + jax.lax.dot_general(
+                Lstrict, tau,
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                          # [64, 64]
+            )
+            Tpref = jnp.exp(-prefix)
+            alpha = 1.0 - jnp.exp(-tau)
+            active_f = (Tpref > _STOP_THRESH).astype(jnp.float32)
+            w = active_f * Tpref * alpha                  # [SC, R]
+
+            # per-ray rows tiled over steps (lane a = s*R + r)
+            gc = jnp.concatenate([g_rows] * SC, axis=1)   # [3, A]
+            cdotg = jnp.sum(rgb * gc, axis=0, keepdims=True)   # [1, A]
+            wc = _lanes_unflat(_lanes_flat(w, SC, r) * cdotg, SC, r)
+
+            # suffix after sample i: S_total - inclusive prefix of w*(c.g)
+            P_in = state_ref[0, 1:2, :] + jax.lax.dot_general(
+                Lincl, wc,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # [SC, R]
+            S_tiled = jnp.broadcast_to(S_total, (SC, r))
+            suffix = S_tiled - P_in
+
+            # dL/dtau_i = T_i e^{-tau_i} (c_i . g) - suffix_i
+            Te = Tpref * jnp.exp(-tau)
+            gtau = Te * _lanes_unflat(cdotg, SC, r) - suffix
+            gsig = _lanes_flat(gtau * step_world * active_f, SC, r) * sig_pos
+            if sparsity_scale > 0:
+                gsig = gsig + sparsity_scale * (
+                    4.0 * sigma / (1.0 + 2.0 * sigma * sigma)
+                ) * sig_pos
+
+            # rgb gradient per sample, gated by the decode derivative
+            # (+0.5-clamp indicator, or sigmoid' = rgb*(1-rgb))
+            g_rgb = _lanes_flat(w, SC, r) * gc * rgb_gate  # [3, A]
+
+            # ---- transposed trilerp: per-corner gradient blocks.
+            # Factor the 4-way contraction sum_s Ax Ay Az g as
+            # dot(Axg_ch[lx, s], Byz[(b,c), s]) per (corner, channel): the
+            # y/z hat planes are shared by corner PAIRS and built once
+            # (4 x [64, A]). Per channel the [8, 64] product is expanded
+            # straight into the march's KERNEL LAYOUT lanes
+            # ((ly*8+lz)*3+ch) by a 0/1 matmul, so the emitted SH blocks
+            # need NO post-scatter permutation: the scatter target IS the
+            # sh_z layout (kernel_layout_to_sh only runs for brick-layout
+            # consumers).
+            byz = []
+            for dy in range(2):
+                for dz in range(2):
+                    Ayk = Ay[dy * 8 : dy * 8 + 8]
+                    Azk = Az[dz * 8 : dz * 8 + 8]
+                    byz.append(
+                        (Ayk[:, None, :] * Azk[None, :, :])
+                        .reshape(64, A).astype(jnp.bfloat16)
+                    )
+            # ONE x-side stack [64, A]: rows (dx, {r,g,b,sigma}, lx). The
+            # per-(corner, channel) [8, A] x [A, 64] products then batch
+            # into 4 per-(dy, dz) matmuls [64, A] x [A, 64] — the MXU
+            # K-streams A once per OUTPUT TILE, so 32 narrow matmuls cost
+            # ~8x more MXU time than 4 full-tile ones carrying the same
+            # dot products (the round-3 bisect put these kernels at 61 ms
+            # of the 85 ms step).
+            axg_parts = []
             for dx in range(2):
-                k = dx * 4 + dy * 2 + dz
-                base = dx * 32
-                Gd = P[base + 24 : base + 32]          # [8, 64]
-                if packed_out:
-                    # slot B: density grad expanded x3 over (ly,lz,ch)
-                    Gd192 = jnp.zeros((8, 192), jnp.float32)
+                Axk = Ax[dx * 8 : dx * 8 + 8]
+                for ch in range(3):
+                    axg_parts.append(
+                        (Axk * g_rgb[ch : ch + 1]).astype(jnp.bfloat16)
+                    )
+                axg_parts.append((Axk * gsig).astype(jnp.bfloat16))
+            AXG = jnp.concatenate(axg_parts, axis=0)       # [64, A]
+            # lane expansion: E_ch[lyz, lyz*3 + ch] = 1
+            r64 = jax.lax.broadcasted_iota(jnp.int32, (64, 192), 0)
+            c192 = jax.lax.broadcasted_iota(jnp.int32, (64, 192), 1)
+            E3 = [
+                (c192 == r64 * 3 + ch).astype(jnp.float32)
+                for ch in range(3)
+            ]
+            for j in range(4):
+                dy, dz = j >> 1, j & 1
+                P = jax.lax.dot_general(
+                    AXG, byz[j],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                          # [64, 64]
+                for dx in range(2):
+                    k = dx * 4 + dy * 2 + dz
+                    base = dx * 32
+                    Gd = P[base + 24 : base + 32]          # [8, 64]
+                    if packed_out:
+                        # slot B: density grad expanded x3 over (ly,lz,ch)
+                        Gd192 = jnp.zeros((8, 192), jnp.float32)
+                        for ch in range(3):
+                            Gd192 = Gd192 + jax.lax.dot_general(
+                                Gd, E3[ch],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                        gsh_ref[0, i, k, basis_dim] = Gd192.astype(
+                            gsh_ref.dtype
+                        )
+                    else:
+                        gd_ref[0, i, k] = Gd.astype(gd_ref.dtype)
+                    Hk = jnp.zeros((8, 192), jnp.float32)
                     for ch in range(3):
-                        Gd192 = Gd192 + jax.lax.dot_general(
-                            Gd, E3[ch],
+                        Hk = Hk + jax.lax.dot_general(
+                            P[base + ch * 8 : base + ch * 8 + 8], E3[ch],
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                        )
-                    gsh_ref[0, 0, k, basis_dim] = Gd192.astype(
-                        gsh_ref.dtype
-                    )
-                else:
-                    gd_ref[0, 0, k] = Gd.astype(gd_ref.dtype)
-                Hk = jnp.zeros((8, 192), jnp.float32)
-                for ch in range(3):
-                    Hk = Hk + jax.lax.dot_general(
-                        P[base + ch * 8 : base + ch * 8 + 8], E3[ch],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )                                  # [8, 192]
-                for b in range(basis_dim):
-                    gsh_ref[0, 0, k, b] = (
-                        Hk * basis_ref[t, b]
-                    ).astype(gsh_ref.dtype)
+                        )                                  # [8, 192]
+                    for b in range(basis_dim):
+                        gsh_ref[0, i, k, b] = (
+                            Hk * basis_ref[t, b]
+                        ).astype(gsh_ref.dtype)
 
-        # carry updates
-        state_ref[0, 0:1, :] += jnp.sum(active_f * tau, axis=0)[None]
-        state_ref[0, 1:2, :] += jnp.sum(wc, axis=0)[None]
+            # carry updates
+            state_ref[0, 0:1, :] += jnp.sum(active_f * tau, axis=0)[None]
+            state_ref[0, 1:2, :] += jnp.sum(wc, axis=0)[None]
+
+        for i in range(wps):
+            _bwd_window(i)
 
     return kernel
 
@@ -1287,15 +1351,17 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
 @functools.partial(
     jax.jit,
     static_argnames=("n_chunks", "basis_dim", "sparsity_scale",
-                     "color_mode", "grad_dtype", "packed_out"),
+                     "color_mode", "grad_dtype", "packed_out", "wps"),
 )
 def _bwd_call(samples, orig, basisf, pack, n_chunks,
               basis_dim, sparsity_scale, color_mode="bias",
-              grad_dtype=jnp.float32, packed_out=False):
+              grad_dtype=jnp.float32, packed_out=False, wps=1):
     """SMEM-sized tile grouping like _march_call. `samples` is the
-    forward pass's per-(tile, chunk) field stream [T, C, 8, A]."""
+    forward pass's per-(tile, chunk) field stream [T, C, 8, A].
+    `n_chunks` must be a multiple of `wps`."""
+    assert n_chunks % wps == 0
     T_full = pack.shape[0]
-    tg, padn = _tile_groups(T_full, n_chunks)
+    tg, padn = _tile_groups(T_full, n_chunks // wps)
     if padn:
         samples = jnp.concatenate(
             [samples,
@@ -1316,7 +1382,7 @@ def _bwd_call(samples, orig, basisf, pack, n_chunks,
         return _bwd_group(
             samp_g, orig_g, basisf_g, pack_g,
             n_chunks, basis_dim, sparsity_scale, color_mode,
-            grad_dtype, packed_out,
+            grad_dtype, packed_out, wps,
         )
 
     outs = jax.lax.map(
@@ -1341,7 +1407,7 @@ def _bwd_call(samples, orig, basisf, pack, n_chunks,
 
 def _bwd_group(samples, orig, basisf, pack, n_chunks,
                basis_dim, sparsity_scale, color_mode="bias",
-               grad_dtype=jnp.float32, packed_out=False):
+               grad_dtype=jnp.float32, packed_out=False, wps=1):
     T = pack.shape[0]
     C = n_chunks
     r = pack.shape[-1]
@@ -1350,7 +1416,7 @@ def _bwd_group(samples, orig, basisf, pack, n_chunks,
     if packed_out:
         grad_specs = (
             pl.BlockSpec(
-                (1, 1, 8, basis_dim + 1, 8, 192),
+                (1, wps, 8, basis_dim + 1, 8, 192),
                 lambda t, c, orig, basisf: (t, c, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -1363,12 +1429,12 @@ def _bwd_group(samples, orig, basisf, pack, n_chunks,
     else:
         grad_specs = (
             pl.BlockSpec(
-                (1, 1, 8, 8, 64),
+                (1, wps, 8, 8, 64),
                 lambda t, c, orig, basisf: (t, c, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 8, basis_dim, 8, 192),
+                (1, wps, 8, basis_dim, 8, 192),
                 lambda t, c, orig, basisf: (t, c, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -1382,7 +1448,7 @@ def _bwd_group(samples, orig, basisf, pack, n_chunks,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(T, C),
+        grid=(T, C // wps),
         in_specs=[
             pl.BlockSpec(
                 (1, PACK_ROWS, r),
@@ -1390,7 +1456,7 @@ def _bwd_group(samples, orig, basisf, pack, n_chunks,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 8, A),
+                (1, wps, 8, A),
                 lambda t, c, orig, basisf: (t, c, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -1404,15 +1470,21 @@ def _bwd_group(samples, orig, basisf, pack, n_chunks,
             *grad_specs,
         ),
     )
+    extra = {}
+    if wps > 1:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
     return pl.pallas_call(
         _make_bwd_kernel(basis_dim, sparsity_scale, r, color_mode,
-                         packed_out=packed_out),
+                         packed_out=packed_out, wps=wps),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((T, 8, r), jnp.float32),
             *grad_shapes,
         ),
         interpret=INTERPRET,
+        **extra,
     )(orig, basisf, pack, samples)
 
 
@@ -1520,6 +1592,7 @@ def fused_grad_blocks(
     kernel_arrays=None,
     grad_dtype=jnp.float32,
     compact_chunks: Optional[int] = None,
+    wps: int = 1,
 ):
     """Fused render + gradient, stopping BEFORE the dense scatter:
     returns (rgb_out [T,128,3], gd_blocks [T,C,8,8,64],
@@ -1552,6 +1625,8 @@ def fused_grad_blocks(
     (orig, rows), C, dropped = _orig_with_base(
         wb, rows, bg.n_bricks, C, compact_chunks
     )
+    if wps > 1:
+        orig, rows, C = _pad_chunks(orig, rows, bg.n_bricks, wps)
     basisf = eval_sh_bases(bg.basis_dim, _mean_viewdirs(rays)).astype(
         jnp.float32
     )
@@ -1567,7 +1642,7 @@ def fused_grad_blocks(
     # backward consumes
     fwd, samples = _march_call(density_z, sh_z, rows, orig, basisf,
                                pack, C, bg.basis_dim, opts.color_mode,
-                               emit_samples=True)
+                               emit_samples=True, wps=wps)
     acc = fwd[:, 3]
     rgb_out = (
         jnp.moveaxis(fwd[:, 0:3], 1, 2)
@@ -1591,7 +1666,7 @@ def fused_grad_blocks(
     state, gd_blocks, gsh_blocks = _bwd_call(
         samples, orig, basisf, pack, C, bg.basis_dim,
         float(sparsity_loss), opts.color_mode, grad_dtype,
-        packed_out=packed,
+        packed_out=packed, wps=wps,
     )
 
     aux = {

@@ -365,6 +365,120 @@ def train_step_tiles_sparse(
     return new_st, stats
 
 
+def tile_segment_reduce(gp_blocks, rows, nb: int, k_tile: int):
+    """Per-tile segment reduction of gradient blocks on the MXU.
+
+    The march's window plan revisits bricks heavily WITHIN a tile
+    (consecutive windows share 4 of their 8 corners), so reducing each
+    tile's [C*8] corner-block stream onto its distinct bricks first
+    shrinks the global scatter-add — the slowest per-block op of the
+    step — by the revisit factor. The reduction itself is a 0/1
+    selection matmul (batched [k_tile, C*8] @ [C*8, S] per tile), which
+    the MXU does orders of magnitude faster per block than scatter-add:
+    exact for bf16 blocks, and exact for f32 too (0/1 lhs; XLA's
+    bf16x3 f32 matmul decomposition is lossless against a 0/1 operand).
+
+    gp_blocks: [T, C, 8, ...block] (f32 or bf16)
+    rows:      [T, C, 8] int32 corner brick rows (nb = sentinel)
+    Returns (tile_rows [T, k_tile] int32 ascending per tile (nb =
+    empty slot), tile_acc [T, k_tile, ...block] f32, dropped) where
+    `dropped` counts per-tile distinct rows beyond k_tile (their
+    blocks are lost — callers size k_tile with required_tile_rows and
+    surface the count)."""
+    T, C = rows.shape[0], rows.shape[1]
+    M = C * 8
+    r2 = rows.reshape(T, M)
+    srt = jnp.sort(r2, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((T, 1), bool), srt[:, 1:] != srt[:, :-1]], axis=1
+    ) & (srt != nb)
+    pos = jnp.cumsum(first.astype(jnp.int32), axis=1) - first
+    nuniq = pos[:, -1] + first[:, -1].astype(jnp.int32)
+    dropped = jnp.sum(jnp.maximum(nuniq - k_tile, 0))
+    slot_sorted = jnp.where(first & (pos < k_tile), pos, k_tile)
+    tile_rows = jnp.full((T, k_tile + 1), nb, jnp.int32).at[
+        jnp.arange(T)[:, None], slot_sorted
+    ].set(srt)[:, :k_tile]                     # ascending (nb padded)
+
+    ss = jax.vmap(jnp.searchsorted)(tile_rows, r2)
+    ss = jnp.clip(ss, 0, k_tile - 1).astype(jnp.int32)
+    valid = (
+        jnp.take_along_axis(tile_rows, ss, axis=1) == r2
+    ) & (r2 != nb)
+
+    sel = (
+        (ss[:, :, None] == jnp.arange(k_tile, dtype=jnp.int32)[None, None])
+        & valid[:, :, None]
+    )
+    flat = gp_blocks.reshape(T, M, -1)
+    sel = sel.astype(
+        jnp.bfloat16 if flat.dtype == jnp.bfloat16 else jnp.float32
+    )
+    acc = jax.lax.dot_general(
+        sel, flat,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                           # [T, k_tile, S]
+    return (
+        tile_rows,
+        acc.reshape((T, k_tile) + gp_blocks.shape[3:]),
+        dropped,
+    )
+
+
+def required_tile_rows(bg, rays, opts, *, use_occupancy: bool = False,
+                       compact_chunks: Optional[int] = None,
+                       multiple: int = 16) -> int:
+    """Host-side helper: the max DISTINCT corner-brick count any tile's
+    window plan references (rounded up to `multiple`), the k_tile bound
+    for tile_segment_reduce. Run OUTSIDE jit."""
+    import numpy as np
+
+    from nerf_projects_tpu.ops.pallas.tile_march import (
+        _orig_with_base,
+        _pack_rays,
+        _plan_windows,
+        default_chunks_for,
+    )
+
+    C = compact_chunks
+    full_C = (
+        default_chunks_for(bg, opts)
+    )
+    pack, geom = _pack_rays(bg, rays, opts, use_occupancy)
+    wb, rows = _plan_windows(bg, geom, full_C)
+    (orig, rows), _, _ = _orig_with_base(
+        wb, rows, bg.n_bricks, full_C, C
+    )
+    r2 = np.asarray(rows).reshape(rows.shape[0], -1)
+    need = 1
+    for t in range(r2.shape[0]):
+        u = np.unique(r2[t])
+        need = max(need, int((u != bg.n_bricks).sum()))
+    return -(-need // multiple) * multiple
+
+
+def pack_tv_blocks(tv_parts, B: int):
+    """TV gradient blocks -> full PACKED-layout blocks ([n, B+1, 8,
+    192]) + their rows, so they join the reduced render stream in one
+    scatter instead of axis-1 slice scatters. tv_parts: list of
+    ("d"|"s", rows [n], vals) as produced by tv_grad_brick_blocks
+    (density vals [n, 512, 1], SH vals [n, 512, 3B])."""
+    rows_list, blocks_list = [], []
+    for kind, r4, v4 in tv_parts:
+        n = r4.shape[0]
+        blk = jnp.zeros((n, B + 1, 8, 192), jnp.float32)
+        if kind == "d":
+            blk = blk.at[:, B].set(
+                jnp.repeat(v4[..., 0].reshape(n, 8, 64), 3, axis=-1)
+            )
+        else:
+            blk = blk.at[:, :B].set(sh_to_kernel_layout(v4, B))
+        rows_list.append(r4)
+        blocks_list.append(blk)
+    return rows_list, blocks_list
+
+
 class PackedState(NamedTuple):
     """Fully-packed trainable state: ONE f32 array [nb+1, B+1, 8, 192]
     (SH slots 0..B-1 in kernel layout; density x3-interleaved in slot
@@ -423,6 +537,7 @@ def train_step_tiles_packed(
     use_occupancy: bool = False,
     compact_chunks: Optional[int] = None,
     n_chunks: Optional[int] = None,
+    wps: int = 1,
 ):
     """Dense-update train step on the fully-PACKED state: exactly the
     train_step_tiles_pallas semantics (fused kernels + sampled TV +
@@ -451,6 +566,7 @@ def train_step_tiles_packed(
         grad_dtype=trainer.grad_block_dtype,
         compact_chunks=compact_chunks,
         n_chunks=n_chunks,
+        wps=wps,
     )
     mse = jnp.mean((rgb - target) ** 2)
 
@@ -528,17 +644,18 @@ def train_step_tiles_packed(
 @functools.partial(
     jax.jit,
     static_argnums=(0,),
-    static_argnames=("use_occupancy", "compact_chunks", "n_chunks"),
+    static_argnames=("use_occupancy", "compact_chunks", "n_chunks",
+                     "wps"),
     donate_argnums=(2,),
 )
 def train_step_tiles_packed_jit(
     trainer, bg, st, rays, target, step, key, *,
-    use_occupancy=False, compact_chunks=None, n_chunks=None,
+    use_occupancy=False, compact_chunks=None, n_chunks=None, wps=1,
 ):
     return train_step_tiles_packed(
         trainer, bg, st, rays, target, step, key,
         use_occupancy=use_occupancy, compact_chunks=compact_chunks,
-        n_chunks=n_chunks,
+        n_chunks=n_chunks, wps=wps,
     )
 
 
@@ -555,6 +672,8 @@ def train_step_tiles_packed_touched(
     use_occupancy: bool = False,
     compact_chunks: Optional[int] = None,
     n_chunks: Optional[int] = None,
+    wps: int = 1,
+    tile_rows: Optional[int] = None,
 ):
     """Touched-row train step on the fully-packed state — the fast
     sparse path. Same math as `train_step_tiles_packed` (fused kernels
@@ -563,6 +682,15 @@ def train_step_tiles_packed_touched(
     b^D on next touch), but the optimizer reads/writes ONLY the rows
     the step touched, so the dense modes' O(grid) sweep (HBM floor
     ~12 ms per 2 GB state pass at 256^3) does not exist.
+
+    `wps`: windows marched/emitted per kernel grid step (amortizes the
+    per-step sequencing floor; bit-identical results).
+    `tile_rows`: when set, pre-reduce each tile's gradient blocks onto
+    its distinct bricks with tile_segment_reduce (MXU 0/1 matmul)
+    before the global scatter-add — the scatter stream shrinks by the
+    within-tile revisit factor (consecutive windows share 4 of 8
+    corners). Size with required_tile_rows; overflow is surfaced in
+    stats["dropped_tile_rows"].
 
     Touched rows are found WITHOUT sort: scatter a dense flag
     [nb+1], exclusive-cumsum for each touched row's compact slot, and
@@ -604,9 +732,9 @@ def train_step_tiles_packed_touched(
         grad_dtype=trainer.grad_block_dtype,
         compact_chunks=compact_chunks,
         n_chunks=n_chunks,
+        wps=wps,
     )
     mse = jnp.mean((rgb - target) ** 2)
-    rows_r = rows.reshape(-1)
 
     # sampled TV FIRST so its rows join the touched flag
     k_tv, k_sh = jax.random.split(key)
@@ -631,6 +759,25 @@ def train_step_tiles_packed_touched(
         )
         tv_parts.append(("s", jnp.where(r4 < 0, nb, r4), v4))
 
+    dropped_tile = jnp.zeros((), jnp.int32)
+    if tile_rows is not None:
+        # MXU pre-reduction: each tile's blocks collapse onto its
+        # distinct bricks; TV blocks join the reduced stream as full
+        # packed blocks so ONE scatter covers everything
+        trows, tacc, dropped_tile = tile_segment_reduce(
+            gp_blocks, rows, nb, tile_rows
+        )
+        tv_rows, tv_blocks = pack_tv_blocks(tv_parts, B)
+        rows_r = jnp.concatenate(
+            [trows.reshape(-1), *tv_rows]
+        )
+        blocks_r = jnp.concatenate(
+            [tacc.reshape(-1, B + 1, 8, 192), *tv_blocks]
+        )
+    else:
+        rows_r = rows.reshape(-1)
+        blocks_r = None
+
     # ---- touched-row compaction: flag -> cumsum slots (no sort) ----
     flag = jnp.zeros((nb + 1,), jnp.int32).at[rows_r].set(1)
     for _, r4, _v in tv_parts:
@@ -648,18 +795,27 @@ def train_step_tiles_packed_touched(
     )
 
     # ---- segment-sum all gradient blocks into the slot space -------
-    acc = jnp.zeros(
-        (K + 1, B + 1, 8, 192), jnp.float32
-    ).at[slot[rows_r]].add(
-        gp_blocks.reshape(-1, B + 1, 8, 192).astype(jnp.float32)
-    )
-    for kind, r4, v4 in tv_parts:
-        if kind == "d":
-            acc = acc.at[slot[r4], B].add(
-                jnp.repeat(v4[..., 0].reshape(-1, 8, 64), 3, axis=-1)
-            )
-        else:
-            acc = acc.at[slot[r4], :B].add(sh_to_kernel_layout(v4, B))
+    if blocks_r is not None:
+        acc = jnp.zeros(
+            (K + 1, B + 1, 8, 192), jnp.float32
+        ).at[slot[rows_r]].add(blocks_r)
+    else:
+        acc = jnp.zeros(
+            (K + 1, B + 1, 8, 192), jnp.float32
+        ).at[slot[rows_r]].add(
+            gp_blocks.reshape(-1, B + 1, 8, 192).astype(jnp.float32)
+        )
+        for kind, r4, v4 in tv_parts:
+            if kind == "d":
+                acc = acc.at[slot[r4], B].add(
+                    jnp.repeat(
+                        v4[..., 0].reshape(-1, 8, 64), 3, axis=-1
+                    )
+                )
+            else:
+                acc = acc.at[slot[r4], :B].add(
+                    sh_to_kernel_layout(v4, B)
+                )
     acc = acc[:K]
 
     # ---- lazy-exact optimizer on the touched rows ------------------
@@ -706,6 +862,7 @@ def train_step_tiles_packed_touched(
         "loss": mse, "mse": mse, "psnr": psnr,
         "window_miss": aux["window_miss"],
         "touched_overflow": overflow,
+        "dropped_tile_rows": dropped_tile,
         "dropped_active_chunks": aux["dropped_active_chunks"],
     }
 
@@ -715,18 +872,20 @@ def train_step_tiles_packed_touched(
     static_argnums=(0,),
     static_argnames=(
         "max_touched", "use_occupancy", "compact_chunks", "n_chunks",
+        "wps", "tile_rows",
     ),
     donate_argnums=(2,),
 )
 def train_step_tiles_packed_touched_jit(
     trainer, bg, st, rays, target, step, key, *,
     max_touched=12288, use_occupancy=False, compact_chunks=None,
-    n_chunks=None,
+    n_chunks=None, wps=1, tile_rows=None,
 ):
     return train_step_tiles_packed_touched(
         trainer, bg, st, rays, target, step, key,
         max_touched=max_touched, use_occupancy=use_occupancy,
         compact_chunks=compact_chunks, n_chunks=n_chunks,
+        wps=wps, tile_rows=tile_rows,
     )
 
 

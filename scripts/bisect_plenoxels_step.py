@@ -234,6 +234,81 @@ def main():
     report("packed_shell_bf16g", lambda: shell_packed(
         bf16_grad_blocks=True))
 
+    # --- touched-row step on the shell scene (the ship bench mode) ---
+    def touched_runner(trainer, my_bg=None, compact=None, use_occ=False,
+                       k_cap=6144, wps=1, tile_rows=0):
+        import functools
+
+        from nerf_projects_tpu.train import plenoxels_sparse as ps
+
+        geom = my_bg if my_bg is not None else bg
+        my_rays, my_target = (
+            (rays, target) if my_bg is None else
+            (B._tile_rays(jax.random.PRNGKey(2), TILES),
+             jnp.full((TILES, 128, 3), 0.4))
+        )
+        holder = {"st": ps.packed_state_from_grid(geom)}
+
+        @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7),
+                           donate_argnums=1)
+        def scan_steps(k, st, key, ck, occ, cap, w, tr):
+            def body(st, i):
+                st, stats = ps.train_step_tiles_packed_touched(
+                    trainer, geom, st, my_rays, my_target,
+                    i, jax.random.fold_in(key, i),
+                    max_touched=cap, compact_chunks=ck,
+                    use_occupancy=occ, wps=w,
+                    tile_rows=tr if tr else None)
+                return st, stats["mse"]
+
+            return jax.lax.scan(body, st,
+                                jnp.arange(k, dtype=jnp.int32))
+
+        def run(k):
+            st, mses = scan_steps(k, holder["st"],
+                                  jax.random.PRNGKey(k), compact,
+                                  use_occ, k_cap, wps, tile_rows)
+            _ = float(mses[-1])
+            holder["st"] = st
+        return run
+
+    def shell_touched(k_cap=6144, wps=1, tile_rows=0, **kw):
+        from nerf_projects_tpu.ops.pallas.tile_march import (
+            required_chunks,
+        )
+
+        sb = B._shell_setup(RESO, dtype=jnp.float32)
+        srays = B._tile_rays(jax.random.PRNGKey(2), TILES)
+        ck = required_chunks(sb, srays, opts, use_occupancy=True)
+        if tile_rows:
+            from nerf_projects_tpu.train.plenoxels_sparse import (
+                required_tile_rows,
+            )
+
+            tile_rows = required_tile_rows(
+                sb, srays, opts, use_occupancy=True,
+                compact_chunks=ck)
+            print(json.dumps({"shell_tile_rows": tile_rows}),
+                  flush=True)
+        return touched_runner(make_trainer(**kw), my_bg=sb,
+                              compact=ck, use_occ=True, k_cap=k_cap,
+                              wps=wps, tile_rows=tile_rows)
+
+    report("touched_shell", lambda: shell_touched())
+    report("touched_shell_bf16g", lambda: shell_touched(
+        bf16_grad_blocks=True))
+    report("touched_shell_no_tv", lambda: shell_touched(
+        lambda_tv=0.0, lambda_tv_sh=0.0))
+    report("touched_shell_no_shtv", lambda: shell_touched(
+        lambda_tv_sh=0.0))
+    report("touched_shell_k2048", lambda: shell_touched(k_cap=2048))
+    report("touched_shell_wps4", lambda: shell_touched(wps=4))
+    report("touched_shell_wps4_bf16g", lambda: shell_touched(
+        wps=4, bf16_grad_blocks=True))
+    report("touched_shell_tred", lambda: shell_touched(tile_rows=1))
+    report("touched_shell_full", lambda: shell_touched(
+        wps=4, bf16_grad_blocks=True, tile_rows=1, k_cap=4096))
+
     def shell_dense_k(**kw):
         from nerf_projects_tpu.ops.pallas.tile_march import (
             required_chunks,

@@ -328,3 +328,95 @@ class TestPackedTouchedStep:
         )
         assert float(stats["touched_overflow"]) > 0.0
         assert bool(jnp.all(jnp.isfinite(st.packed_k)))
+
+
+class TestTileReducedTouchedStep:
+    """wps + tile_segment_reduce variants of the touched step: the MXU
+    pre-reduction and multi-window kernel steps must reproduce the
+    plain touched step's numerics."""
+
+    def test_matches_plain_touched(self):
+        trainer = make_trainer()
+        g = random_grid(24, seed=40)
+        bg = from_sparse_grid(g)
+        opts = trainer.opts
+        st_a = ps.packed_state_from_grid(bg)
+        st_b = ps.packed_state_from_grid(bg)
+
+        for i in range(3):
+            rays = tile_rays(2, seed=700 + 3 * i)
+            target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+            key = jax.random.PRNGKey(i)
+            step_i = jnp.asarray(i, jnp.int32)
+            kt = ps.required_tile_rows(bg, rays, opts)
+            st_a, astats = ps.train_step_tiles_packed_touched(
+                trainer, bg, st_a, rays, target, step_i, key,
+                max_touched=4096,
+            )
+            st_b, bstats = ps.train_step_tiles_packed_touched(
+                trainer, bg, st_b, rays, target, step_i, key,
+                max_touched=4096, wps=4, tile_rows=kt,
+            )
+            np.testing.assert_allclose(
+                float(astats["mse"]), float(bstats["mse"]),
+                rtol=1e-6, atol=1e-8,
+            )
+            assert int(bstats["dropped_tile_rows"]) == 0
+        np.testing.assert_allclose(
+            np.asarray(st_a.packed_k), np.asarray(st_b.packed_k),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_a.rms), np.asarray(st_b.rms),
+            rtol=1e-4, atol=1e-6,
+        )
+
+    def test_tile_reduce_exact_vs_scatter(self):
+        """tile_segment_reduce == scatter-add of the same blocks."""
+        trainer = make_trainer()
+        g = random_grid(24, seed=41)
+        bg = from_sparse_grid(g)
+        st = ps.packed_state_from_grid(bg)
+        rays = tile_rays(3, seed=42)
+        target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+        nb, B = bg.n_bricks, bg.basis_dim
+        _, _, gp, rows, _ = tm.fused_grad_blocks(
+            bg, rays, target, trainer.opts, kernel_arrays=st.packed_k
+        )
+        kt = ps.required_tile_rows(bg, rays, trainer.opts)
+        trows, tacc, dropped = ps.tile_segment_reduce(
+            gp, rows, nb, kt
+        )
+        assert int(dropped) == 0
+
+        def scat(blocks, rws):
+            return (
+                jnp.zeros((nb + 1, B + 1, 8, 192), jnp.float32)
+                .at[rws.reshape(-1)]
+                .add(
+                    blocks.reshape(-1, B + 1, 8, 192).astype(
+                        jnp.float32
+                    )
+                )[:nb]
+            )
+
+        want = scat(gp, rows)
+        got = scat(tacc, trows)
+        np.testing.assert_allclose(
+            np.asarray(want), np.asarray(got), rtol=1e-6, atol=1e-7
+        )
+
+    def test_dropped_tile_rows_reported(self):
+        trainer = make_trainer()
+        g = random_grid(24, seed=43)
+        bg = from_sparse_grid(g)
+        st = ps.packed_state_from_grid(bg)
+        rays = tile_rays(2, seed=44)
+        target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+        st, stats = ps.train_step_tiles_packed_touched(
+            trainer, bg, st, rays, target,
+            jnp.asarray(0, jnp.int32), jax.random.PRNGKey(0),
+            max_touched=4096, tile_rows=8,
+        )
+        assert int(stats["dropped_tile_rows"]) > 0
+        assert bool(jnp.all(jnp.isfinite(st.packed_k)))
