@@ -113,6 +113,10 @@ def bench_nerf_train():
         white_bkgd=True,
         perturb=True,
         raw_noise_std=0.0,
+        # sort-free hierarchical resample (order-statistics uniforms +
+        # merge; distribution-identical, kills the [N, 288] sort from
+        # the mega step's XLA glue). BENCH_NERF_MERGE=0 falls back.
+        resample_sorted=os.environ.get("BENCH_NERF_MERGE", "1") == "1",
     )
     trainer = NeRFTrainer(
         cfg, depth=8, width=256, near=2.0, far=6.0,

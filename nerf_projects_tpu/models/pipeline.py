@@ -28,6 +28,7 @@ from nerf_projects_tpu.ops.posenc import posenc
 from nerf_projects_tpu.ops.render import volumetric_rendering
 from nerf_projects_tpu.ops.sampling import (
     cast_rays,
+    merge_sorted,
     piecewise_constant_pdf,
     stratified_sample,
 )
@@ -50,6 +51,13 @@ class NeRFRenderConfig(NamedTuple):
     white_bkgd: bool = False
     posenc_ordering: str = "interleaved"
     pdf_mode: str = "nerf"
+    # sort-free hierarchical resample: draw the pdf uniforms as order
+    # statistics (sorted_uniform — identical distribution to the
+    # reference's iid draws, whose RNG stream differs from torch
+    # anyway) and MERGE the sorted fine samples with the sorted coarse
+    # depths instead of sorting the concatenation (merge_sorted; rank
+    # counts + unique-index scatters, no O(S log^2 S) bitonic sort)
+    resample_sorted: bool = False
 
 
 def _query_mlp(apply_fn, params, pts, viewdirs, cfg: NeRFRenderConfig):
@@ -147,10 +155,15 @@ def render_rays(
             cfg.num_fine_samples,
             randomized=randomized and cfg.perturb,
             mode=cfg.pdf_mode,
+            sorted_u=cfg.resample_sorted,
         )
-        z_combined = jnp.sort(
-            jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1
-        )
+        if cfg.resample_sorted:
+            # z_samples ascending (sorted_u, or the linspace-u path)
+            z_combined = merge_sorted(z_vals, z_samples)
+        else:
+            z_combined = jnp.sort(
+                jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1
+            )
         pts_fine = cast_rays(z_combined, rays.origins, rays.directions)
         if randomized and cfg.raw_noise_std > 0:
             key, k_noise2 = jax.random.split(key)

@@ -64,6 +64,46 @@ def stratified_sample(
     return z_vals
 
 
+def sorted_uniform(key: jax.Array, shape, dtype=jnp.float32):
+    """IID Uniform(0,1) order statistics, generated ALREADY SORTED along
+    the last axis in O(n) (Lurie–Hartley exponential spacings:
+    U_(i) = (E_1+..+E_i) / (E_1+..+E_{n+1}), E ~ Exp(1)). Same
+    distribution as sorting n iid uniforms — the monotone inverse-CDF
+    then yields sorted importance samples, so the coarse+fine combine
+    is a sort-free MERGE (`merge_sorted`) instead of an O(S log^2 S)
+    bitonic sort over the concatenated depths."""
+    n = shape[-1]
+    e = -jnp.log1p(-jax.random.uniform(
+        key, tuple(shape[:-1]) + (n + 1,), dtype=dtype
+    ))
+    cs = jnp.cumsum(e, axis=-1)
+    return cs[..., :n] / cs[..., -1:]
+
+
+def merge_sorted(a: jnp.ndarray, b: jnp.ndarray):
+    """Merge two per-row SORTED arrays along the last axis (ties: `a`
+    first). Rank counts by one broadcast compare (VPU; XLA fuses the
+    [.., Sa, Sb] boolean away) + two unique-index scatters — no sort.
+    a: [..., Sa], b: [..., Sb] -> [..., Sa+Sb] sorted."""
+    Sa, Sb = a.shape[-1], b.shape[-1]
+    ia = jnp.arange(Sa) + jnp.sum(
+        (b[..., None, :] < a[..., :, None]), axis=-1
+    )
+    ib = jnp.arange(Sb) + jnp.sum(
+        (a[..., None, :] <= b[..., :, None]), axis=-1
+    )
+    out = jnp.zeros(a.shape[:-1] + (Sa + Sb,), a.dtype)
+    bidx = tuple(
+        jnp.arange(s).reshape(
+            (1,) * i + (-1,) + (1,) * (a.ndim - 1 - i)
+        )
+        for i, s in enumerate(a.shape[:-1])
+    )
+    out = out.at[bidx + (ia,)].set(a)
+    out = out.at[bidx + (ib,)].set(b)
+    return out
+
+
 def _invert_cdf(u: jnp.ndarray, cdf: jnp.ndarray, bins: jnp.ndarray):
     """Exact piecewise-linear inverse-CDF lookup.
 
@@ -98,6 +138,7 @@ def piecewise_constant_pdf(
     *,
     randomized: bool = True,
     mode: str = "nerf",
+    sorted_u: bool = False,
 ):
     """Draw importance samples from the piecewise-constant PDF over `bins`.
 
@@ -111,6 +152,11 @@ def piecewise_constant_pdf(
 
     Both return samples of shape [..., num_samples]; gradients are stopped
     (reference: z_samples.detach() / lax.stop_gradient).
+
+    sorted_u: draw the uniforms as order statistics (`sorted_uniform`)
+    so the returned samples are ASCENDING per ray — same distribution
+    as the reference's iid draws (whose RNG stream differs from torch
+    anyway), enabling the sort-free merge_sorted combine.
     """
     if mode == "nerf":
         weights = weights + 1e-5
@@ -119,7 +165,8 @@ def piecewise_constant_pdf(
         cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
         # cdf and bins both [..., M]
         if randomized:
-            u = jax.random.uniform(
+            draw = sorted_uniform if sorted_u else jax.random.uniform
+            u = draw(
                 key, cdf.shape[:-1] + (num_samples,), dtype=cdf.dtype
             )
         else:
@@ -143,7 +190,8 @@ def piecewise_constant_pdf(
             axis=-1,
         )
         if randomized:
-            u = jax.random.uniform(
+            draw = sorted_uniform if sorted_u else jax.random.uniform
+            u = draw(
                 key, cdf.shape[:-1] + (num_samples,), dtype=cdf.dtype
             )
         else:

@@ -259,6 +259,7 @@ class NeRFTrainer:
         )
         from nerf_projects_tpu.ops.sampling import (
             cast_rays,
+            merge_sorted,
             piecewise_constant_pdf,
             stratified_sample,
         )
@@ -308,10 +309,14 @@ class NeRFTrainer:
         z_samples = piecewise_constant_pdf(
             k_pdf, z_mids, w0[..., 1:-1], cfg.num_fine_samples,
             randomized=cfg.perturb, mode=cfg.pdf_mode,
+            sorted_u=cfg.resample_sorted,
         )
-        z_comb = jnp.sort(
-            jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1
-        )
+        if cfg.resample_sorted:
+            z_comb = merge_sorted(z_vals, z_samples)
+        else:
+            z_comb = jnp.sort(
+                jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1
+            )
         pts_f = cast_rays(z_comb, rays.origins, rays.directions)
         Sf = Sc + cfg.num_fine_samples
         pf = params[1] if params[1] is not None else params[0]

@@ -260,3 +260,108 @@ class TestRays:
 class TestMultiDevice:
     def test_eight_devices_visible(self):
         assert jax.device_count() >= 8
+
+
+class TestSortedResample:
+    """Sort-free hierarchical resample: order-statistics uniforms +
+    merge_sorted (NeRFRenderConfig.resample_sorted)."""
+
+    def test_merge_sorted_matches_sort(self):
+        rng = np.random.default_rng(0)
+        from nerf_projects_tpu.ops.sampling import merge_sorted
+
+        a = np.sort(rng.standard_normal((16, 9)), axis=-1).astype(
+            np.float32
+        )
+        b = np.sort(rng.standard_normal((16, 23)), axis=-1).astype(
+            np.float32
+        )
+        got = merge_sorted(jnp.asarray(a), jnp.asarray(b))
+        want = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=0)
+
+    def test_merge_sorted_with_ties(self):
+        from nerf_projects_tpu.ops.sampling import merge_sorted
+
+        a = jnp.asarray([[0.0, 1.0, 1.0, 2.0]])
+        b = jnp.asarray([[1.0, 1.0, 3.0]])
+        got = np.asarray(merge_sorted(a, b))[0]
+        np.testing.assert_array_equal(
+            got, [0.0, 1.0, 1.0, 1.0, 1.0, 2.0, 3.0]
+        )
+
+    def test_sorted_uniform_distribution(self):
+        from nerf_projects_tpu.ops.sampling import sorted_uniform
+
+        u = np.asarray(
+            sorted_uniform(jax.random.PRNGKey(3), (512, 64))
+        )
+        assert (np.diff(u, axis=-1) >= 0).all()
+        assert (u > 0).all() and (u < 1).all()
+        # order statistics of 64 iid U(0,1): E[U_(i)] = i/(n+1)
+        means = u.mean(axis=0)
+        want = np.arange(1, 65) / 65.0
+        assert np.abs(means - want).max() < 0.02
+
+    def test_sorted_pdf_samples_ascending_and_same_distribution(self):
+        rng = np.random.default_rng(5)
+        bins = np.sort(rng.uniform(0, 8, (64, 17)), axis=-1)
+        weights = rng.uniform(0.1, 2.0, (64, 16))
+        s = np.asarray(piecewise_constant_pdf(
+            jax.random.PRNGKey(0), jnp.asarray(bins),
+            jnp.asarray(weights), 128, randomized=True, mode="nerf",
+            sorted_u=True,
+        ))
+        assert (np.diff(s, axis=-1) >= 0).all()
+        r = np.asarray(piecewise_constant_pdf(
+            jax.random.PRNGKey(1), jnp.asarray(bins),
+            jnp.asarray(weights), 128, randomized=True, mode="nerf",
+        ))
+        # same marginal distribution: compare pooled quantiles
+        qs = np.linspace(0.05, 0.95, 10)
+        dq = np.abs(
+            np.quantile(s.ravel(), qs) - np.quantile(r.ravel(), qs)
+        )
+        assert dq.max() < 0.15, dq
+
+    def test_render_rays_resample_sorted_path(self):
+        """End-to-end render through the merge path: finite outputs,
+        and with perturb=0 (deterministic linspace u) EXACTLY equal to
+        the sort path."""
+        import nerf_projects_tpu.models.pipeline as pl
+        from nerf_projects_tpu.core.rays import Rays
+        from nerf_projects_tpu.models.nerf import NeRFMLP
+
+        mlp = NeRFMLP(depth=2, width=32, use_viewdirs=True)
+        n = 16
+        rng = np.random.default_rng(7)
+        d = rng.standard_normal((n, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = Rays(
+            jnp.zeros((n, 3)), jnp.asarray(d, jnp.float32),
+            jnp.asarray(d, jnp.float32),
+        )
+        base = dict(
+            num_coarse_samples=8, num_fine_samples=8,
+            multires=4, multires_views=2, use_viewdirs=True,
+            perturb=False,
+        )
+        cfg_a = pl.NeRFRenderConfig(**base)
+        cfg_b = pl.NeRFRenderConfig(**base, resample_sorted=True)
+        params = mlp.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 3 * 2 * 4 + 3)),
+            jnp.zeros((1, 3 * 2 * 2 + 3)),
+        )
+        apply_fn = lambda p, x, v: mlp.apply(p, x, v)  # noqa: E731
+        out_a = pl.render_rays(
+            None, params, None, apply_fn, rays, 2.0, 6.0, cfg_a,
+            randomized=False,
+        )
+        out_b = pl.render_rays(
+            None, params, None, apply_fn, rays, 2.0, 6.0, cfg_b,
+            randomized=False,
+        )
+        assert bool(jnp.isfinite(out_b["rgb"]).all())
+        np.testing.assert_array_equal(
+            np.asarray(out_a["rgb"]), np.asarray(out_b["rgb"])
+        )
