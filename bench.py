@@ -122,6 +122,8 @@ def bench_nerf_train():
         cfg, depth=8, width=256, near=2.0, far=6.0,
         compute_dtype=jnp.bfloat16, use_fused_mlp=True,
         use_mega=os.environ.get("BENCH_NO_MEGA", "") != "1",
+        mega_rc=int(os.environ.get("BENCH_MEGA_RC", 8)),
+        mega_rf=int(os.environ.get("BENCH_MEGA_RF", 4)),
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
     ds = make_dataset(n_views=2, image_size=128)

@@ -379,7 +379,8 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
                      flat_state: bool = False,
                      early_stop_logt=None,
                      gathered: bool = False,
-                     wps: int = 1):
+                     wps: int = 1,
+                     sentinel=None):
     """flat_state: the FLAT-WINDOW variant (render_frame_pallas). The
     grid is (W, 1) over a frame's active windows in tile-major order;
     per-tile compositing state is seeded from a `state` input block on
@@ -398,6 +399,15 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
     # run sequentially in-kernel, so results are bit-identical to
     # wps=1.
     assert wps == 1 or not (flat_state or gathered)
+    # sentinel (int, = nb): skip the march body for ALL-SENTINEL
+    # windows (every corner empty). Exact for rgb/acc/depth/prefix and
+    # sparsity (an empty window contributes zero); only the aux
+    # window_miss diagnostic stops counting rays inside content-free
+    # windows. With chunk compaction the per-tile chunk count is the
+    # MAX active count over the batch, so tiles below the max march
+    # sentinel padding — this deletes their VPU/MXU work (the
+    # sequencing floor remains; wps amortizes that).
+    assert sentinel is None or not (flat_state or gathered)
 
     def kernel(*refs):
         if flat_state and gathered:
@@ -661,9 +671,16 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
             pl.when(
                 jnp.min(out_ref[0, 5, :]) < early_stop_logt
             )(_march_window)
-        else:
+        elif sentinel is None:
             for i in range(wps):
                 _march_window(i)
+        else:
+            for i in range(wps):
+                cc = c if wps == 1 else c * wps + i
+                act = rows_ref[t, cc, 0] != sentinel
+                for k in range(1, 8):
+                    act = act | (rows_ref[t, cc, k] != sentinel)
+                pl.when(act)(functools.partial(_march_window, i))
 
     return kernel
 
@@ -742,21 +759,25 @@ def _pad_chunks(orig, rows, nb: int, wps: int):
 @functools.partial(
     jax.jit,
     static_argnames=("n_chunks", "basis_dim", "color_mode",
-                     "emit_samples", "wps"),
+                     "emit_samples", "wps", "skip_empty"),
 )
 def _march_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
                 basis_dim, color_mode="bias", emit_samples=False,
-                wps=1):
+                wps=1, skip_empty=False):
     """density_z [nb+1, 8, 64]; sh_z [nb+1, B, 8, 192] (kernel layout).
     Packed mode: density_z [nb+1, B+1, 8, 192] with sh_z=None (see
     pack_kernel_arrays) — one corner fetch instead of two.
 
     Tiles are processed in SMEM-sized groups via lax.map (see
     _MAX_GRID_STEPS). `n_chunks` must be a multiple of `wps` (callers
-    pad with _pad_chunks)."""
+    pad with _pad_chunks). Grouping is sized on the PREFETCHED
+    (tile, chunk) entry count — SMEM holds the full rows/orig arrays
+    at ~64 B/scalar regardless of how many chunks one grid step
+    marches, so wps must not enlarge the groups (measured: wps=2
+    doubled the group and overflowed scoped SMEM by 50%)."""
     assert n_chunks % wps == 0
     T_full = pack.shape[0]
-    tg, padn = _tile_groups(T_full, n_chunks // wps)
+    tg, padn = _tile_groups(T_full, n_chunks)
     if padn:
         nb = density_z.shape[0] - 1
         rows = jnp.concatenate(
@@ -777,6 +798,7 @@ def _march_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         return _march_group(
             density_z, sh_z, rows_g, orig_g, basisf_g, pack_g,
             n_chunks, basis_dim, color_mode, emit_samples, wps,
+            skip_empty,
         )
 
     outs = jax.lax.map(
@@ -795,7 +817,7 @@ def _march_call(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
 
 def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
                  basis_dim, color_mode="bias", emit_samples=False,
-                 wps=1):
+                 wps=1, skip_empty=False):
     T = pack.shape[0]
     r = pack.shape[-1]
     A = SC * r
@@ -878,7 +900,11 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
         )
     res = pl.pallas_call(
         _make_fwd_kernel(basis_dim, r, color_mode, emit_samples,
-                         packed=packed, wps=wps),
+                         packed=packed, wps=wps,
+                         sentinel=(
+                             density_z.shape[0] - 1 if skip_empty
+                             else None
+                         )),
         grid_spec=grid_spec,
         out_shape=out_shape if emit_samples else out_shape[0],
         interpret=INTERPRET,
@@ -1130,7 +1156,7 @@ def render_tiles_pallas(
 
 def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
                      color_mode: str = "bias", packed_out: bool = False,
-                     wps: int = 1):
+                     wps: int = 1, sentinel=None):
     """Fetch-free backward: consumes the forward's per-sample
     (sigma_acc, rgb_acc) stream instead of re-fetching the 16 brick
     windows and re-marching — the gradient emission needs only ray
@@ -1143,7 +1169,8 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
     wps: chunks emitted per grid step (same contract as the
     forward's wps — sequential sub-windows, bit-identical to
     wps=1)."""
-    def kernel(orig_ref, basis_ref, pack_ref, samp_ref, *rest):
+    def kernel(rows_ref, orig_ref, basis_ref, pack_ref, samp_ref,
+               *rest):
         state_ref = rest[0]       # (1, 8, 128): row 0 cum_tau, row 1 P
         if packed_out:
             gd_ref = None
@@ -1342,8 +1369,35 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
             state_ref[0, 0:1, :] += jnp.sum(active_f * tau, axis=0)[None]
             state_ref[0, 1:2, :] += jnp.sum(wc, axis=0)[None]
 
-        for i in range(wps):
-            _bwd_window(i)
+        if sentinel is None:
+            for i in range(wps):
+                _bwd_window(i)
+        else:
+            # all-sentinel windows: zero gradient and zero tau by
+            # construction — skip the whole emission. The skipped
+            # output-block slice MUST be zeroed (not left as garbage):
+            # downstream the blocks meet 0/1 MASK MULTIPLIES (the
+            # tile-reduce matmul, the dense step's cell-mask) where
+            # 0 * NaN poisons the accumulator — scatter-row dropping
+            # alone only protects scatter-add consumers. The zero
+            # store is VPU-trivial; the block's HBM writeback happens
+            # either way.
+            for i in range(wps):
+                cc = c if wps == 1 else c * wps + i
+                act = rows_ref[t, cc, 0] != sentinel
+                for k in range(1, 8):
+                    act = act | (rows_ref[t, cc, k] != sentinel)
+                pl.when(act)(functools.partial(_bwd_window, i))
+
+                @pl.when(jnp.logical_not(act))
+                def _(i=i):
+                    if gd_ref is not None:
+                        gd_ref[0, i] = jnp.zeros(
+                            gd_ref.shape[2:], gd_ref.dtype
+                        )
+                    gsh_ref[0, i] = jnp.zeros(
+                        gsh_ref.shape[2:], gsh_ref.dtype
+                    )
 
     return kernel
 
@@ -1351,21 +1405,30 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
 @functools.partial(
     jax.jit,
     static_argnames=("n_chunks", "basis_dim", "sparsity_scale",
-                     "color_mode", "grad_dtype", "packed_out", "wps"),
+                     "color_mode", "grad_dtype", "packed_out", "wps",
+                     "skip_empty", "n_bricks"),
 )
-def _bwd_call(samples, orig, basisf, pack, n_chunks,
+def _bwd_call(samples, rows, orig, basisf, pack, n_chunks,
               basis_dim, sparsity_scale, color_mode="bias",
-              grad_dtype=jnp.float32, packed_out=False, wps=1):
+              grad_dtype=jnp.float32, packed_out=False, wps=1,
+              skip_empty=False, n_bricks=None):
     """SMEM-sized tile grouping like _march_call. `samples` is the
     forward pass's per-(tile, chunk) field stream [T, C, 8, A].
-    `n_chunks` must be a multiple of `wps`."""
+    `n_chunks` must be a multiple of `wps` (grouping sized on
+    prefetched entries, not grid steps — see _march_call)."""
     assert n_chunks % wps == 0
     T_full = pack.shape[0]
-    tg, padn = _tile_groups(T_full, n_chunks // wps)
+    tg, padn = _tile_groups(T_full, n_chunks)
     if padn:
         samples = jnp.concatenate(
             [samples,
              jnp.zeros((padn,) + samples.shape[1:], samples.dtype)]
+        )
+        rows = jnp.concatenate(
+            [rows,
+             jnp.full((padn,) + rows.shape[1:],
+                      n_bricks if n_bricks is not None else 0,
+                      rows.dtype)]
         )
         orig = jnp.concatenate(
             [orig, jnp.zeros((padn,) + orig.shape[1:], orig.dtype)]
@@ -1378,17 +1441,18 @@ def _bwd_call(samples, orig, basisf, pack, n_chunks,
         )
 
     def one_group(args):
-        samp_g, orig_g, basisf_g, pack_g = args
+        samp_g, rows_g, orig_g, basisf_g, pack_g = args
         return _bwd_group(
-            samp_g, orig_g, basisf_g, pack_g,
+            samp_g, rows_g, orig_g, basisf_g, pack_g,
             n_chunks, basis_dim, sparsity_scale, color_mode,
             grad_dtype, packed_out, wps,
+            (n_bricks if skip_empty else None),
         )
 
     outs = jax.lax.map(
         one_group,
-        (_group(samples, tg), _group(orig, tg), _group(basisf, tg),
-         _group(pack, tg)),
+        (_group(samples, tg), _group(rows, tg), _group(orig, tg),
+         _group(basisf, tg), _group(pack, tg)),
     )
     if packed_out:
         state, gsh = outs
@@ -1405,9 +1469,10 @@ def _bwd_call(samples, orig, basisf, pack, n_chunks,
     )
 
 
-def _bwd_group(samples, orig, basisf, pack, n_chunks,
+def _bwd_group(samples, rows, orig, basisf, pack, n_chunks,
                basis_dim, sparsity_scale, color_mode="bias",
-               grad_dtype=jnp.float32, packed_out=False, wps=1):
+               grad_dtype=jnp.float32, packed_out=False, wps=1,
+               sentinel=None):
     T = pack.shape[0]
     C = n_chunks
     r = pack.shape[-1]
@@ -1417,7 +1482,7 @@ def _bwd_group(samples, orig, basisf, pack, n_chunks,
         grad_specs = (
             pl.BlockSpec(
                 (1, wps, 8, basis_dim + 1, 8, 192),
-                lambda t, c, orig, basisf: (t, c, 0, 0, 0, 0),
+                lambda t, c, rows, orig, basisf: (t, c, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         )
@@ -1430,12 +1495,12 @@ def _bwd_group(samples, orig, basisf, pack, n_chunks,
         grad_specs = (
             pl.BlockSpec(
                 (1, wps, 8, 8, 64),
-                lambda t, c, orig, basisf: (t, c, 0, 0, 0),
+                lambda t, c, rows, orig, basisf: (t, c, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, wps, 8, basis_dim, 8, 192),
-                lambda t, c, orig, basisf: (t, c, 0, 0, 0, 0),
+                lambda t, c, rows, orig, basisf: (t, c, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         )
@@ -1447,24 +1512,24 @@ def _bwd_group(samples, orig, basisf, pack, n_chunks,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(T, C // wps),
         in_specs=[
             pl.BlockSpec(
                 (1, PACK_ROWS, r),
-                lambda t, c, orig, basisf: (t, 0, 0),
+                lambda t, c, rows, orig, basisf: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, wps, 8, A),
-                lambda t, c, orig, basisf: (t, c, 0, 0),
+                lambda t, c, rows, orig, basisf: (t, c, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
             pl.BlockSpec(
                 (1, 8, r),
-                lambda t, c, orig, basisf: (t, 0, 0),
+                lambda t, c, rows, orig, basisf: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             *grad_specs,
@@ -1477,7 +1542,8 @@ def _bwd_group(samples, orig, basisf, pack, n_chunks,
         )
     return pl.pallas_call(
         _make_bwd_kernel(basis_dim, sparsity_scale, r, color_mode,
-                         packed_out=packed_out, wps=wps),
+                         packed_out=packed_out, wps=wps,
+                         sentinel=sentinel),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((T, 8, r), jnp.float32),
@@ -1485,7 +1551,7 @@ def _bwd_group(samples, orig, basisf, pack, n_chunks,
         ),
         interpret=INTERPRET,
         **extra,
-    )(orig, basisf, pack, samples)
+    )(rows, orig, basisf, pack, samples)
 
 
 # Layout converters are CONSTANT lane permutations (one gather with a
@@ -1593,6 +1659,7 @@ def fused_grad_blocks(
     grad_dtype=jnp.float32,
     compact_chunks: Optional[int] = None,
     wps: int = 1,
+    skip_empty: bool = False,
 ):
     """Fused render + gradient, stopping BEFORE the dense scatter:
     returns (rgb_out [T,128,3], gd_blocks [T,C,8,8,64],
@@ -1642,7 +1709,8 @@ def fused_grad_blocks(
     # backward consumes
     fwd, samples = _march_call(density_z, sh_z, rows, orig, basisf,
                                pack, C, bg.basis_dim, opts.color_mode,
-                               emit_samples=True, wps=wps)
+                               emit_samples=True, wps=wps,
+                               skip_empty=skip_empty)
     acc = fwd[:, 3]
     rgb_out = (
         jnp.moveaxis(fwd[:, 0:3], 1, 2)
@@ -1664,9 +1732,10 @@ def fused_grad_blocks(
     pack = pack.at[:, 15].set(S_total)
 
     state, gd_blocks, gsh_blocks = _bwd_call(
-        samples, orig, basisf, pack, C, bg.basis_dim,
+        samples, rows, orig, basisf, pack, C, bg.basis_dim,
         float(sparsity_loss), opts.color_mode, grad_dtype,
-        packed_out=packed, wps=wps,
+        packed_out=packed, wps=wps, skip_empty=skip_empty,
+        n_bricks=bg.n_bricks,
     )
 
     aux = {

@@ -52,6 +52,8 @@ class NeRFTrainer:
         use_fused_mlp: bool = False,
         use_mega: bool = False,
         mesh=None,
+        mega_rc: int = 8,
+        mega_rf: int = 4,
     ):
         self.cfg = cfg
         self.near = near
@@ -136,8 +138,8 @@ class NeRFTrainer:
         # S=288 -> 1152-row tiles (bf16 act stash + f32 grads + the
         # [TILE, TILE] prefix matrix co-reside; the pallas_call raises
         # the scoped-vmem cap)
-        self.mega_rc = 8
-        self.mega_rf = 4
+        self.mega_rc = mega_rc
+        self.mega_rf = mega_rf
         # raw-input mega kernels: posenc happens in-kernel (block
         # layout); the XLA glue streams 8 cols instead of 64 and runs
         # no transcendentals

@@ -538,6 +538,7 @@ def train_step_tiles_packed(
     compact_chunks: Optional[int] = None,
     n_chunks: Optional[int] = None,
     wps: int = 1,
+    skip_empty: bool = True,
 ):
     """Dense-update train step on the fully-PACKED state: exactly the
     train_step_tiles_pallas semantics (fused kernels + sampled TV +
@@ -567,6 +568,7 @@ def train_step_tiles_packed(
         compact_chunks=compact_chunks,
         n_chunks=n_chunks,
         wps=wps,
+        skip_empty=skip_empty,
     )
     mse = jnp.mean((rgb - target) ** 2)
 
@@ -645,17 +647,18 @@ def train_step_tiles_packed(
     jax.jit,
     static_argnums=(0,),
     static_argnames=("use_occupancy", "compact_chunks", "n_chunks",
-                     "wps"),
+                     "wps", "skip_empty"),
     donate_argnums=(2,),
 )
 def train_step_tiles_packed_jit(
     trainer, bg, st, rays, target, step, key, *,
     use_occupancy=False, compact_chunks=None, n_chunks=None, wps=1,
+    skip_empty=True,
 ):
     return train_step_tiles_packed(
         trainer, bg, st, rays, target, step, key,
         use_occupancy=use_occupancy, compact_chunks=compact_chunks,
-        n_chunks=n_chunks, wps=wps,
+        n_chunks=n_chunks, wps=wps, skip_empty=skip_empty,
     )
 
 
@@ -674,6 +677,7 @@ def train_step_tiles_packed_touched(
     n_chunks: Optional[int] = None,
     wps: int = 1,
     tile_rows: Optional[int] = None,
+    skip_empty: bool = True,
 ):
     """Touched-row train step on the fully-packed state — the fast
     sparse path. Same math as `train_step_tiles_packed` (fused kernels
@@ -733,6 +737,7 @@ def train_step_tiles_packed_touched(
         compact_chunks=compact_chunks,
         n_chunks=n_chunks,
         wps=wps,
+        skip_empty=skip_empty,
     )
     mse = jnp.mean((rgb - target) ** 2)
 
@@ -872,20 +877,20 @@ def train_step_tiles_packed_touched(
     static_argnums=(0,),
     static_argnames=(
         "max_touched", "use_occupancy", "compact_chunks", "n_chunks",
-        "wps", "tile_rows",
+        "wps", "tile_rows", "skip_empty",
     ),
     donate_argnums=(2,),
 )
 def train_step_tiles_packed_touched_jit(
     trainer, bg, st, rays, target, step, key, *,
     max_touched=12288, use_occupancy=False, compact_chunks=None,
-    n_chunks=None, wps=1, tile_rows=None,
+    n_chunks=None, wps=1, tile_rows=None, skip_empty=True,
 ):
     return train_step_tiles_packed_touched(
         trainer, bg, st, rays, target, step, key,
         max_touched=max_touched, use_occupancy=use_occupancy,
         compact_chunks=compact_chunks, n_chunks=n_chunks,
-        wps=wps, tile_rows=tile_rows,
+        wps=wps, tile_rows=tile_rows, skip_empty=skip_empty,
     )
 
 

@@ -35,7 +35,11 @@ from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
 RESO = int(os.environ.get("RESO", 512))
 TILES = int(os.environ.get("TILES", 32))
 MAX_TOUCHED = int(os.environ.get("MAX_TOUCHED", 8192))
-UNROLL = int(os.environ.get("UNROLL", 4))
+# UNROLL=1: the 5.7 GB state cannot afford the extra aliasing copies
+# XLA materializes across a longer chain (unroll-4 measured
+# RESOURCE_EXHAUSTED); async dispatch + donation already overlaps the
+# ~20 ms relay dispatch with device execution
+UNROLL = int(os.environ.get("UNROLL", 1))
 WPS = int(os.environ.get("WPS", 4))
 TRED = int(os.environ.get("TRED", 1))
 

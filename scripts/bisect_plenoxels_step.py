@@ -438,21 +438,21 @@ def main():
 
         report("fwd_march_constrows", lambda: run_fwd_const)
 
-        bwdk = jax.jit(lambda smp, org, bsf, pck: _bwd_call(
-            smp, org, bsf, pck, C, bg.basis_dim, 0.0, "bias",
+        bwdk = jax.jit(lambda smp, rws, org, bsf, pck: _bwd_call(
+            smp, rws, org, bsf, pck, C, bg.basis_dim, 0.0, "bias",
             jnp.float32))
 
         def run_bwdk(k):
             out = None
             for i in range(k):
-                out = bwdk(samples, orig, basisf,
+                out = bwdk(samples, rows, orig, basisf,
                            pack.at[:, 12].add(i * 1e-9))
             _ = float(out[0].sum())
 
         report("bwd_kernel_only", lambda: run_bwdk)
 
         state, gdb, gshb = jax.block_until_ready(
-            bwdk(samples, orig, basisf, pack))
+            bwdk(samples, rows, orig, basisf, pack))
 
     @jax.jit
     def scatter_relayout(gd_blocks, gsh_blocks, rws):
