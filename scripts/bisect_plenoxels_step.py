@@ -308,6 +308,52 @@ def main():
     report("touched_shell_tred", lambda: shell_touched(tile_rows=1))
     report("touched_shell_full", lambda: shell_touched(
         wps=4, bf16_grad_blocks=True, tile_rows=1, k_cap=4096))
+    report("touched_shell_wps8", lambda: shell_touched(wps=8))
+    report("touched_shell_full8", lambda: shell_touched(
+        wps=8, bf16_grad_blocks=True, tile_rows=1, k_cap=4096))
+    # bench ship config exactly (wps4 + tred, f32 grad blocks)
+    report("touched_shell_ship", lambda: shell_touched(
+        wps=4, tile_rows=1))
+
+    # --- shell kernel floor: fused fwd+bwd call alone -------------
+    def shell_kernels(wps=1, grad_dtype=jnp.float32):
+        import functools
+
+        from nerf_projects_tpu.ops.pallas.tile_march import (
+            fused_grad_blocks,
+            required_chunks,
+        )
+        from nerf_projects_tpu.train import plenoxels_sparse as ps
+
+        sb = B._shell_setup(RESO, dtype=jnp.float32)
+        srays = B._tile_rays(jax.random.PRNGKey(2), TILES)
+        starget = jnp.full((TILES, 128, 3), 0.4)
+        ck = required_chunks(sb, srays, opts, use_occupancy=True)
+        st = ps.packed_state_from_grid(sb)
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def scan_k(k, pk):
+            def body(c, i):
+                rgb, _gd, gp, rows, aux = fused_grad_blocks(
+                    sb, srays, starget, opts,
+                    use_occupancy=True, kernel_arrays=pk,
+                    grad_dtype=grad_dtype, compact_chunks=ck,
+                    wps=wps, skip_empty=True,
+                )
+                return c + jnp.mean(rgb) + gp.reshape(-1)[0], None
+
+            out, _ = jax.lax.scan(
+                body, jnp.zeros(()), jnp.arange(k, dtype=jnp.int32)
+            )
+            return out
+
+        def run(k):
+            _ = float(scan_k(k, st.packed_k))
+        return run
+
+    report("shell_kernels", lambda: shell_kernels())
+    report("shell_kernels_wps4", lambda: shell_kernels(wps=4))
+    report("shell_kernels_wps8", lambda: shell_kernels(wps=8))
 
     def shell_dense_k(**kw):
         from nerf_projects_tpu.ops.pallas.tile_march import (
