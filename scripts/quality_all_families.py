@@ -34,6 +34,9 @@ PLENOXEL_TV_SCALE = float(os.environ.get("QUALITY_TV_SCALE", 1.0))
 PLENOXEL_UPSAMPLE_AT = float(os.environ.get("QUALITY_UPSAMPLE_AT", 0.0))
 PLENOXEL_SPARSITY = float(os.environ.get("QUALITY_SPARSITY", 1e-7))
 PLENOXEL_INIT_SIGMA = float(os.environ.get("QUALITY_INIT_SIGMA", 0.1))
+# unique-touched-brick bound for the touched-row step; raise for
+# 512^3 runs (overflowing rows drop their update and are reported)
+PLENOXEL_MAX_TOUCHED = int(os.environ.get("QUALITY_MAX_TOUCHED", 12288))
 SH_CHUNKS = int(os.environ.get("QUALITY_SH_CHUNKS", 6))
 H = W = int(os.environ.get("QUALITY_IMG", 96))
 N_VIEWS = int(os.environ.get("QUALITY_VIEWS", 16))
@@ -136,12 +139,14 @@ def quality_plenoxels(ds):
         pst, st = ps.train_step_tiles_packed_touched_jit(
             trainer, bg, pst, rays, target,
             jnp.asarray(i, jnp.int32), kt,
-            max_touched=12288,
+            max_touched=PLENOXEL_MAX_TOUCHED,
         )
         if i % 500 == 0:
             print(f"plenoxels step {i}: train psnr "
                   f"{float(st['psnr']):.2f} miss "
-                  f"{float(st.get('window_miss', -1)):.4f}", flush=True)
+                  f"{float(st.get('window_miss', -1)):.4f} ovf "
+                  f"{float(st.get('touched_overflow', 0)):.4f}",
+                  flush=True)
     bg = ps.grid_from_packed_state(bg, pst)
     dt = time.time() - t0
 
