@@ -310,9 +310,23 @@ def bench_plenoxels_train(reso=256, tiles=40, shell=False):
             # per-tile block pre-reduction before the global
             # scatter-add; both bit-parity-tested vs the plain step
             # (tests/test_sparse_step.py). BENCH_PLEN_WPS=1 /
-            # BENCH_PLEN_TRED=0 fall back.
+            # BENCH_PLEN_TRED=0 fall back. BENCH_PLEN_FLAT=1 marches
+            # the FLAT active-window plan instead (no batch-max
+            # padding; parity-tested) — the bench rays are fixed so
+            # required_windows is exact.
+            flat_w = 0
+            if int(os.environ.get("BENCH_PLEN_FLAT", 0)):
+                from nerf_projects_tpu.ops.pallas.flat_train import (
+                    required_windows,
+                )
+
+                flat_w = required_windows(
+                    bg, rays, GridRenderOptions(step_size=0.5)
+                )
+                print(json.dumps({"flat_windows": flat_w}),
+                      flush=True)
             wps = int(os.environ.get("BENCH_PLEN_WPS", 4))
-            if int(os.environ.get("BENCH_PLEN_TRED", 1)):
+            if not flat_w and int(os.environ.get("BENCH_PLEN_TRED", 1)):
                 k_tile = ps.required_tile_rows(
                     bg, rays, GridRenderOptions(step_size=0.5),
                     use_occupancy=shell, compact_chunks=ck,
@@ -322,6 +336,11 @@ def bench_plenoxels_train(reso=256, tiles=40, shell=False):
                 k_tile = None
 
             def step(st, i, key):
+                if flat_w:
+                    return ps.train_step_tiles_packed_touched(
+                        trainer, geom, st, rays, target, i, key,
+                        max_touched=k_cap, flat_windows=flat_w,
+                    )
                 return ps.train_step_tiles_packed_touched(
                     trainer, geom, st, rays, target, i, key,
                     max_touched=k_cap, compact_chunks=ck,

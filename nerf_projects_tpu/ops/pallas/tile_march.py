@@ -387,8 +387,13 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
     each tile's first window (prefetched `first` flag) instead of the
     grouped variant's chunk-0 zero init — out-block revisiting carries
     it across the tile's consecutive windows exactly as the (T, C)
-    grid does."""
-    assert not (flat_state and emit_samples)
+    grid does. flat_state + emit_samples (the flat TRAINING forward)
+    emits one per-window field block, consumed by the flat backward
+    (_bwd_frame_group); flat_state + sentinel skips padding windows
+    exactly as the (T, C) grid does (their samples stay garbage but
+    the backward skips the same windows and every scatter consumer
+    drops the sentinel row)."""
+    assert not (gathered and emit_samples)
     assert not (gathered and not flat_state)
     # wps (windows per grid step): the (T, C) grid marches `wps`
     # consecutive chunks per step — the per-step fixed cost
@@ -407,7 +412,7 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
     # MAX active count over the batch, so tiles below the max march
     # sentinel padding — this deletes their VPU/MXU work (the
     # sequencing floor remains; wps amortizes that).
-    assert sentinel is None or not (flat_state or gathered)
+    assert sentinel is None or not gathered
 
     def kernel(*refs):
         if flat_state and gathered:
@@ -915,7 +920,8 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
 
 def _march_frame_group(density_z, sh_z, lt, first, rows, orig, basisf,
                        pack_g, state_g, basis_dim, color_mode="bias",
-                       early_stop_logt=None, gathered=False):
+                       early_stop_logt=None, gathered=False,
+                       emit_samples=False, sentinel=None):
     """One flat window group of a whole-frame march (see
     ops/pallas/frame_march.py). The grid is (W, 1) over active windows
     in tile-major order; consecutive windows of the same tile share an
@@ -1025,22 +1031,43 @@ def _march_frame_group(density_z, sh_z, lt, first, rows, orig, basisf,
         ]
         brick_args = [*([density_z] * 8), *([sh_z] * 8)]
 
+    state_spec = pl.BlockSpec(
+        (1, 8, r),
+        lambda w, c, lt, first, rows, orig, basisf: (lt[w], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    if emit_samples:
+        A = SC * r
+        out_specs = (
+            state_spec,
+            pl.BlockSpec(
+                (1, 1, 8, A),
+                lambda w, c, lt, first, rows, orig, basisf: (
+                    w, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((S, 8, r), jnp.float32),
+            jax.ShapeDtypeStruct((W, 1, 8, A), jnp.float32),
+        )
+    else:
+        out_specs = state_spec
+        out_shape = jax.ShapeDtypeStruct((S, 8, r), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(W, 1),
         in_specs=[local(0), local(1), *brick_specs],
-        out_specs=pl.BlockSpec(
-            (1, 8, r),
-            lambda w, c, lt, first, rows, orig, basisf: (lt[w], 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_specs,
     )
     return pl.pallas_call(
-        _make_fwd_kernel(basis_dim, r, color_mode, packed=packed,
+        _make_fwd_kernel(basis_dim, r, color_mode,
+                         emit_samples=emit_samples, packed=packed,
                          flat_state=True,
-                         early_stop_logt=early_stop_logt),
+                         early_stop_logt=early_stop_logt,
+                         sentinel=sentinel),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, 8, r), jnp.float32),
+        out_shape=out_shape,
         interpret=INTERPRET,
     )(lt, first, rows, orig, basisf, pack_g, state_g, *brick_args)
 
@@ -1156,7 +1183,8 @@ def render_tiles_pallas(
 
 def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
                      color_mode: str = "bias", packed_out: bool = False,
-                     wps: int = 1, sentinel=None):
+                     wps: int = 1, sentinel=None,
+                     flat_state: bool = False):
     """Fetch-free backward: consumes the forward's per-sample
     (sigma_acc, rgb_acc) stream instead of re-fetching the 16 brick
     windows and re-marching — the gradient emission needs only ray
@@ -1168,9 +1196,25 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
 
     wps: chunks emitted per grid step (same contract as the
     forward's wps — sequential sub-windows, bit-identical to
-    wps=1)."""
-    def kernel(rows_ref, orig_ref, basis_ref, pack_ref, samp_ref,
-               *rest):
+    wps=1).
+
+    flat_state: the flat-window variant (grid (W, 1) over active
+    windows, tile-major; see _bwd_frame_group) — suffix state is
+    seeded from a state input block on each tile's first window
+    (prefetched `first` flag) and carried across the tile's
+    consecutive windows by out-block revisiting, exactly as the flat
+    forward does."""
+    assert not (flat_state and wps != 1)
+
+    def kernel(*refs):
+        if flat_state:
+            (_lt_ref, first_ref, rows_ref, orig_ref, basis_ref,
+             pack_ref, samp_ref, state_in_ref) = refs[:8]
+            rest = refs[8:]
+        else:
+            (rows_ref, orig_ref, basis_ref, pack_ref,
+             samp_ref) = refs[:5]
+            rest = refs[5:]
         state_ref = rest[0]       # (1, 8, 128): row 0 cum_tau, row 1 P
         if packed_out:
             gd_ref = None
@@ -1181,9 +1225,16 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
         t = pl.program_id(0)
         c = pl.program_id(1)
 
-        @pl.when(c == 0)
-        def _():
-            state_ref[...] = jnp.zeros(state_ref.shape, state_ref.dtype)
+        if flat_state:
+            @pl.when(first_ref[t] == 1)
+            def _():
+                state_ref[...] = state_in_ref[...]
+        else:
+            @pl.when(c == 0)
+            def _():
+                state_ref[...] = jnp.zeros(
+                    state_ref.shape, state_ref.dtype
+                )
 
         pack = pack_ref[0]
         og = pack[0:3]
@@ -1552,6 +1603,80 @@ def _bwd_group(samples, rows, orig, basisf, pack, n_chunks,
         interpret=INTERPRET,
         **extra,
     )(rows, orig, basisf, pack, samples)
+
+
+def _bwd_frame_group(lt, first, rows, orig, basisf, pack_g, state_g,
+                     samples, basis_dim, sparsity_scale,
+                     color_mode="bias", grad_dtype=jnp.float32,
+                     sentinel=None):
+    """One flat window group of the fetch-free backward (the flat
+    counterpart of _bwd_group; see fused_grad_blocks_flat in
+    flat_train.py). The grid is (W, 1) over active windows in
+    tile-major order; per-tile suffix state (cum_tau, P) is seeded
+    from `state_g` on each tile's first window and carried by
+    out-block revisiting, so a tile whose run crosses a group boundary
+    resumes mid-march. Emits ONE packed gradient block per window
+    [8, B+1, 8, 192] (packed_out layout only — the flat path exists
+    for the packed touched train step).
+
+      lt      [W]          int32  local state/pack slot per window
+      first   [W]          int32  1 on each tile's first window here
+      rows    [W, 1, 8]    int32  corner rows (sentinel = empty)
+      orig    [W, 1, 4]    int32  window voxel origin + base step
+      basisf  [W, B]       f32    SH basis of the window's tile
+      pack_g  [S, 16, r]   f32    ray pack rows per local slot
+                                  (rows 12-15 carry g / S_total)
+      state_g [S, 8, r]    f32    suffix-state carry rows per slot
+      samples [W, 1, 8, A] f32    forward per-sample field stream
+    """
+    W = lt.shape[0]
+    S = pack_g.shape[0]
+    r = pack_g.shape[-1]
+    A = SC * r
+
+    def local(nrows):
+        return pl.BlockSpec(
+            (1, nrows, r),
+            lambda w, c, lt, first, rows, orig, basisf: (lt[w], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(W, 1),
+        in_specs=[
+            local(pack_g.shape[1]),
+            pl.BlockSpec(
+                (1, 1, 8, A),
+                lambda w, c, lt, first, rows, orig, basisf: (
+                    w, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            local(8),
+        ],
+        out_specs=(
+            local(8),
+            pl.BlockSpec(
+                (1, 1, 8, basis_dim + 1, 8, 192),
+                lambda w, c, lt, first, rows, orig, basisf: (
+                    w, 0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+    )
+    return pl.pallas_call(
+        _make_bwd_kernel(basis_dim, sparsity_scale, r, color_mode,
+                         packed_out=True, sentinel=sentinel,
+                         flat_state=True),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((S, 8, r), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (W, 1, 8, basis_dim + 1, 8, 192), grad_dtype
+            ),
+        ),
+        interpret=INTERPRET,
+    )(lt, first, rows, orig, basisf, pack_g, samples, state_g)
 
 
 # Layout converters are CONSTANT lane permutations (one gather with a

@@ -678,6 +678,7 @@ def train_step_tiles_packed_touched(
     wps: int = 1,
     tile_rows: Optional[int] = None,
     skip_empty: bool = True,
+    flat_windows: Optional[int] = None,
 ):
     """Touched-row train step on the fully-packed state — the fast
     sparse path. Same math as `train_step_tiles_packed` (fused kernels
@@ -695,6 +696,14 @@ def train_step_tiles_packed_touched(
     within-tile revisit factor (consecutive windows share 4 of 8
     corners). Size with required_tile_rows; overflow is surfaced in
     stats["dropped_tile_rows"].
+    `flat_windows`: when set, both kernels march the FLAT active-window
+    plan (ops/pallas/flat_train.py) instead of the (T, C) grid — every
+    tile pays only for its own active windows rather than the batch
+    max (shell scenes: ~5x fewer marched windows). The value is the
+    static active-window capacity (size with
+    flat_train.required_windows; overflow windows drop, reported in
+    stats["dropped_active_chunks"]). Occupancy clipping is always on;
+    wps/tile_rows/compact_chunks do not apply.
 
     Touched rows are found WITHOUT sort: scatter a dense flag
     [nb+1], exclusive-cumsum for each touched row's compact slot, and
@@ -727,18 +736,37 @@ def train_step_tiles_packed_touched(
     K = int(max_touched)
     fstep = step.astype(jnp.float32)
 
-    rgb, _gd, gp_blocks, rows, aux = fused_grad_blocks(
-        bg, rays, target, trainer.opts,
-        beta_loss=trainer.lambda_beta,
-        sparsity_loss=trainer.lambda_sparsity,
-        use_occupancy=use_occupancy,
-        kernel_arrays=st.packed_k,
-        grad_dtype=trainer.grad_block_dtype,
-        compact_chunks=compact_chunks,
-        n_chunks=n_chunks,
-        wps=wps,
-        skip_empty=skip_empty,
-    )
+    if flat_windows is not None:
+        if tile_rows is not None:
+            raise ValueError(
+                "flat_windows: tile_rows pre-reduction does not apply "
+                "(the flat stream has no per-tile block structure)"
+            )
+        from nerf_projects_tpu.ops.pallas.flat_train import (
+            fused_grad_blocks_flat,
+        )
+
+        rgb, _gd, gp_blocks, rows, aux = fused_grad_blocks_flat(
+            bg, rays, target, trainer.opts,
+            kernel_arrays=st.packed_k,
+            w_cap=flat_windows,
+            beta_loss=trainer.lambda_beta,
+            sparsity_loss=trainer.lambda_sparsity,
+            grad_dtype=trainer.grad_block_dtype,
+        )
+    else:
+        rgb, _gd, gp_blocks, rows, aux = fused_grad_blocks(
+            bg, rays, target, trainer.opts,
+            beta_loss=trainer.lambda_beta,
+            sparsity_loss=trainer.lambda_sparsity,
+            use_occupancy=use_occupancy,
+            kernel_arrays=st.packed_k,
+            grad_dtype=trainer.grad_block_dtype,
+            compact_chunks=compact_chunks,
+            n_chunks=n_chunks,
+            wps=wps,
+            skip_empty=skip_empty,
+        )
     mse = jnp.mean((rgb - target) ** 2)
 
     # sampled TV FIRST so its rows join the touched flag
@@ -877,7 +905,7 @@ def train_step_tiles_packed_touched(
     static_argnums=(0,),
     static_argnames=(
         "max_touched", "use_occupancy", "compact_chunks", "n_chunks",
-        "wps", "tile_rows", "skip_empty",
+        "wps", "tile_rows", "skip_empty", "flat_windows",
     ),
     donate_argnums=(2,),
 )
@@ -885,12 +913,14 @@ def train_step_tiles_packed_touched_jit(
     trainer, bg, st, rays, target, step, key, *,
     max_touched=12288, use_occupancy=False, compact_chunks=None,
     n_chunks=None, wps=1, tile_rows=None, skip_empty=True,
+    flat_windows=None,
 ):
     return train_step_tiles_packed_touched(
         trainer, bg, st, rays, target, step, key,
         max_touched=max_touched, use_occupancy=use_occupancy,
         compact_chunks=compact_chunks, n_chunks=n_chunks,
         wps=wps, tile_rows=tile_rows, skip_empty=skip_empty,
+        flat_windows=flat_windows,
     )
 
 

@@ -236,7 +236,7 @@ def main():
 
     # --- touched-row step on the shell scene (the ship bench mode) ---
     def touched_runner(trainer, my_bg=None, compact=None, use_occ=False,
-                       k_cap=6144, wps=1, tile_rows=0):
+                       k_cap=6144, wps=1, tile_rows=0, flat=0):
         import functools
 
         from nerf_projects_tpu.train import plenoxels_sparse as ps
@@ -249,16 +249,18 @@ def main():
         )
         holder = {"st": ps.packed_state_from_grid(geom)}
 
-        @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7),
+        @functools.partial(jax.jit,
+                           static_argnums=(0, 3, 4, 5, 6, 7, 8),
                            donate_argnums=1)
-        def scan_steps(k, st, key, ck, occ, cap, w, tr):
+        def scan_steps(k, st, key, ck, occ, cap, w, tr, fl):
             def body(st, i):
                 st, stats = ps.train_step_tiles_packed_touched(
                     trainer, geom, st, my_rays, my_target,
                     i, jax.random.fold_in(key, i),
                     max_touched=cap, compact_chunks=ck,
                     use_occupancy=occ, wps=w,
-                    tile_rows=tr if tr else None)
+                    tile_rows=tr if tr else None,
+                    flat_windows=fl if fl else None)
                 return st, stats["mse"]
 
             return jax.lax.scan(body, st,
@@ -267,12 +269,13 @@ def main():
         def run(k):
             st, mses = scan_steps(k, holder["st"],
                                   jax.random.PRNGKey(k), compact,
-                                  use_occ, k_cap, wps, tile_rows)
+                                  use_occ, k_cap, wps, tile_rows,
+                                  flat)
             _ = float(mses[-1])
             holder["st"] = st
         return run
 
-    def shell_touched(k_cap=6144, wps=1, tile_rows=0, **kw):
+    def shell_touched(k_cap=6144, wps=1, tile_rows=0, flat=0, **kw):
         from nerf_projects_tpu.ops.pallas.tile_march import (
             required_chunks,
         )
@@ -290,9 +293,17 @@ def main():
                 compact_chunks=ck)
             print(json.dumps({"shell_tile_rows": tile_rows}),
                   flush=True)
+        if flat:
+            from nerf_projects_tpu.ops.pallas.flat_train import (
+                required_windows,
+            )
+
+            flat = required_windows(sb, srays, opts)
+            print(json.dumps({"shell_flat_windows": flat}),
+                  flush=True)
         return touched_runner(make_trainer(**kw), my_bg=sb,
                               compact=ck, use_occ=True, k_cap=k_cap,
-                              wps=wps, tile_rows=tile_rows)
+                              wps=wps, tile_rows=tile_rows, flat=flat)
 
     report("touched_shell", lambda: shell_touched())
     report("touched_shell_bf16g", lambda: shell_touched(
@@ -314,6 +325,10 @@ def main():
     # bench ship config exactly (wps4 + tred, f32 grad blocks)
     report("touched_shell_ship", lambda: shell_touched(
         wps=4, tile_rows=1))
+    # flat active-window plan (no sentinel padding marched at all)
+    report("touched_shell_flat", lambda: shell_touched(flat=1))
+    report("touched_shell_flat_bf16g", lambda: shell_touched(
+        flat=1, bf16_grad_blocks=True))
 
     # --- shell kernel floor: fused fwd+bwd call alone -------------
     def shell_kernels(wps=1, grad_dtype=jnp.float32):

@@ -420,3 +420,112 @@ class TestTileReducedTouchedStep:
         )
         assert int(stats["dropped_tile_rows"]) > 0
         assert bool(jnp.all(jnp.isfinite(st.packed_k)))
+
+
+class TestFlatWindowStep:
+    """Flat active-window plan (ops/pallas/flat_train.py): both train
+    kernels march exactly the batch's active windows instead of the
+    (T, C) grid's batch-max padding — results must match the grouped
+    kernels (inactive windows contribute exactly nothing)."""
+
+    def test_flat_fused_matches_tc(self):
+        from nerf_projects_tpu.ops.pallas.flat_train import (
+            fused_grad_blocks_flat,
+            required_windows,
+        )
+
+        bg = from_sparse_grid(random_grid(24, seed=50))
+        rays = tile_rays(3, seed=51)
+        gt = jnp.full(rays.origins.shape[:2] + (3,), 0.4)
+        opts = GridRenderOptions(step_size=0.5)
+        st = ps.packed_state_from_grid(bg)
+        nb, B = bg.n_bricks, bg.basis_dim
+
+        def scat(gp, rows):
+            return (
+                jnp.zeros((nb + 1, B + 1, 8, 192), jnp.float32)
+                .at[rows.reshape(-1)]
+                .add(gp.reshape(-1, B + 1, 8, 192).astype(jnp.float32))
+            )[:nb]
+
+        want = tm.fused_grad_blocks(
+            bg, rays, gt, opts, kernel_arrays=st.packed_k,
+            use_occupancy=True, skip_empty=True,
+            beta_loss=1e-3, sparsity_loss=1e-4,
+        )
+        wc = required_windows(bg, rays, opts)
+        assert wc > 0
+        # group=16 forces several groups with tiles straddling group
+        # boundaries (the carry gather/scatter path)
+        for group in (16, 640):
+            got = fused_grad_blocks_flat(
+                bg, rays, gt, opts, kernel_arrays=st.packed_k,
+                w_cap=wc, group=group,
+                beta_loss=1e-3, sparsity_loss=1e-4,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(want[0]), np.asarray(got[0]),
+                err_msg=f"rgb group={group}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(scat(want[2], want[3])),
+                np.asarray(scat(got[2], got[3])),
+                rtol=1e-6, atol=1e-8,
+                err_msg=f"grads group={group}",
+            )
+            assert int(got[4]["dropped_windows"]) == 0
+
+    def test_flat_touched_step_matches(self):
+        from nerf_projects_tpu.ops.pallas.flat_train import (
+            required_windows,
+        )
+
+        trainer = make_trainer()
+        g = random_grid(24, seed=52)
+        bg = from_sparse_grid(g)
+        st_a = ps.packed_state_from_grid(bg)
+        st_b = ps.packed_state_from_grid(bg)
+        for i in range(3):
+            rays = tile_rays(2, seed=800 + 3 * i)
+            target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+            key = jax.random.PRNGKey(i)
+            step_i = jnp.asarray(i, jnp.int32)
+            wc = required_windows(bg, rays, trainer.opts)
+            st_a, astats = ps.train_step_tiles_packed_touched(
+                trainer, bg, st_a, rays, target, step_i, key,
+                max_touched=4096, use_occupancy=True,
+            )
+            st_b, bstats = ps.train_step_tiles_packed_touched(
+                trainer, bg, st_b, rays, target, step_i, key,
+                max_touched=4096, flat_windows=wc,
+            )
+            np.testing.assert_allclose(
+                float(astats["mse"]), float(bstats["mse"]),
+                rtol=1e-6, atol=1e-8,
+            )
+            assert int(bstats["dropped_active_chunks"]) == 0
+        np.testing.assert_allclose(
+            np.asarray(st_a.packed_k), np.asarray(st_b.packed_k),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_a.rms), np.asarray(st_b.rms),
+            rtol=1e-4, atol=1e-6,
+        )
+
+    def test_flat_overflow_reported(self):
+        from nerf_projects_tpu.ops.pallas.flat_train import (
+            fused_grad_blocks_flat,
+        )
+
+        bg = from_sparse_grid(random_grid(24, seed=53))
+        rays = tile_rays(2, seed=54)
+        gt = jnp.full(rays.origins.shape[:2] + (3,), 0.4)
+        opts = GridRenderOptions(step_size=0.5)
+        st = ps.packed_state_from_grid(bg)
+        out = fused_grad_blocks_flat(
+            bg, rays, gt, opts, kernel_arrays=st.packed_k,
+            w_cap=8, group=8,
+        )
+        assert int(out[4]["dropped_windows"]) > 0
+        assert bool(jnp.all(jnp.isfinite(out[0])))
