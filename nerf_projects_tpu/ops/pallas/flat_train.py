@@ -128,6 +128,9 @@ def fused_grad_blocks_flat(
     """
     if rays.origins.shape[1] not in (128, 256):
         raise ValueError("tile size must be 128 or 256 rays")
+    # a batch below one group marches exactly w_cap windows (no
+    # round-up-to-group sentinel padding)
+    group = min(group, w_cap)
     if opts.color_mode not in ("bias", "sigmoid"):
         raise NotImplementedError(
             f"flat march: unknown color mode {opts.color_mode!r}"
