@@ -82,13 +82,23 @@ from nerf_projects_tpu.ops.pallas.tile_march import (
 geom = geometry_only(bg)
 CK = required_chunks(geom, rays, opts, use_occupancy=True)
 nb, B_ = bg.n_bricks, bg.basis_dim
+# FLAT=1: flat active-window plan (no batch-max chunk padding) —
+# the exact window count for the fixed bench rays
+FLAT = int(os.environ.get("FLAT", 0))
+flat_w = 0
+if FLAT:
+    from nerf_projects_tpu.ops.pallas.flat_train import (
+        required_windows,
+    )
+
+    flat_w = required_windows(geom, rays, opts)
 k_tile = (
     ps.required_tile_rows(geom, rays, opts, use_occupancy=True,
                           compact_chunks=CK)
-    if TRED else None
+    if TRED and not flat_w else None
 )
-print(json.dumps({"compact_chunks": CK, "tile_rows": k_tile}),
-      flush=True)
+print(json.dumps({"compact_chunks": CK, "tile_rows": k_tile,
+                  "flat_windows": flat_w}), flush=True)
 
 # ---- touched-row packed step, unrolled chain (the ship mode) --------
 try:
@@ -115,11 +125,17 @@ try:
         ovf = jnp.zeros(())
         stats = None
         for j in range(u):
-            st, stats = ps.train_step_tiles_packed_touched(
-                trainer, geom, st, rays, target,
-                i0 + jnp.int32(j), jax.random.fold_in(key, j),
-                max_touched=MAX_TOUCHED, compact_chunks=CK,
-                use_occupancy=True, wps=WPS, tile_rows=k_tile)
+            if flat_w:
+                st, stats = ps.train_step_tiles_packed_touched(
+                    trainer, geom, st, rays, target,
+                    i0 + jnp.int32(j), jax.random.fold_in(key, j),
+                    max_touched=MAX_TOUCHED, flat_windows=flat_w)
+            else:
+                st, stats = ps.train_step_tiles_packed_touched(
+                    trainer, geom, st, rays, target,
+                    i0 + jnp.int32(j), jax.random.fold_in(key, j),
+                    max_touched=MAX_TOUCHED, compact_chunks=CK,
+                    use_occupancy=True, wps=WPS, tile_rows=k_tile)
             ovf = jnp.maximum(
                 ovf,
                 stats["touched_overflow"]
