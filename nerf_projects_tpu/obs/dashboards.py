@@ -621,6 +621,87 @@ def leaderboard(base_dir: str) -> List[dict]:
     return rows
 
 
+def results_report(base_dir: str,
+                   out_path: Optional[str] = None) -> str:
+    """Consolidated HTML results view — the headless equivalent of the
+    reference's results notebook (plenoctree/analysis/
+    view_results.ipynb): per-experiment metric summary table, every
+    generated dashboard figure inlined, and a file-structure section.
+    Figures are referenced relative to the report so the HTML is
+    portable alongside the experiment tree. Run run_all (or the
+    run_analysis CLI) first to generate the figures."""
+    from nerf_projects_tpu.obs.analysis import experiment_summary
+
+    out_path = out_path or os.path.join(base_dir, "results_report.html")
+    dirs = _experiment_dirs(base_dir)
+    rows = [experiment_summary(d) for d in dirs]
+    cols: List[str] = []
+    for r in rows:
+        for k in r:
+            if k != "experiment" and k not in cols:
+                cols.append(k)
+
+    def fmt(v):
+        if isinstance(v, float):
+            return f"{v:.4g}"
+        return "—" if v is None else str(v)
+
+    parts = [
+        "<!doctype html><meta charset='utf-8'>",
+        "<title>Pipeline results</title>",
+        "<style>body{font-family:sans-serif;max-width:1100px;"
+        "margin:2em auto;color:#222}table{border-collapse:collapse}"
+        "td,th{border:1px solid #ccc;padding:4px 10px;"
+        "text-align:right}th{background:#f3f3f3}img{max-width:100%;"
+        "margin:6px 0}h2{border-bottom:1px solid #ddd}"
+        "code{background:#f6f6f6}</style>",
+        f"<h1>Pipeline analysis — {os.path.basename(os.path.abspath(base_dir))}</h1>",
+        "<h2>Cross-experiment summary</h2><table><tr><th>experiment</th>"
+        + "".join(f"<th>{c}</th>" for c in cols) + "</tr>",
+    ]
+    for r in rows:
+        parts.append(
+            f"<tr><td>{r['experiment']}</td>"
+            + "".join(f"<td>{fmt(r.get(c))}</td>" for c in cols)
+            + "</tr>"
+        )
+    parts.append("</table>")
+
+    for g in ("cross_experiment.png", "leaderboard.json"):
+        p = os.path.join(base_dir, g)
+        if os.path.exists(p) and g.endswith(".png"):
+            parts.append(f"<img src='{g}' alt='{g}'>")
+
+    base_abs = os.path.abspath(base_dir)
+    for d in dirs:
+        name = os.path.basename(d.rstrip("/"))
+        parts.append(f"<h2>{name}</h2>")
+        figs = sorted(
+            glob.glob(os.path.join(d, "*.png"))
+            + glob.glob(os.path.join(d, "analysis", "*.png"))
+        )
+        for f in figs:
+            rel = os.path.relpath(f, base_abs)
+            parts.append(
+                f"<h3>{os.path.splitext(os.path.basename(f))[0]}</h3>"
+                f"<img src='{rel}' alt='{rel}'>"
+            )
+        # file-structure section (view_results.ipynb final cell)
+        parts.append("<details><summary>files</summary><pre>")
+        for root, _dn, fns in sorted(os.walk(d)):
+            rel_root = os.path.relpath(root, base_abs)
+            for fn in sorted(fns):
+                sz = os.path.getsize(os.path.join(root, fn))
+                parts.append(
+                    f"{rel_root}/{fn}  ({sz / 1024:.1f} KB)"
+                )
+        parts.append("</pre></details>")
+
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(parts))
+    return out_path
+
+
 def run_all(base_dir: str) -> Dict[str, list]:
     """Emit the full dashboard set for every experiment under base_dir
     (run_all_analysis.py)."""
@@ -649,4 +730,5 @@ def run_all(base_dir: str) -> Dict[str, list]:
             produced["global"].append(p)
     leaderboard(base_dir)
     produced["global"].append(os.path.join(base_dir, "leaderboard.json"))
+    produced["global"].append(results_report(base_dir))
     return produced

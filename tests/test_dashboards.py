@@ -57,6 +57,14 @@ class TestDashboards:
         # ranked by PSNR: lego (psnr0 15) above ship (13)
         assert lb[0]["experiment"] == "lego"
         assert os.path.exists(os.path.join(base, "leaderboard.md"))
+        # consolidated HTML results view (view_results.ipynb parity):
+        # summary table, every per-experiment figure inlined, file list
+        report = os.path.join(base, "results_report.html")
+        assert report in manifest["global"]
+        html = open(report).read()
+        assert "lego" in html and "ship" in html
+        assert "scene_dashboard.png" in html
+        assert "<table>" in html and "<details>" in html
 
     def test_pipeline_stage_extraction(self, tmp_path):
         d = make_experiment(str(tmp_path), "chair", seed=3)
