@@ -948,6 +948,7 @@ def _march_frame_group(density_z, sh_z, lt, first, rows, orig, basisf,
 
     Returns out [S, 8, r]; slots never referenced by `lt` are
     unspecified (callers scatter through a dummy row)."""
+    assert not (gathered and (emit_samples or sentinel is not None))
     W = lt.shape[0]
     S = pack_g.shape[0]
     r = pack_g.shape[-1]
