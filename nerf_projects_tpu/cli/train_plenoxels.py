@@ -91,12 +91,22 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--max_grid_elements", type=int, default=44_000_000)
     g.add_argument("--thresh_type", choices=["weight", "sigma"], default="weight")
     g = parser.add_argument_group("rendering")
-    g.add_argument("--step_mode", choices=["cell", "tiles", "sparse"],
+    g.add_argument("--step_mode",
+                   choices=["cell", "tiles", "sparse", "touched",
+                            "flat"],
                    default="cell",
                    help="cell: per-ray XLA step (reference-exact); "
                    "tiles: fused Pallas tile-march step on a BrickGrid; "
                    "sparse: row-sparse tile step (O(touched bricks), "
-                   "for large grids)")
+                   "for large grids); touched: fully-packed state with "
+                   "the O(touched)-row lazy-exact optimizer (the fast "
+                   "path); flat: touched step over the flat "
+                   "active-window plan (surface scenes: tiles pay only "
+                   "for their own active windows)")
+    g.add_argument("--max_touched", type=int, default=16384,
+                   help="touched/flat modes: static bound on unique "
+                   "touched bricks per step (overflow drops updates "
+                   "and is reported)")
     g.add_argument("--bf16_grad_blocks", action="store_true", default=False,
                    help="bf16 backward-kernel gradient blocks (halves "
                    "grad emission HBM traffic; fp32 accumulation)")
@@ -256,7 +266,7 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
         return jax.tree_util.tree_map(lambda x: x[idx], pool), pixels[idx]
 
     # ---- tile/sparse step modes: brick-grid state + coherent-tile draws
-    tile_mode = args.step_mode in ("tiles", "sparse")
+    tile_mode = args.step_mode in ("tiles", "sparse", "touched", "flat")
     bg = sst = rms_b = None
     if tile_mode:
         from nerf_projects_tpu.ops.brick_grid import (
@@ -293,17 +303,35 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
             )
             return r, pix_v[v[:, None], flat]
 
+        flat_cap = {"w": 0}
+
         def build_tile_state(g):
             nonlocal bg, sst, rms_b
             bg = from_sparse_grid(g)
             if args.step_mode == "sparse":
                 sst = ps.sparse_state_from_grid(bg)
+            elif args.step_mode in ("touched", "flat"):
+                sst = ps.packed_state_from_grid(bg)
+                if args.step_mode == "flat":
+                    # size the static window capacity from a probe
+                    # batch (+50% headroom, 64-aligned); re-sized on
+                    # every topology change (upsample). Overflow is
+                    # surfaced in stats and logged.
+                    from nerf_projects_tpu.ops.pallas.flat_train import (
+                        required_windows,
+                    )
+
+                    pr, _ = draw_tiles(jax.random.PRNGKey(7))
+                    w = required_windows(bg, pr, trainer.opts)
+                    flat_cap["w"] = max(64, -(-(w * 3 // 2) // 64) * 64)
             else:
                 rms_b = trainer.init_rms_bricks(bg)
 
         def materialize_grid():
             if args.step_mode == "sparse":
                 return to_sparse_grid(ps.grid_from_sparse_state(bg, sst))
+            if args.step_mode in ("touched", "flat"):
+                return to_sparse_grid(ps.grid_from_packed_state(bg, sst))
             return to_sparse_grid(bg)
 
         build_tile_state(grid)
@@ -350,6 +378,15 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
             bg, rms_b, stats = trainer.train_step_tiles_pallas(
                 bg, rms_b, rays, target, jnp.asarray(step, jnp.float32),
                 k_tv,
+            )
+        elif args.step_mode in ("touched", "flat"):
+            rays, target = draw_tiles(sub)
+            sst, stats = ps.train_step_tiles_packed_touched_jit(
+                trainer, bg, sst, rays, target,
+                jnp.asarray(step, jnp.int32), k_tv,
+                max_touched=args.max_touched,
+                use_occupancy=args.use_occupancy,
+                flat_windows=flat_cap["w"] or None,
             )
         else:  # sparse
             rays, target = draw_tiles(sub)

@@ -37,13 +37,30 @@ from nerf_projects_tpu.ops.pallas.tile_march import (
 from nerf_projects_tpu.ops.sh import eval_sh_bases
 
 
+def _static_chunk_bound(bg, step_size: float) -> int:
+    """Chunk bound from the (static) links-array shape — usable when
+    `bg` is a traced jit argument (active_chunk_bound reads concrete
+    brick coords on host). Conservative: covers the full grid
+    diagonal; the flat plan compacts inactive windows away, so a
+    looser bound costs only plan-side cumsum width, not march time."""
+    import numpy as np
+
+    span = np.asarray(bg.brick_links.shape, np.float64) * BRICK
+    diag = float(np.linalg.norm(span))
+    return int(np.ceil(diag / (SC * step_size))) + 2
+
+
 def _flat_plan(bg, rays, opts, w_cap, group):
     """Flat tile-major active-window plan (cumsum compaction, no
     sort) — the training twin of render_frame_pallas's plan. Returns
     (tw, first, rows_f, orig_f, basis_f, pack, geom, n_act, Wp)."""
     T = rays.origins.shape[0]
     nb = bg.n_bricks
-    C = active_chunk_bound(bg, opts.step_size)
+    if isinstance(bg.brick_coords, jax.core.Tracer):
+        # bg is a jit argument: coords are not concrete on host
+        C = _static_chunk_bound(bg, opts.step_size)
+    else:
+        C = active_chunk_bound(bg, opts.step_size)
     pack, geom = _pack_rays(bg, rays, opts, True)
     wb, rows = _plan_windows(bg, geom, C)            # [T,C,3], [T,C,8]
     base = jnp.broadcast_to(

@@ -52,7 +52,8 @@ class TestPlenoxelsCli:
         assert result["psnr"] > 10
         assert "FDR" in result
 
-    @pytest.mark.parametrize("mode", ["tiles", "sparse"])
+    @pytest.mark.parametrize("mode", ["tiles", "sparse", "touched",
+                                      "flat"])
     def test_tile_step_modes(self, tmp_path, scene, mode):
         """Brick/tile fast paths reachable from the CLI: a few steps +
         one upsample boundary (grid materialize/rebuild) + save."""
