@@ -500,6 +500,31 @@ class PackedState(NamedTuple):
         return self.packed_k.shape[1] - 1
 
 
+def pad_packed_state_rows(st: PackedState, multiple: int) -> PackedState:
+    """Pad the packed state's row axis to a multiple of `multiple` so
+    it can be row-sharded over a device mesh (the PackedState twin of
+    pad_state_rows). Padding rows sit after the sentinel (index nb)
+    and are never referenced — window rows and touched slots are
+    always <= nb, and grid_from_packed_state slices by the grid's nb."""
+    n = st.packed_k.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return st
+
+    def padz(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]
+        )
+
+    return PackedState(
+        packed_k=padz(st.packed_k),
+        rms=padz(st.rms),
+        last_step=None if st.last_step is None else jnp.concatenate(
+            [st.last_step, jnp.full((pad,), -1, jnp.int32)]
+        ),
+    )
+
+
 def packed_state_from_grid(bg: BrickGrid,
                            rms_dtype=jnp.float32) -> PackedState:
     nb, B = bg.n_bricks, bg.basis_dim

@@ -37,6 +37,9 @@ PLENOXEL_INIT_SIGMA = float(os.environ.get("QUALITY_INIT_SIGMA", 0.1))
 # unique-touched-brick bound for the touched-row step; raise for
 # 512^3 runs (overflowing rows drop their update and are reported)
 PLENOXEL_MAX_TOUCHED = int(os.environ.get("QUALITY_MAX_TOUCHED", 12288))
+# QUALITY_FLAT=1: train through the flat active-window plan (w_cap
+# probe-sized with 50% headroom per topology; overflow logged)
+PLENOXEL_FLAT = int(os.environ.get("QUALITY_FLAT", 0))
 SH_CHUNKS = int(os.environ.get("QUALITY_SH_CHUNKS", 6))
 H = W = int(os.environ.get("QUALITY_IMG", 96))
 N_VIEWS = int(os.environ.get("QUALITY_VIEWS", 16))
@@ -114,7 +117,21 @@ def quality_plenoxels(ds):
     )
     from nerf_projects_tpu.train import plenoxels_sparse as ps
 
+    def flat_cap_for(bg_):
+        if not PLENOXEL_FLAT:
+            return None
+        from nerf_projects_tpu.ops.pallas.flat_train import (
+            required_windows,
+        )
+
+        pr, _ = draw(jax.random.PRNGKey(7), n_tiles=PLENOXEL_TILES)
+        w = required_windows(bg_, pr, opts)
+        cap = max(64, -(-(w * 3 // 2) // 64) * 64)
+        print(f"flat w_cap {cap} (probe {w})", flush=True)
+        return cap
+
     pst = ps.packed_state_from_grid(bg)
+    flat_cap = flat_cap_for(bg)
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     for i in range(PLENOXEL_STEPS):
@@ -130,6 +147,7 @@ def quality_plenoxels(ds):
             )
             bg = from_sparse_grid(g2)
             pst = ps.packed_state_from_grid(bg)
+            flat_cap = flat_cap_for(bg)
             print(f"upsampled to {PLENOXEL_RESO}^3: "
                   f"{bg.n_bricks} bricks", flush=True)
         key, kd, kt = jax.random.split(key, 3)
@@ -140,6 +158,7 @@ def quality_plenoxels(ds):
             trainer, bg, pst, rays, target,
             jnp.asarray(i, jnp.int32), kt,
             max_touched=PLENOXEL_MAX_TOUCHED,
+            flat_windows=flat_cap,
         )
         if i % 500 == 0:
             print(f"plenoxels step {i}: train psnr "

@@ -157,6 +157,74 @@ class TestShardedSparseState:
         finally:
             tm.INTERPRET = old
 
+    def test_flat_touched_step_with_row_sharded_state(self):
+        """The flat active-window step on a row-sharded PackedState:
+        must compile + execute under GSPMD and match unsharded."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        import nerf_projects_tpu.ops.pallas.tile_march as tm
+        from nerf_projects_tpu.ops.brick_grid import from_sparse_grid
+        from nerf_projects_tpu.ops.grid import GridRenderOptions
+        from nerf_projects_tpu.ops.pallas.flat_train import (
+            required_windows,
+        )
+        from nerf_projects_tpu.train import plenoxels_sparse as ps
+        from nerf_projects_tpu.train.plenoxels_trainer import (
+            PlenoxelsTrainer,
+        )
+        from test_tile_march_pallas import random_grid, tile_rays
+
+        old = tm.INTERPRET
+        tm.INTERPRET = True
+        try:
+            g = random_grid(24, seed=5)
+            bg = from_sparse_grid(g)
+            trainer = PlenoxelsTrainer(
+                GridRenderOptions(step_size=0.5),
+                n_iters=1000, lambda_tv=1e-4, lambda_tv_sh=1e-3,
+                lr_sigma=3e1, lr_sigma_delay_steps=0, lr_sh=1e-2,
+            )
+            rays = tile_rays(2, seed=12)
+            target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+            key = jax.random.PRNGKey(0)
+            step_i = jnp.asarray(0, jnp.int32)
+            wc = required_windows(bg, rays, trainer.opts)
+
+            want, wstats = ps.train_step_tiles_packed_touched(
+                trainer, bg, ps.packed_state_from_grid(bg),
+                rays, target, step_i, key,
+                max_touched=4096, flat_windows=wc,
+            )
+
+            mesh = make_mesh()
+            row = NamedSharding(mesh, P("rays"))
+            st2 = ps.pad_packed_state_rows(
+                ps.packed_state_from_grid(bg), len(jax.devices())
+            )
+            st2 = ps.PackedState(
+                packed_k=jax.device_put(st2.packed_k, row),
+                rms=jax.device_put(st2.rms, row),
+                last_step=jax.device_put(st2.last_step, row),
+            )
+            got, gstats = ps.train_step_tiles_packed_touched_jit(
+                trainer, bg, st2, rays, target, step_i, key,
+                max_touched=4096, flat_windows=wc,
+            )
+            np.testing.assert_allclose(
+                float(gstats["mse"]), float(wstats["mse"]),
+                rtol=1e-5, atol=1e-7,
+            )
+
+            def mostly_equal(a, b, frac=0.995):
+                ok = np.isclose(np.asarray(a), np.asarray(b),
+                                rtol=1e-3, atol=1e-4)
+                assert ok.mean() > frac, f"only {ok.mean():.4f} close"
+
+            n = want.packed_k.shape[0]
+            mostly_equal(np.asarray(got.packed_k)[:n], want.packed_k)
+        finally:
+            tm.INTERPRET = old
+
 
 class TestHostHelpers:
     def test_single_process(self):
