@@ -8,6 +8,7 @@ from the checkpoint).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import time
@@ -56,6 +57,51 @@ def render_grid_image(grid, scene, view, opts, chunk=16384, *,
     return jnp.concatenate(outs).reshape(scene.height, scene.width, 3)
 
 
+@functools.lru_cache(maxsize=4)
+def _frame_render_jit(opts, n_chunks, max_windows):
+    from nerf_projects_tpu.ops.pallas.frame_march import (
+        render_frame_pallas,
+    )
+
+    @jax.jit
+    def run(bg, tiles, ka):
+        return render_frame_pallas(
+            bg, tiles, opts, kernel_arrays=ka, n_chunks=n_chunks,
+            use_occupancy=False, max_windows=max_windows,
+        )
+
+    return run
+
+
+def render_grid_image_frame(bg, ka, scene, view, opts, n_chunks,
+                            max_windows=None):
+    """Whole-frame single-dispatch renderer (the real-time path:
+    analytic occlusion cull + in-kernel early stop; the reference's
+    svox render_persp `fast`-mode analogue, octree/nerf/utils.py:448).
+    `max_windows` caps marched windows per tile front-to-back (the
+    approximate fast mode)."""
+    import jax.tree_util as tu
+
+    from nerf_projects_tpu.ops.tile_render import (
+        tiles_from_image_rays,
+        untile_image,
+    )
+
+    fx, fy = float(scene.intrinsics[0, 0]), float(scene.intrinsics[1, 1])
+    cx, cy = float(scene.intrinsics[0, 2]), float(scene.intrinsics[1, 2])
+    Hp = -(-scene.height // 8) * 8
+    Wp = -(-scene.width // 16) * 16
+    rays = camera_rays_opencv(
+        Hp, Wp, fx, fy, cx, cy,
+        jnp.asarray(_to_opencv_pose(scene.poses[view], scene)),
+    )
+    flat = tu.tree_map(lambda x: x.reshape(-1, 3), rays)
+    tiles = tiles_from_image_rays(flat, Hp, Wp, 8, 16)
+    out = _frame_render_jit(opts, n_chunks, max_windows)(bg, tiles, ka)
+    img = untile_image(out["rgb"], Hp, Wp, 8, 16)
+    return img[: scene.height, : scene.width]
+
+
 def render_grid_image_tiles(bg, ka, ck, scene, view, opts):
     """Brick/tile Pallas renderer (the real-time path): prebuilt kernel
     arrays + exact empty-chunk compaction."""
@@ -98,6 +144,14 @@ def main(argv=None):
     p.add_argument("--step_size", type=float, default=0.5)
     p.add_argument("--timing", action="store_true",
                    help="FPS benchmark mode (no metrics/saving)")
+    p.add_argument("--frame", action="store_true",
+                   help="whole-frame single-dispatch renderer "
+                   "(analytic occlusion cull + in-kernel early stop; "
+                   "the real-time path)")
+    p.add_argument("--max_windows", type=int, default=None,
+                   help="--frame: cap marched windows per tile "
+                   "front-to-back (approximate fast mode, like the "
+                   "reference renderer's fast=True)")
     p.add_argument("--chunk", type=int, default=16384)
     p.add_argument("--n_images", type=int, default=0, help="0 = all")
     p.add_argument("--exact", action="store_true",
@@ -129,7 +183,25 @@ def main(argv=None):
         args.n_images, scene.images.shape[0]
     )
 
-    if args.tiles:
+    if args.frame:
+        from nerf_projects_tpu.ops.brick_grid import from_sparse_grid
+        from nerf_projects_tpu.ops.pallas.tile_march import (
+            build_packed_kernel_arrays,
+            default_chunks_for,
+            geometry_only,
+        )
+
+        bg = from_sparse_grid(grid)
+        ka = build_packed_kernel_arrays(bg)
+        n_chunks = default_chunks_for(bg, opts)
+        bg = geometry_only(bg)
+
+        def render_view(v):
+            return render_grid_image_frame(
+                bg, ka, scene, v, opts, n_chunks,
+                max_windows=args.max_windows,
+            )
+    elif args.tiles:
         import jax.tree_util as tu
 
         from nerf_projects_tpu.ops.brick_grid import from_sparse_grid

@@ -134,6 +134,25 @@ class TestPlenoxelsCli:
             )
             assert img.shape == (scene.height, scene.width, 3)
             assert bool(jnp.all(jnp.isfinite(img)))
+
+            # --frame: the whole-frame single-dispatch renderer must
+            # reproduce the tile renderer's image on the same view
+            pka = tm.pack_kernel_arrays(*ka)
+            img_f = ri.render_grid_image_frame(
+                tm.geometry_only(bg), pka, scene, 0, opts,
+                tm.default_chunks_for(bg, opts),
+            )
+            assert img_f.shape == (scene.height, scene.width, 3)
+            np.testing.assert_allclose(
+                np.asarray(img_f), np.asarray(img), rtol=1e-4,
+                atol=1e-5,
+            )
+            # approximate fast mode stays finite
+            img_c = ri.render_grid_image_frame(
+                tm.geometry_only(bg), pka, scene, 0, opts,
+                tm.default_chunks_for(bg, opts), max_windows=2,
+            )
+            assert bool(jnp.all(jnp.isfinite(img_c)))
         finally:
             tm.INTERPRET = old
 
