@@ -707,19 +707,33 @@ def main():
     import sys
 
     script = os.path.abspath(__file__)
+    # the axon tunnel goes UNAVAILABLE for stretches; a workload that
+    # dies at backend INIT carries no information about the code —
+    # retry it (BENCH_INIT_RETRIES, sleep BENCH_INIT_RETRY_SECS)
+    init_retries = int(os.environ.get("BENCH_INIT_RETRIES", 3))
+    retry_sleep = int(os.environ.get("BENCH_INIT_RETRY_SECS", 180))
     for name in names:
         env = dict(os.environ, BENCH_WORKLOADS=name)
-        try:
-            proc = subprocess.run(
-                [sys.executable, script], env=env,
-                capture_output=True, text=True,
-                timeout=int(os.environ.get("BENCH_WORKLOAD_TIMEOUT", 3600)),
+        for attempt in range(init_retries + 1):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, script], env=env,
+                    capture_output=True, text=True,
+                    timeout=int(
+                        os.environ.get("BENCH_WORKLOAD_TIMEOUT", 3600)
+                    ),
+                )
+                out, err, rc = proc.stdout, proc.stderr, proc.returncode
+            except subprocess.TimeoutExpired as exc:
+                out = (exc.stdout or b"").decode() if isinstance(
+                    exc.stdout, bytes) else (exc.stdout or "")
+                err, rc = "workload timed out", -1
+            init_fail = "Unable to initialize backend" in (
+                (out or "") + (err or "")
             )
-            out, err, rc = proc.stdout, proc.stderr, proc.returncode
-        except subprocess.TimeoutExpired as exc:
-            out = (exc.stdout or b"").decode() if isinstance(
-                exc.stdout, bytes) else (exc.stdout or "")
-            err, rc = "workload timed out", -1
+            if not (init_fail and attempt < init_retries):
+                break
+            time.sleep(retry_sleep)
         emitted = False
         for line in out.splitlines():
             line = line.strip()
