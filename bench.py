@@ -290,8 +290,16 @@ def bench_plenoxels_train(reso=256, tiles=40, shell=False):
             use_occupancy=shell,
         )
         print(json.dumps({"compact_chunks": ck}), flush=True)
+        # BENCH_PLEN_RMS=bf16: halve the rms accumulator's share of the
+        # O(grid) optimizer sweep's HBM traffic (the dense-mode floor);
+        # the steps read/write rms through f32 casts either way
+        rms_dt = (
+            jnp.bfloat16
+            if os.environ.get("BENCH_PLEN_RMS", "") == "bf16"
+            else jnp.float32
+        )
         if mode == "packed":
-            st0 = ps.packed_state_from_grid(bg)
+            st0 = ps.packed_state_from_grid(bg, rms_dtype=rms_dt)
             wps_d = int(os.environ.get("BENCH_PLEN_WPS", 4))
 
             def step(st, i, key):
@@ -300,7 +308,7 @@ def bench_plenoxels_train(reso=256, tiles=40, shell=False):
                     compact_chunks=ck, wps=wps_d,
                 )
         elif mode == "touched":
-            st0 = ps.packed_state_from_grid(bg)
+            st0 = ps.packed_state_from_grid(bg, rms_dtype=rms_dt)
 
             k_cap = int(os.environ.get(
                 "BENCH_PLEN_TOUCHED",
