@@ -329,6 +329,52 @@ def main():
     report("touched_shell_flat", lambda: shell_touched(flat=1))
     report("touched_shell_flat_bf16g", lambda: shell_touched(
         flat=1, bf16_grad_blocks=True))
+    # flat-step attribution: full - no_tv = TV; kernels = plan+march
+    # floor; full - kernels - TV = scatter + touched optimizer
+    report("touched_shell_flat_no_tv", lambda: shell_touched(
+        flat=1, lambda_tv=0.0, lambda_tv_sh=0.0))
+    report("touched_shell_flat_k2048", lambda: shell_touched(
+        flat=1, k_cap=2048))
+
+    def flat_kernels(grad_dtype=jnp.float32):
+        """fused_grad_blocks_flat alone (plan + both marches), no
+        scatter/TV/optimizer — the flat kernel floor."""
+        import functools
+
+        from nerf_projects_tpu.ops.pallas.flat_train import (
+            fused_grad_blocks_flat,
+            required_windows,
+        )
+        from nerf_projects_tpu.train import plenoxels_sparse as ps
+
+        sb = B._shell_setup(RESO, dtype=jnp.float32)
+        srays = B._tile_rays(jax.random.PRNGKey(2), TILES)
+        starget = jnp.full((TILES, 128, 3), 0.4)
+        fl = required_windows(sb, srays, opts)
+        st = ps.packed_state_from_grid(sb)
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def scan_k(k, pk):
+            def body(c, i):
+                rgb, _gd, gp, rows, aux = fused_grad_blocks_flat(
+                    sb, srays, starget, opts,
+                    kernel_arrays=pk, w_cap=fl,
+                    grad_dtype=grad_dtype,
+                )
+                return c + jnp.mean(rgb) + gp.reshape(-1)[0], None
+
+            out, _ = jax.lax.scan(
+                body, jnp.zeros(()), jnp.arange(k, dtype=jnp.int32)
+            )
+            return out
+
+        def run(k):
+            _ = float(scan_k(k, st.packed_k))
+        return run
+
+    report("flat_kernels", lambda: flat_kernels())
+    report("flat_kernels_bf16g", lambda: flat_kernels(
+        grad_dtype=jnp.bfloat16))
 
     # --- shell kernel floor: fused fwd+bwd call alone -------------
     def shell_kernels(wps=1, grad_dtype=jnp.float32):
