@@ -310,10 +310,21 @@ def bench_plenoxels_train(reso=256, tiles=40, shell=False):
         elif mode == "touched":
             st0 = ps.packed_state_from_grid(bg, rms_dtype=rms_dt)
 
-            k_cap = int(os.environ.get(
-                "BENCH_PLEN_TOUCHED",
-                2048 if SMOKE else (6144 if shell else 16384),
-            ))
+            # exact touched-row bound for the fixed bench batch
+            # (marched corner bricks + worst-case sampled-TV rows) —
+            # the K-sized step buffers (grad accumulator, gathered
+            # masters/rms) scale linearly with it
+            tv_w = max(int(trainer.tv_sparsity * bg.n_bricks), 1) + max(
+                int(trainer.tv_sh_sparsity * bg.n_bricks), 1
+            )
+            k_exact = ps.required_touched_rows(
+                bg, rays, GridRenderOptions(step_size=0.5),
+                tv_rows=4 * tv_w, use_occupancy=shell,
+            )
+            k_cap = int(os.environ.get("BENCH_PLEN_TOUCHED", k_exact))
+            print(json.dumps(
+                {"max_touched": k_cap, "exact_bound": k_exact}
+            ), flush=True)
             # ship config: multi-window kernel steps (wps) + MXU
             # per-tile block pre-reduction before the global
             # scatter-add; both bit-parity-tested vs the plain step

@@ -458,6 +458,37 @@ def required_tile_rows(bg, rays, opts, *, use_occupancy: bool = False,
     return -(-need // multiple) * multiple
 
 
+def required_touched_rows(bg, rays, opts, *, tv_rows: int = 0,
+                          use_occupancy: bool = True,
+                          multiple: int = 256) -> int:
+    """Host-side exact unique-touched-brick count for this batch — the
+    tight `max_touched` when the same rays are marched every step
+    (bench) or a sizing probe otherwise. The march touches exactly the
+    corner bricks of its active windows (every plan — (T, C) grids,
+    compacted, flat — marches a subset of the full window plan, and
+    sentinel windows never reach the scatter); sampled TV adds at most
+    4 rows per sampled brick (the brick + 3 axis neighbors), which the
+    caller passes via `tv_rows` = 4*(w_density + w_sh) since the
+    sample window is drawn per step. Run OUTSIDE jit."""
+    import numpy as np
+
+    from nerf_projects_tpu.ops.pallas.tile_march import (
+        _pack_rays,
+        _plan_windows,
+        active_chunk_bound,
+    )
+
+    nb = bg.n_bricks
+    C = active_chunk_bound(bg, opts.step_size)
+    _, geom = _pack_rays(bg, rays, opts, use_occupancy)
+    _, rows = _plan_windows(bg, geom, C)
+    r = np.asarray(rows)
+    act = (r != nb).any(axis=-1)
+    u = np.unique(r[act])
+    need = int((u != nb).sum()) + int(tv_rows)
+    return -(-need // multiple) * multiple
+
+
 def pack_tv_blocks(tv_parts, B: int):
     """TV gradient blocks -> full PACKED-layout blocks ([n, B+1, 8,
     192]) + their rows, so they join the reduced render stream in one

@@ -336,6 +336,22 @@ def main():
     report("touched_shell_flat_k2048", lambda: shell_touched(
         flat=1, k_cap=2048))
 
+    def shell_flat_kexact(**kw):
+        from nerf_projects_tpu.train.plenoxels_sparse import (
+            required_touched_rows,
+        )
+
+        sb = B._shell_setup(RESO, dtype=jnp.float32)
+        srays = B._tile_rays(jax.random.PRNGKey(2), TILES)
+        tr = make_trainer(**kw)
+        tv_w = max(int(tr.tv_sparsity * sb.n_bricks), 1) + max(
+            int(tr.tv_sh_sparsity * sb.n_bricks), 1)
+        k = required_touched_rows(sb, srays, opts, tv_rows=4 * tv_w)
+        print(json.dumps({"k_exact": k}), flush=True)
+        return shell_touched(flat=1, k_cap=k, **kw)
+
+    report("touched_shell_flat_kexact", lambda: shell_flat_kexact())
+
     def flat_kernels(grad_dtype=jnp.float32):
         """fused_grad_blocks_flat alone (plan + both marches), no
         scatter/TV/optimizer — the flat kernel floor."""
@@ -375,6 +391,169 @@ def main():
     report("flat_kernels", lambda: flat_kernels())
     report("flat_kernels_bf16g", lambda: flat_kernels(
         grad_dtype=jnp.bfloat16))
+
+    def flat_stage(stage, grad_dtype=jnp.float32):
+        """Intra-flat attribution: plan / fwd (no emit) / fwd+emit /
+        bwd alone. Ray origins are perturbed by the loop index so XLA
+        cannot hoist the pure-jnp plan out of the scan (the pallas
+        twin `flat_kernels_pert` checks the perturbation itself is
+        free)."""
+        import functools
+
+        from nerf_projects_tpu.core.rays import Rays
+        from nerf_projects_tpu.ops.pallas.flat_train import (
+            _flat_plan,
+            fused_grad_blocks_flat,
+            required_windows,
+        )
+        from nerf_projects_tpu.ops.pallas.tile_march import (
+            SC,
+            _bwd_frame_group,
+            _march_frame_group,
+        )
+        from nerf_projects_tpu.train import plenoxels_sparse as ps
+
+        sb = B._shell_setup(RESO, dtype=jnp.float32)
+        srays = B._tile_rays(jax.random.PRNGKey(2), TILES)
+        starget = jnp.full((TILES, 128, 3), 0.4)
+        fl = required_windows(sb, srays, opts)
+        st = ps.packed_state_from_grid(sb)
+        nb, Bd = sb.n_bricks, sb.basis_dim
+        T, r = srays.origins.shape[:2]
+        A = SC * r
+
+        def perturbed(i):
+            return Rays(
+                srays.origins + (i.astype(jnp.float32) * 1e-12),
+                srays.dirs, srays.viewdirs,
+            )
+
+        def plan(rays_i):
+            return _flat_plan(sb, rays_i, opts, fl, min(640, fl))
+
+        if stage == "bwd":
+            # constant plan + samples precomputed outside the scan;
+            # only the bwd group call (+ its gathers) scans
+            (tw, first, rows_f, orig_f, basis_f, pack, geom, n_act,
+             Wp) = jax.jit(plan)(srays)
+            out_g, samp = _march_frame_group(
+                st.packed_k, None, jnp.cumsum(first) - 1, first,
+                rows_f, orig_f, basis_f,
+                jnp.concatenate([pack, jnp.zeros_like(pack[:1])])[
+                    jnp.full((Wp,), T, jnp.int32).at[
+                        jnp.cumsum(first) - 1].set(tw)],
+                jnp.zeros((T + 1, 8, r), jnp.float32)[
+                    jnp.full((Wp,), T, jnp.int32).at[
+                        jnp.cumsum(first) - 1].set(tw)],
+                Bd, "bias", emit_samples=True, sentinel=nb,
+            )
+            pack2 = jnp.asarray(pack)
+
+            @functools.partial(jax.jit, static_argnums=(0,))
+            def scan_k(k, pk):
+                def body(c, i):
+                    lt = jnp.cumsum(first) - 1
+                    tiles_g = jnp.full((Wp,), T, jnp.int32).at[
+                        lt].set(tw)
+                    p2 = jnp.concatenate(
+                        [pack2 + i.astype(jnp.float32) * 1e-12,
+                         jnp.zeros_like(pack2[:1])])
+                    _, grads = _bwd_frame_group(
+                        lt, first, rows_f, orig_f, basis_f,
+                        p2[tiles_g],
+                        jnp.zeros((T + 1, 8, r), jnp.float32)[
+                            tiles_g],
+                        samp, Bd, 0.0, "bias", grad_dtype,
+                        sentinel=nb,
+                    )
+                    return c + grads.reshape(-1)[0], None
+
+                out, _ = jax.lax.scan(
+                    body, jnp.zeros(()),
+                    jnp.arange(k, dtype=jnp.int32))
+                return out
+
+            def run(k):
+                _ = float(scan_k(k, st.packed_k))
+            return run
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def scan_k(k, pk):
+            def body(c, i):
+                (tw, first, rows_f, orig_f, basis_f, pack, geom,
+                 n_act, Wp) = plan(perturbed(i))
+                if stage == "plan":
+                    return c + jnp.sum(tw) + jnp.sum(rows_f), None
+                lt = jnp.cumsum(first) - 1
+                tiles_g = jnp.full((Wp,), T, jnp.int32).at[lt].set(tw)
+                pack_g = jnp.concatenate(
+                    [pack, jnp.zeros_like(pack[:1])])[tiles_g]
+                state_g = jnp.zeros((T + 1, 8, r), jnp.float32)[
+                    tiles_g]
+                out = _march_frame_group(
+                    pk, None, lt, first, rows_f, orig_f, basis_f,
+                    pack_g, state_g, Bd, "bias",
+                    emit_samples=(stage == "fwd_emit"), sentinel=nb,
+                )
+                if stage == "fwd_emit":
+                    out_g, samp = out
+                    return c + jnp.mean(out_g) + samp.reshape(-1)[0], \
+                        None
+                return c + jnp.mean(out), None
+
+            out, _ = jax.lax.scan(
+                body, jnp.zeros(()), jnp.arange(k, dtype=jnp.int32))
+            return out
+
+        def run(k):
+            _ = float(scan_k(k, st.packed_k))
+        return run
+
+    def flat_kernels_pert():
+        """flat_kernels with the same index perturbation — if this
+        matches flat_kernels, hoisting is not polluting the stage
+        variants."""
+        import functools
+
+        from nerf_projects_tpu.core.rays import Rays
+        from nerf_projects_tpu.ops.pallas.flat_train import (
+            fused_grad_blocks_flat,
+            required_windows,
+        )
+        from nerf_projects_tpu.train import plenoxels_sparse as ps
+
+        sb = B._shell_setup(RESO, dtype=jnp.float32)
+        srays = B._tile_rays(jax.random.PRNGKey(2), TILES)
+        starget = jnp.full((TILES, 128, 3), 0.4)
+        fl = required_windows(sb, srays, opts)
+        st = ps.packed_state_from_grid(sb)
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def scan_k(k, pk):
+            def body(c, i):
+                rays_i = Rays(
+                    srays.origins + i.astype(jnp.float32) * 1e-12,
+                    srays.dirs, srays.viewdirs)
+                rgb, _gd, gp, rows, aux = fused_grad_blocks_flat(
+                    sb, rays_i, starget, opts,
+                    kernel_arrays=pk, w_cap=fl,
+                )
+                return c + jnp.mean(rgb) + gp.reshape(-1)[0], None
+
+            out, _ = jax.lax.scan(
+                body, jnp.zeros(()), jnp.arange(k, dtype=jnp.int32)
+            )
+            return out
+
+        def run(k):
+            _ = float(scan_k(k, st.packed_k))
+        return run
+
+    report("flat_kernels_pert", lambda: flat_kernels_pert())
+    report("flat_plan_only", lambda: flat_stage("plan"))
+    report("flat_fwd_noemit", lambda: flat_stage("fwd"))
+    report("flat_fwd_emit", lambda: flat_stage("fwd_emit"))
+    report("flat_bwd_only", lambda: flat_stage("bwd"))
 
     # --- shell kernel floor: fused fwd+bwd call alone -------------
     def shell_kernels(wps=1, grad_dtype=jnp.float32):

@@ -513,6 +513,39 @@ class TestFlatWindowStep:
             rtol=1e-4, atol=1e-6,
         )
 
+    def test_required_touched_rows_exact(self):
+        """The host-side bound covers every row the step touches: a
+        touched step sized exactly to it reports zero overflow, and
+        the bound is tight up to rounding + the worst-case TV term."""
+        from nerf_projects_tpu.ops.pallas.flat_train import (
+            required_windows,
+        )
+
+        trainer = make_trainer()
+        bg = from_sparse_grid(random_grid(24, seed=57))
+        st = ps.packed_state_from_grid(bg)
+        rays = tile_rays(3, seed=58)
+        target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+        nb = bg.n_bricks
+        tv_w = max(int(trainer.tv_sparsity * nb), 1) + max(
+            int(trainer.tv_sh_sparsity * nb), 1
+        )
+        k = ps.required_touched_rows(
+            bg, rays, trainer.opts, tv_rows=4 * tv_w, multiple=16
+        )
+        assert 0 < k <= nb + 16 + 4 * tv_w
+        wc = required_windows(bg, rays, trainer.opts)
+        for kwargs in (
+            {"use_occupancy": True},
+            {"flat_windows": wc},
+        ):
+            _, stats = ps.train_step_tiles_packed_touched(
+                trainer, bg, st, rays, target,
+                jnp.asarray(0, jnp.int32), jax.random.PRNGKey(9),
+                max_touched=k, **kwargs,
+            )
+            assert float(stats["touched_overflow"]) == 0.0
+
     def test_flat_overflow_reported(self):
         from nerf_projects_tpu.ops.pallas.flat_train import (
             fused_grad_blocks_flat,
