@@ -333,8 +333,12 @@ def bench_plenoxels_train(reso=256, tiles=40, shell=False):
             # the FLAT active-window plan instead (no batch-max
             # padding; parity-tested) — the bench rays are fixed so
             # required_windows is exact.
+            # flat ships for the shell scene: hardware A/B measured
+            # flat 29.1 ms vs wps4+tred 58.6 ms at the exact touched
+            # bound (bisect r3s/r3t); the dense scene keeps the padded
+            # plan (every window active -> flat buys nothing).
             flat_w = 0
-            if int(os.environ.get("BENCH_PLEN_FLAT", 0)):
+            if int(os.environ.get("BENCH_PLEN_FLAT", 1 if shell else 0)):
                 from nerf_projects_tpu.ops.pallas.flat_train import (
                     required_windows,
                 )

@@ -68,6 +68,53 @@ def build_occupancy(
     return OccupancyGrid(bitmap=jnp.asarray(coarse), factor=factor)
 
 
+def occupied_aabb(occ: OccupancyGrid):
+    """Tight axis-aligned bounding box of the occupied coarse cells, in
+    FINE voxel units: (lo [3], hi [3], any_occ []). Gather-free (three
+    axis reductions + argmax over <=few-hundred-element vectors), so it
+    is cheap enough to recompute inside every jitted step."""
+    b = occ.bitmap
+    f = float(occ.factor)
+    lo, hi = [], []
+    for ax in range(3):
+        red = tuple(a for a in range(3) if a != ax)
+        line = b.any(axis=red)
+        n = line.shape[0]
+        first = jnp.argmax(line)
+        last = n - 1 - jnp.argmax(line[::-1])
+        lo.append(first.astype(jnp.float32) * f)
+        hi.append((last.astype(jnp.float32) + 1.0) * f)
+    return (jnp.stack(lo), jnp.stack(hi), b.any())
+
+
+def aabb_t_range(
+    occ: OccupancyGrid,
+    origins_g: jnp.ndarray,
+    dirs_g: jnp.ndarray,
+    t0: jnp.ndarray,
+    t1: jnp.ndarray,
+):
+    """Gather-free occupancy interval: slab-test each ray against the
+    occupied-cell AABB. Conservative superset of the per-probe interval
+    from `active_t_range` (AABB >= union of occupied cells), hence
+    exact — samples in the extra span hit empty space and contribute
+    zero density. Replaces the probe on hot plan paths: the probe's
+    [R, n_probe] bitmap gather measured 16.1 ms of a 29 ms train step
+    at the bench shape (R=5120), vs ~0 for this slab test."""
+    lo, hi, any_occ = occupied_aabb(occ)
+    inv = 1.0 / jnp.where(jnp.abs(dirs_g) < 1e-12, 1e-12, dirs_g)
+    ta = (lo - origins_g) * inv
+    tb = (hi - origins_g) * inv
+    te = jnp.max(jnp.minimum(ta, tb), axis=-1)
+    tx = jnp.min(jnp.maximum(ta, tb), axis=-1)
+    te = jnp.maximum(te, t0)
+    tx = jnp.minimum(tx, t1)
+    # no occupied cells -> report miss (te > tx) like the probe
+    te = jnp.where(any_occ, te, t1)
+    tx = jnp.where(any_occ, tx, t0)
+    return te, tx
+
+
 def active_t_range(
     occ: OccupancyGrid,
     origins_g: jnp.ndarray,

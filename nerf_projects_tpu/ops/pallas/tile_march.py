@@ -139,7 +139,10 @@ def _pack_rays(bg: BrickGrid, rays: Rays, opts: GridRenderOptions,
     (brick_links >= 0 IS a factor-8 occupancy bitmap) so the lockstep
     march spends its chunk budget inside occupied space — the TPU
     replacement for the reference's per-ray skip-dist pointer chasing
-    (compute_skip_dist, render_util.cuh:235-298).
+    (compute_skip_dist, render_util.cuh:235-298). True/"aabb" uses the
+    gather-free occupied-AABB slab test (the per-probe bitmap gather
+    costs ~16 ms/step at the bench shape); "probe" keeps the tighter
+    per-ray probe interval.
     """
     T = rays.origins.shape[0]
     reso = jnp.asarray(bg.reso, jnp.float32)
@@ -159,11 +162,14 @@ def _pack_rays(bg: BrickGrid, rays: Rays, opts: GridRenderOptions,
     if use_occupancy:
         from nerf_projects_tpu.ops.grid_accel import (
             OccupancyGrid,
+            aabb_t_range,
             active_t_range,
         )
 
         occ = OccupancyGrid(bitmap=bg.brick_links >= 0, factor=BRICK)
-        te, tx = active_t_range(
+        shrink = (active_t_range if use_occupancy == "probe"
+                  else aabb_t_range)
+        te, tx = shrink(
             occ, og.reshape(-1, 3), dg.reshape(-1, 3),
             t0.reshape(-1), t1.reshape(-1),
         )

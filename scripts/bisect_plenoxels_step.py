@@ -425,7 +425,7 @@ def main():
         def perturbed(i):
             return Rays(
                 srays.origins + (i.astype(jnp.float32) * 1e-12),
-                srays.dirs, srays.viewdirs,
+                srays.directions, srays.viewdirs,
             )
 
         def plan(rays_i):
@@ -480,6 +480,22 @@ def main():
         @functools.partial(jax.jit, static_argnums=(0,))
         def scan_k(k, pk):
             def body(c, i):
+                if stage in ("pack", "pack_noocc", "windows"):
+                    # plan internals: ray pack (with/without the
+                    # occupancy t-span shrink) and the window plan
+                    from nerf_projects_tpu.ops.pallas.tile_march import (
+                        _pack_rays,
+                        _plan_windows,
+                        active_chunk_bound,
+                    )
+
+                    C = active_chunk_bound(sb, opts.step_size)
+                    pk2, geom = _pack_rays(
+                        sb, perturbed(i), opts, stage != "pack_noocc")
+                    if stage == "windows":
+                        wb, rows = _plan_windows(sb, geom, C)
+                        return c + jnp.sum(rows) + jnp.sum(pk2), None
+                    return c + jnp.sum(pk2), None
                 (tw, first, rows_f, orig_f, basis_f, pack, geom,
                  n_act, Wp) = plan(perturbed(i))
                 if stage == "plan":
@@ -533,7 +549,7 @@ def main():
             def body(c, i):
                 rays_i = Rays(
                     srays.origins + i.astype(jnp.float32) * 1e-12,
-                    srays.dirs, srays.viewdirs)
+                    srays.directions, srays.viewdirs)
                 rgb, _gd, gp, rows, aux = fused_grad_blocks_flat(
                     sb, rays_i, starget, opts,
                     kernel_arrays=pk, w_cap=fl,
@@ -554,6 +570,9 @@ def main():
     report("flat_fwd_noemit", lambda: flat_stage("fwd"))
     report("flat_fwd_emit", lambda: flat_stage("fwd_emit"))
     report("flat_bwd_only", lambda: flat_stage("bwd"))
+    report("flat_pack_only", lambda: flat_stage("pack"))
+    report("flat_pack_noocc", lambda: flat_stage("pack_noocc"))
+    report("flat_windows_only", lambda: flat_stage("windows"))
 
     # --- shell kernel floor: fused fwd+bwd call alone -------------
     def shell_kernels(wps=1, grad_dtype=jnp.float32):
