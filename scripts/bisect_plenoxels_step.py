@@ -351,6 +351,8 @@ def main():
         return shell_touched(flat=1, k_cap=k, **kw)
 
     report("touched_shell_flat_kexact", lambda: shell_flat_kexact())
+    report("touched_shell_flat_kexact_no_tv", lambda: shell_flat_kexact(
+        lambda_tv=0.0, lambda_tv_sh=0.0))
 
     def flat_kernels(grad_dtype=jnp.float32):
         """fused_grad_blocks_flat alone (plan + both marches), no
