@@ -1079,13 +1079,41 @@ def _march_frame_group(density_z, sh_z, lt, first, rows, orig, basisf,
     )(lt, first, rows, orig, basisf, pack_g, state_g, *brick_args)
 
 
+def _perm_block_matrix(basis_dim: int):
+    """[192*B, 192*B] 0/1 matrix for the within-lx block of the
+    sh<->kernel layout map: src (lyz, c, b) -> dst (b, lyz*3 + c).
+    The map is lx-independent (sh flat = lx*192B + lyz*3B + cB + b;
+    kernel flat = b*1536 + lx*192 + lyz*3 + c), so one square matmul
+    per lx block plus a mid-axis transpose implements the whole
+    permutation on the MXU. Cached as numpy (a jnp constant created
+    inside a trace would leak a tracer into later traces)."""
+    key = ("blockmat", basis_dim)
+    m = _PERM_CACHE.get(key)
+    if m is None:
+        B = basis_dim
+        lyz = np.arange(64)[:, None, None]
+        c = np.arange(3)[None, :, None]
+        b = np.arange(B)[None, None, :]
+        src = (lyz * 3 * B + c * B + b).reshape(-1)
+        dst = (b * 192 + lyz * 3 + c).reshape(-1)
+        m = np.zeros((192 * B, 192 * B), np.float32)
+        m[src, dst] = 1.0
+        _PERM_CACHE[key] = m
+    return m
+
+
 def sh_to_kernel_layout(sh_bricks: jnp.ndarray, basis_dim: int):
     """[nb, 512, 3*B] -> [nb, B, 8, 192]: (cell(lx,ly,lz), c, b) ->
-    (b, lx, (ly, lz, c)). Constant lane permutation (see _perm)."""
+    (b, lx, (ly, lz, c)). One 0/1 MXU matmul per lx block (exact: one
+    unit entry per row/col) — the previous flat-lane jnp.take gather
+    runs element-serial on TPU (measured ~10 us/brick; it was most of
+    a 72 ms/step TV term at 512^3), and a 6-D transpose chain pads the
+    tiny trailing dims ~16x in HBM."""
     nb = sh_bricks.shape[0]
-    flat = sh_bricks.reshape(nb, 512 * 3 * basis_dim)
-    out = jnp.take(flat, _perm("sh_to_kernel", basis_dim), axis=1)
-    return out.reshape(nb, basis_dim, 8, 192)
+    B = basis_dim
+    x = sh_bricks.reshape(nb, 8, 192 * B).astype(jnp.float32)
+    y = x @ jnp.asarray(_perm_block_matrix(B))     # [nb, lx, (b, 192)]
+    return jnp.moveaxis(y.reshape(nb, 8, B, 192), 1, 2)
 
 
 def active_chunk_bound(bg: BrickGrid, step_size: float = 0.5) -> int:
@@ -1770,11 +1798,14 @@ def kernel_grad24_to_sh(g: jnp.ndarray, basis_dim: int):
 
 
 def kernel_layout_to_sh(gsh_kernel: jnp.ndarray, basis_dim: int):
-    """[nb, B, 8, 192] -> [nb, 512, 3*B] (inverse of sh_to_kernel_layout)."""
+    """[nb, B, 8, 192] -> [nb, 512, 3*B] (inverse of sh_to_kernel_layout;
+    same MXU-matmul construction — see _perm_block_matrix)."""
     nb = gsh_kernel.shape[0]
-    flat = gsh_kernel.reshape(nb, basis_dim * 8 * 192)
-    out = jnp.take(flat, _perm("kernel_to_sh", basis_dim), axis=1)
-    return out.reshape(nb, 512, 3 * basis_dim)
+    B = basis_dim
+    z = jnp.moveaxis(gsh_kernel, 1, 2).astype(jnp.float32)
+    z = z.reshape(nb, 8, B * 192)
+    x = z @ jnp.asarray(_perm_block_matrix(B)).T   # [nb, lx, lyz*3B+cB+b]
+    return x.reshape(nb, 512, 3 * B)
 
 
 def fused_grad_blocks(

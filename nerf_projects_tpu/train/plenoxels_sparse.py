@@ -556,16 +556,61 @@ def pad_packed_state_rows(st: PackedState, multiple: int) -> PackedState:
     )
 
 
+@functools.partial(jax.jit, static_argnums=2)
+def _build_packed_masters(density_bricks, sh_bricks, B: int):
+    """Packed-master build with bounded peak memory. Eagerly, the
+    sh_to_kernel_layout -> _append_row -> pack_kernel_arrays chain
+    materializes ~4 full-size copies of the SH data (3.4 GB each at
+    512^3, which OOMed the 512^3 bench state build); the matmul
+    layout converter adds its own full-size products. Here the rows
+    stream through a lax.scan in fixed-size blocks written into the
+    preallocated output with dynamic_update_slice (in-place under
+    jit) — peak = input + output + one ~80 MB block."""
+    nb = density_bricks.shape[0]
+    out = jnp.zeros((nb + 1, B + 1, 8, 192), jnp.float32)
+    blk = 4096
+    n_full, rem = nb // blk, nb % blk
+
+    def block_of(d, s, n):
+        return pack_kernel_arrays(
+            d.reshape(n, 8, 64), sh_to_kernel_layout(s, B)
+        )
+
+    if n_full:
+        dz = density_bricks[: n_full * blk].reshape(n_full, blk, 512)
+        sz = sh_bricks[: n_full * blk].reshape(
+            n_full, blk, 512, 3 * B
+        )
+
+        def body(out, args):
+            i, d, s = args
+            return jax.lax.dynamic_update_slice(
+                out, block_of(d, s, blk), (i * blk, 0, 0, 0)
+            ), None
+
+        out, _ = jax.lax.scan(
+            body, out, (jnp.arange(n_full, dtype=jnp.int32), dz, sz)
+        )
+    if rem:
+        # static-size tail block (dynamic_update_slice CLAMPS an
+        # out-of-range start, so a padded last block would silently
+        # overwrite earlier rows)
+        out = jax.lax.dynamic_update_slice(
+            out,
+            block_of(density_bricks[n_full * blk:],
+                     sh_bricks[n_full * blk:], rem),
+            (n_full * blk, 0, 0, 0),
+        )
+    return out
+
+
 def packed_state_from_grid(bg: BrickGrid,
                            rms_dtype=jnp.float32) -> PackedState:
     nb, B = bg.n_bricks, bg.basis_dim
-    dk = _append_row(
-        bg.density_bricks.reshape(nb, 8, 64).astype(jnp.float32)
+    packed = _build_packed_masters(
+        bg.density_bricks.astype(jnp.float32),
+        bg.sh_bricks.astype(jnp.float32), B,
     )
-    sk = _append_row(
-        sh_to_kernel_layout(bg.sh_bricks.astype(jnp.float32), B)
-    )
-    packed = pack_kernel_arrays(dk, sk)
     return PackedState(packed_k=packed,
                        rms=jnp.zeros(packed.shape, rms_dtype),
                        last_step=jnp.full((nb + 1,), -1, jnp.int32))
@@ -634,8 +679,11 @@ def train_step_tiles_packed(
         gp_blocks.reshape(-1, B + 1, 8, 192).astype(jnp.float32)
     )
 
-    # sampled TV in block form
+    # sampled TV in block form; joins as FULL packed blocks in one
+    # row scatter (an axis-1-sliced scatter-add lowers element-serial
+    # on TPU — see train_step_tiles_packed_touched)
     k_tv, k_sh = jax.random.split(key)
+    tv_parts = []
     if trainer.lambda_tv > 0:
         w = max(int(trainer.tv_sparsity * nb), 1)
         srows = sample_brick_window(k_tv, nb, w)
@@ -646,10 +694,7 @@ def train_step_tiles_packed(
             )[..., 0].reshape(-1, 512, 1),
             srows, scale=trainer.lambda_tv, ignore_edge=False,
         )
-        r4 = jnp.where(r4 < 0, nb, r4)
-        acc = acc.at[r4, B].add(
-            jnp.repeat(v4[..., 0].reshape(-1, 8, 64), 3, axis=-1)
-        )
+        tv_parts.append(("d", jnp.where(r4 < 0, nb, r4), v4))
     if trainer.lambda_tv_sh > 0:
         w = max(int(trainer.tv_sh_sparsity * nb), 1)
         srows = sample_brick_window(k_sh, nb, w)
@@ -657,8 +702,10 @@ def train_step_tiles_packed(
             bg, lambda r: kernel_layout_to_sh(st.packed_k[r, :B], B),
             srows, scale=trainer.lambda_tv_sh, ignore_edge=True,
         )
-        r4 = jnp.where(r4 < 0, nb, r4)
-        acc = acc.at[r4, :B].add(sh_to_kernel_layout(v4, B))
+        tv_parts.append(("s", jnp.where(r4 < 0, nb, r4), v4))
+    tv_rows_l, tv_blocks_l = pack_tv_blocks(tv_parts, B)
+    for r4, blk in zip(tv_rows_l, tv_blocks_l):
+        acc = acc.at[r4].add(blk)
 
     # packed cell mask (same pattern for every slot)
     m192 = jnp.repeat(
@@ -894,17 +941,13 @@ def train_step_tiles_packed_touched(
         ).at[slot[rows_r]].add(
             gp_blocks.reshape(-1, B + 1, 8, 192).astype(jnp.float32)
         )
-        for kind, r4, v4 in tv_parts:
-            if kind == "d":
-                acc = acc.at[slot[r4], B].add(
-                    jnp.repeat(
-                        v4[..., 0].reshape(-1, 8, 64), 3, axis=-1
-                    )
-                )
-            else:
-                acc = acc.at[slot[r4], :B].add(
-                    sh_to_kernel_layout(v4, B)
-                )
+        # TV joins as FULL packed blocks in one row scatter: an
+        # axis-1-sliced scatter-add (acc.at[slot, :B].add) lowers
+        # element-serial on TPU — it measured ~70 ms/step at 512^3
+        # (2452 TV rows) where this full-block scatter is ~1 ms
+        tv_rows_l, tv_blocks_l = pack_tv_blocks(tv_parts, B)
+        for r4, blk in zip(tv_rows_l, tv_blocks_l):
+            acc = acc.at[slot[r4]].add(blk)
     acc = acc[:K]
 
     # ---- lazy-exact optimizer on the touched rows ------------------

@@ -58,8 +58,14 @@ print(json.dumps({"nb": int(bg.n_bricks)}), flush=True)
 rays = B._tile_rays(jax.random.PRNGKey(2), TILES)
 target = jnp.full(rays.origins.shape[:2] + (3,), 0.4)
 opts = GridRenderOptions(step_size=0.5)
-trainer = PlenoxelsTrainer(opts, n_iters=128_000, lambda_tv=1e-5,
-                           lambda_tv_sh=1e-3, bf16_grad_blocks=True)
+# NOTV=1: both TV terms off; NOTV=2: SH TV off (density TV on)
+NOTV = int(os.environ.get("NOTV", 0))
+trainer = PlenoxelsTrainer(
+    opts, n_iters=128_000,
+    lambda_tv=0.0 if NOTV == 1 else 1e-5,
+    lambda_tv_sh=0.0 if NOTV else 1e-3,
+    bf16_grad_blocks=True,
+)
 
 
 def slope(fn, lo=2, hi=8):
@@ -92,6 +98,17 @@ if FLAT:
     )
 
     flat_w = required_windows(geom, rays, opts)
+    # exact touched-row bound: the K-sized step buffers (grad
+    # accumulator + gathered masters/rms, ~60 KB/row at B=9) scale
+    # linearly with K — the oversized 8192 default OOMs the flat
+    # path at 512^3
+    if not os.environ.get("MAX_TOUCHED"):
+        tv_w = max(int(trainer.tv_sparsity * nb), 1) + max(
+            int(trainer.tv_sh_sparsity * nb), 1)
+        MAX_TOUCHED = ps.required_touched_rows(
+            geom, rays, opts, tv_rows=4 * tv_w)
+        print(json.dumps({"max_touched_exact": MAX_TOUCHED}),
+              flush=True)
 k_tile = (
     ps.required_tile_rows(geom, rays, opts, use_occupancy=True,
                           compact_chunks=CK)
@@ -102,40 +119,47 @@ print(json.dumps({"compact_chunks": CK, "tile_rows": k_tile,
 
 # ---- touched-row packed step, unrolled chain (the ship mode) --------
 try:
-    st_t = ps.PackedState(
-        packed_k=ps.pack_kernel_arrays(
-            jnp.zeros((nb + 1, 8, 64), jnp.float32).at[:nb].set(
-                bg.density_bricks.reshape(nb, 8, 64)
-            ),
-            jnp.zeros((nb + 1, B_, 8, 192), jnp.float32).at[:nb].set(
-                sh_to_kernel_layout(bg.sh_bricks, B_)
-            ),
-        ),
-        rms=jnp.zeros((nb + 1, B_ + 1, 8, 192), jnp.bfloat16),
-        last_step=jnp.full((nb + 1,), -1, jnp.int32),
-    )
+    # fused low-peak build (the eager relayout chain OOMed at 512^3)
+    st_t = ps.packed_state_from_grid(bg, rms_dtype=jnp.bfloat16)
     bg = replace(
         bg,
         density_bricks=jnp.zeros((nb, 1), jnp.float32),
         sh_bricks=jnp.zeros((nb, 1, 1), jnp.float32),
     )
 
+    def one_step(st, i, key):
+        if flat_w:
+            return ps.train_step_tiles_packed_touched(
+                trainer, geom, st, rays, target, i, key,
+                max_touched=MAX_TOUCHED, flat_windows=flat_w)
+        return ps.train_step_tiles_packed_touched(
+            trainer, geom, st, rays, target, i, key,
+            max_touched=MAX_TOUCHED, compact_chunks=CK,
+            use_occupancy=True, wps=WPS, tile_rows=k_tile)
+
+    # SCAN=1: fold the step chain into ONE device program
+    # (lax.scan carry = donated state; no per-step relay dispatch —
+    # r3l measured a ~20 ms/step dispatch floor on the axon tunnel)
+    SCAN = int(os.environ.get("SCAN", 0))
+
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def chain(u, st, i0, key):
+        if SCAN:
+            def body(st, j):
+                st, stats = one_step(
+                    st, i0 + j, jax.random.fold_in(key, j))
+                return st, (stats["mse"],
+                            stats["touched_overflow"]
+                            + stats["dropped_tile_rows"].astype(
+                                jnp.float32))
+            st, (mses, ovfs) = jax.lax.scan(
+                body, st, jnp.arange(u, dtype=jnp.int32))
+            return st, mses[-1], jnp.max(ovfs)
         ovf = jnp.zeros(())
         stats = None
         for j in range(u):
-            if flat_w:
-                st, stats = ps.train_step_tiles_packed_touched(
-                    trainer, geom, st, rays, target,
-                    i0 + jnp.int32(j), jax.random.fold_in(key, j),
-                    max_touched=MAX_TOUCHED, flat_windows=flat_w)
-            else:
-                st, stats = ps.train_step_tiles_packed_touched(
-                    trainer, geom, st, rays, target,
-                    i0 + jnp.int32(j), jax.random.fold_in(key, j),
-                    max_touched=MAX_TOUCHED, compact_chunks=CK,
-                    use_occupancy=True, wps=WPS, tile_rows=k_tile)
+            st, stats = one_step(
+                st, i0 + jnp.int32(j), jax.random.fold_in(key, j))
             ovf = jnp.maximum(
                 ovf,
                 stats["touched_overflow"]

@@ -422,10 +422,71 @@ class TestOccupancyRange:
         )
         assert tm.active_chunk_bound(big) <= 8
         assert default_chunks(big, 0.5, tm.SC) >= 27
+        # the occupancy shrink moves the chunk-ladder start (T0), so
+        # the two marches sample the same field at phase-shifted
+        # quadrature points — small per-pixel differences are the
+        # expected discretization effect, not an error (the same holds
+        # between any two step-size-equal marches with different t0)
         np.testing.assert_allclose(
             np.asarray(occ["rgb"]), np.asarray(full["rgb"]),
-            rtol=5e-3, atol=5e-3,
+            rtol=2e-2, atol=2e-2,
         )
+
+    def test_aabb_range_is_conservative_superset(self):
+        """aabb_t_range's interval contains the EXACT occupied span of
+        every ray (brute-force dense sampling of the bitmap), so
+        clipping the march to it drops only zero-density samples."""
+        from nerf_projects_tpu.ops.grid_accel import (
+            OccupancyGrid,
+            aabb_t_range,
+        )
+
+        rng = np.random.default_rng(5)
+        bitmap = np.zeros((16, 16, 16), bool)
+        bitmap[4:9, 6:12, 3:7] = rng.random((5, 6, 4)) < 0.4
+        occ = OccupancyGrid(bitmap=jnp.asarray(bitmap), factor=8)
+        R = 64
+        o_np = rng.uniform(0, 128, (R, 3)).astype(np.float32)
+        d_np = rng.normal(size=(R, 3)).astype(np.float32)
+        t0_np = np.zeros((R,), np.float32)
+        t1_np = np.full((R,), 300.0, np.float32)
+        te_a, tx_a = aabb_t_range(
+            occ, jnp.asarray(o_np), jnp.asarray(d_np),
+            jnp.asarray(t0_np), jnp.asarray(t1_np),
+        )
+        te_a, tx_a = np.asarray(te_a), np.asarray(tx_a)
+        t = np.linspace(0.0, 300.0, 20000, dtype=np.float32)
+        for r in range(R):
+            pos = o_np[r] + t[:, None] * d_np[r]
+            cell = np.clip((pos / 8.0).astype(np.int64), 0, 15)
+            hit = bitmap[cell[:, 0], cell[:, 1], cell[:, 2]]
+            inside = np.all((pos >= 0) & (pos < 128), axis=1)
+            hit &= inside
+            if not hit.any():
+                continue
+            te_exact, tx_exact = t[hit].min(), t[hit].max()
+            assert te_a[r] <= te_exact + 0.05, r
+            assert tx_a[r] >= tx_exact - 0.05, r
+            assert te_a[r] < tx_a[r], r
+
+    def test_layout_converters_match_take_path(self):
+        """The MXU-matmul sh<->kernel layout converters are bit-exact
+        vs the flat-lane permutation take they replaced."""
+        for B in (1, 4, 9):
+            rng = np.random.default_rng(B)
+            sh = jnp.asarray(
+                rng.normal(size=(5, 512, 3 * B)), jnp.float32
+            )
+            k_new = tm.sh_to_kernel_layout(sh, B)
+            flat = sh.reshape(5, 512 * 3 * B)
+            k_take = jnp.take(
+                flat, tm._perm("sh_to_kernel", B), axis=1
+            ).reshape(5, B, 8, 192)
+            np.testing.assert_array_equal(
+                np.asarray(k_new), np.asarray(k_take)
+            )
+            back = tm.kernel_layout_to_sh(k_new, B)
+            np.testing.assert_array_equal(np.asarray(back), np.asarray(sh))
 
 
 def shell_grid(reso=48, basis_dim=1, seed=11, r_lo=0.75, r_hi=1.02):
