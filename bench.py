@@ -25,6 +25,7 @@ Env: BENCH_WORKLOADS=comma,list to subset (default all).
 import functools
 import json
 import os
+import sys
 import time
 
 import jax
@@ -34,14 +35,20 @@ import numpy as np
 BASELINE_NERF_RAYS_PER_S = 6800.0  # reference ship config (BASELINE.md)
 
 # persistent compile cache: XLA graph compiles through the axon remote
-# helper take minutes; cached reruns return in seconds
+# helper take minutes; cached reruns return in seconds. NOT under
+# pytest: the cache holds executables compiled by the remote helper
+# (a different machine — its AOT results load with machine-feature
+# mismatch warnings), and the CPU test suite segfaulted once inside
+# backend_compile_and_load after test_graft's bench import enabled the
+# cache for the rest of the in-process session.
 try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    if "pytest" not in sys.modules:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 except Exception:
     pass
 
