@@ -122,8 +122,11 @@ def bench_nerf_train():
         raw_noise_std=0.0,
         # sort-free hierarchical resample (order-statistics uniforms +
         # merge; distribution-identical, kills the [N, 288] sort from
-        # the mega step's XLA glue). BENCH_NERF_MERGE=0 falls back.
-        resample_sorted=os.environ.get("BENCH_NERF_MERGE", "1") == "1",
+        # the mega step's XLA glue). Hardware A/B: the merge LOSES 9%
+        # (63.7k vs 69.5-70.1k rays/s, reproducible) — the rank-count
+        # merge's searchsorted glue costs more than XLA's sort at this
+        # shape, so the sort ships. BENCH_NERF_MERGE=1 opts in.
+        resample_sorted=os.environ.get("BENCH_NERF_MERGE", "0") == "1",
     )
     trainer = NeRFTrainer(
         cfg, depth=8, width=256, near=2.0, far=6.0,
