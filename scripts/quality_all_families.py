@@ -43,10 +43,18 @@ PLENOXEL_FLAT = int(os.environ.get("QUALITY_FLAT", 0))
 SH_CHUNKS = int(os.environ.get("QUALITY_SH_CHUNKS", 6))
 H = W = int(os.environ.get("QUALITY_IMG", 96))
 N_VIEWS = int(os.environ.get("QUALITY_VIEWS", 16))
+# focal scales with resolution (angular geometry identical to the
+# 96^2/f=80 scenes the NeRF families are scored on). make_dataset's
+# fixed default of 80 left the object a ~54 px dot at 800^2 — random
+# train tiles all missed it (flat probe 0, psnr inf on background)
+# and held-out PSNR was background-dominated.
+FOCAL = float(os.environ.get("QUALITY_FOCAL", 80.0 * H / 96.0))
 
 
 def dataset():
-    ds = make_dataset(n_views=N_VIEWS, image_size=H, seed=3)
+    ds = make_dataset(
+        n_views=N_VIEWS, image_size=H, focal=FOCAL, seed=3
+    )
     return ds
 
 
