@@ -33,7 +33,7 @@ from nerf_projects_tpu.train import plenoxels_sparse as ps
 from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
 
 RESO = int(os.environ.get("RESO", 512))
-TILES = int(os.environ.get("TILES", 32))
+TILES = int(os.environ.get("TILES", 64))  # 8192-ray ship batch (t128 also fits; see README)
 MAX_TOUCHED = int(os.environ.get("MAX_TOUCHED", 8192))
 # UNROLL=1: the 5.7 GB state cannot afford the extra aliasing copies
 # XLA materializes across a longer chain (unroll-4 measured
@@ -90,7 +90,7 @@ CK = required_chunks(geom, rays, opts, use_occupancy=True)
 nb, B_ = bg.n_bricks, bg.basis_dim
 # FLAT=1: flat active-window plan (no batch-max chunk padding) —
 # the exact window count for the fixed bench rays
-FLAT = int(os.environ.get("FLAT", 0))
+FLAT = int(os.environ.get("FLAT", 1))
 flat_w = 0
 if FLAT:
     from nerf_projects_tpu.ops.pallas.flat_train import (
