@@ -132,10 +132,13 @@ def resample(
 
     from nerf_projects_tpu.ops.grid import trilerp
 
+    # the grid goes in as a jit ARGUMENT: closed-over device arrays
+    # become jaxpr constants, and serializing a 256^3+ grid's data into
+    # the remote compile request body fails with HTTP 413
     interp = jax.jit(
-        lambda pts: (
-            trilerp(grid, grid.density_data, grid.world_to_grid(pts)),
-            trilerp(grid, grid.sh_data, grid.world_to_grid(pts)),
+        lambda g, pts: (
+            trilerp(g, g.density_data, g.world_to_grid(pts)),
+            trilerp(g, g.sh_data, g.world_to_grid(pts)),
         )
     )
     n = world.shape[0]
@@ -145,7 +148,7 @@ def resample(
         pad = batch_size - len(sl)
         if pad:
             sl = np.concatenate([sl, np.zeros((pad, 3), sl.dtype)], 0)
-        d, s = interp(jnp.asarray(sl))
+        d, s = interp(grid, jnp.asarray(sl))
         d, s = np.asarray(d), np.asarray(s)
         if pad:
             d, s = d[:-pad], s[:-pad]

@@ -19,3 +19,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module. Two full-suite
+    runs segfaulted inside XLA:CPU backend_compile_and_load late in the
+    session (tests/test_train.py, which passes in isolation) — an
+    in-process-accumulation trigger; bounding the live executable count
+    is cheap insurance at the cost of cross-module recompiles."""
+    yield
+    jax.clear_caches()
