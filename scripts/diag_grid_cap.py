@@ -9,7 +9,9 @@ trained grid got 19 dB, the gap is optimization; if the direct fit is
 also ~19 dB, the gap is the grid/renderer itself.
 
 Usage: python scripts/diag_grid_cap.py [reso,reso,...] [H,H,...]
-Env: DIAG_SS (supersamples per axis, default 4), DIAG_SAVE (png dir).
+Env: DIAG_SS (supersamples per axis, default 4), DIAG_SAVE (png dir),
+DIAG_EXACT=1 (also render through the per-sample exact path and report
+tile-vs-exact deltas — separates renderer artifacts from grid limits).
 """
 import json
 import os
@@ -32,6 +34,7 @@ RESOS = [int(r) for r in (sys.argv[1] if len(sys.argv) > 1 else "256").split(","
 SIZES = [int(h) for h in (sys.argv[2] if len(sys.argv) > 2 else "96,512").split(",")]
 SS = int(os.environ.get("DIAG_SS", 4))
 SAVE = os.environ.get("DIAG_SAVE", "")
+EXACT = int(os.environ.get("DIAG_EXACT", 0))
 
 
 def rasterize(scene, reso: int) -> SparseGrid:
@@ -88,8 +91,7 @@ def rasterize(scene, reso: int) -> SparseGrid:
     return replace(g, density_data=jnp.asarray(dens), sh_data=jnp.asarray(sh))
 
 
-def render_view(g, H, focal, pose, opts):
-    from nerf_projects_tpu.ops.brick_grid import from_sparse_grid
+def render_view(bg, kernel_arrays, H, focal, pose, opts):
     from nerf_projects_tpu.ops.tile_render import (
         tiles_from_image_rays,
         untile_image,
@@ -99,13 +101,39 @@ def render_view(g, H, focal, pose, opts):
     K = np.array([[focal, 0, H / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
     rays = camera_rays(H, H, K, jnp.asarray(pose))
     flat = tu.tree_map(lambda x: x.reshape(-1, 3), rays)
-    bg = from_sparse_grid(g)
     tiles = tiles_from_image_rays(flat, H, H, 8, 16)
-    parts = []
+    parts, miss = [], 0.0
     for i in range(0, tiles.origins.shape[0], 512):
         sl = tu.tree_map(lambda x: x[i:i + 512], tiles)
-        parts.append(render_tiles_pallas(bg, sl, opts)["rgb"])
-    return untile_image(jnp.concatenate(parts, 0), H, H, 8, 16)
+        out = render_tiles_pallas(bg, sl, opts,
+                                  kernel_arrays=kernel_arrays)
+        parts.append(out["rgb"])
+        miss += float(out["window_miss"]) * sl.origins.shape[0]
+    miss /= tiles.origins.shape[0]
+    return untile_image(jnp.concatenate(parts, 0), H, H, 8, 16), miss
+
+
+def render_view_exact(g, H, focal, pose, opts):
+    import jax.tree_util as tu
+
+    from nerf_projects_tpu.ops.grid import volume_render_grid
+
+    K = np.array([[focal, 0, H / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
+    rays = camera_rays(H, H, K, jnp.asarray(pose))
+    flat = tu.tree_map(lambda x: x.reshape(-1, 3), rays)
+    ex = jax.jit(lambda gg, r: volume_render_grid(gg, r, opts)["rgb"])
+    outs = []
+    chunk = 8192
+    n = flat.origins.shape[0]
+    for i in range(0, n, chunk):
+        sl = tu.tree_map(lambda x: x[i : i + chunk], flat)
+        pad = chunk - sl.origins.shape[0]
+        if pad:
+            sl = tu.tree_map(
+                lambda x: jnp.pad(x, ((0, pad), (0, 0)), mode="edge"), sl)
+        o = ex(g, sl)
+        outs.append(o[: chunk - pad] if pad else o)
+    return jnp.concatenate(outs, 0).reshape(H, H, 3)
 
 
 def main():
@@ -114,18 +142,61 @@ def main():
     print("devices:", jax.devices(), flush=True)
     scene = default_scene()
     opts = GridRenderOptions(step_size=0.5)
+    from dataclasses import replace as _replace
+
+    from nerf_projects_tpu.ops.brick_grid import from_sparse_grid
+    from nerf_projects_tpu.ops.pallas.tile_march import (
+        _kernel_arrays,
+        geometry_only,
+    )
+
     for reso in RESOS:
         g = rasterize(scene, reso)
         print(f"rasterized {reso}^3: cap {g.capacity}", flush=True)
+        # ONE brick conversion + bf16 kernel relayout per reso; at 512^3
+        # per-view rebuilds held 3 full-grid copies at once and OOMed.
+        bg = from_sparse_grid(g)
+        ka = _kernel_arrays(bg)
+        if reso >= 512 and not EXACT:
+            g = _replace(g, density_data=jnp.zeros((1, 1)),
+                         sh_data=jnp.zeros((1, g.sh_data.shape[1])))
+            bg = geometry_only(bg)
         for H in SIZES:
             focal = 80.0 * H / 96.0
             ds = make_dataset(n_views=1, image_size=H, focal=focal, seed=3)
-            img = render_view(g, H, focal, ds["poses"][0], opts)
+            img, miss = render_view(bg, ka, H, focal, ds["poses"][0], opts)
             m = compute_metrics(img, ds["images"][0])
             print("diag:", json.dumps(
                 {"reso": reso, "H": H}
-                | {k: round(float(v), 3) for k, v in m.items()}),
+                | {k: round(float(v), 3) for k, v in m.items()}
+                | {"window_miss": round(miss, 5)}),
                 flush=True)
+            if EXACT:
+                img_ex = render_view_exact(g, H, focal, ds["poses"][0],
+                                           opts)
+                m_ex = compute_metrics(img_ex, ds["images"][0])
+                delta = np.asarray(
+                    jnp.abs(img - img_ex).max(-1))
+                bad = np.argwhere(delta > 0.2)
+                print("diag_exact:", json.dumps(
+                    {"reso": reso, "H": H}
+                    | {k: round(float(v), 3) for k, v in m_ex.items()}
+                    | {"tile_vs_exact_max": round(float(delta.max()), 4),
+                       "tile_vs_exact_bad_px": int(len(bad))}),
+                    flush=True)
+                if len(bad):
+                    ys, xs = bad[:, 0], bad[:, 1]
+                    print(f"  bad px rows {ys.min()}..{ys.max()} "
+                          f"cols {sorted(set(xs.tolist()))[:24]}",
+                          flush=True)
+                if SAVE:
+                    os.makedirs(SAVE, exist_ok=True)
+                    import imageio.v2 as imageio
+
+                    arr = np.asarray(
+                        jnp.clip(img_ex, 0, 1) * 255).astype(np.uint8)
+                    imageio.imwrite(
+                        f"{SAVE}/fit_exact_r{reso}_h{H}.png", arr)
             if SAVE:
                 os.makedirs(SAVE, exist_ok=True)
                 import imageio.v2 as imageio

@@ -147,15 +147,33 @@ def quality_plenoxels(ds):
             from nerf_projects_tpu.models.grid_lifecycle import resample
             from nerf_projects_tpu.ops.brick_grid import to_sparse_grid
 
+            def _hbm(tag):
+                try:
+                    s = jax.local_devices()[0].memory_stats()
+                    print(f"hbm[{tag}]: in_use "
+                          f"{s.get('bytes_in_use', 0) / 1e9:.2f} GB peak "
+                          f"{s.get('peak_bytes_in_use', 0) / 1e9:.2f} GB",
+                          flush=True)
+                except Exception:
+                    pass
+
+            _hbm("pre-upsample")
             bg = ps.grid_from_packed_state(bg, pst)
+            pst = None
             g2 = resample(
                 to_sparse_grid(bg),
                 (PLENOXEL_RESO,) * 3,
                 sigma_thresh=0.5, dilate=2,
             )
             bg = from_sparse_grid(g2)
+            del g2
+            # drop old-shape executables + donated-buffer aliases before
+            # the new-shape step compiles (512^3 runs OOMed here)
+            jax.clear_caches()
+            _hbm("post-resample")
             pst = ps.packed_state_from_grid(bg)
             flat_cap = flat_cap_for(bg)
+            _hbm("post-state")
             print(f"upsampled to {PLENOXEL_RESO}^3: "
                   f"{bg.n_bricks} bricks", flush=True)
         key, kd, kt = jax.random.split(key, 3)
@@ -193,8 +211,10 @@ def quality_plenoxels(ds):
         | {"train_minutes": round(dt / 60, 1)}), flush=True)
 
     # exact-path eval (per-sample gathers, no tile window): separates
-    # trained-grid quality from tile-render window artifacts
-    try:
+    # trained-grid quality from tile-render window artifacts. One retry:
+    # the axon remote compile helper 500s transiently.
+    for _attempt in range(2):
+      try:
         from nerf_projects_tpu.ops.grid import volume_render_grid
 
         from nerf_projects_tpu.ops.brick_grid import to_sparse_grid as _tsg
@@ -218,7 +238,8 @@ def quality_plenoxels(ds):
         print("plenoxels held-out (exact path):", json.dumps(
             {k: round(float(v), 3) for k, v in m_ex.items()}),
             flush=True)
-    except Exception as exc:
+        break
+      except Exception as exc:
         print("exact-path eval failed:", repr(exc)[:200], flush=True)
     return m
 
