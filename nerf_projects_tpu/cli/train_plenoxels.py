@@ -67,6 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--lr_sh_final", type=float, default=5e-6)
     g.add_argument("--lr_sh_decay_steps", type=int, default=250000)
     g.add_argument("--rms_beta", type=float, default=0.95)
+    g.add_argument(
+        "--rms_pervisit", type=int, default=1,
+        help="RMSprop second-moment decays once per TOUCH instead of "
+        "the reference-literal once per global step (beta^delta lazy). "
+        "The literal semantics degenerate under coherent-tile sampling "
+        "(rms collapses between bursts -> sign-sized updates); "
+        "per-visit matches the reference's effective dynamics under "
+        "its global ray shuffle. Applies to the touched/sparse steps.")
     g.add_argument("--print_every", type=int, default=20)
     g.add_argument("--save_every", type=int, default=5)
     g.add_argument("--eval_every", type=int, default=1)
@@ -250,6 +258,7 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
             sigma_optim=args.sigma_optim,
             sh_optim=args.sh_optim,
             rms_beta=args.rms_beta,
+            rms_pervisit=bool(args.rms_pervisit),
             bf16_grad_blocks=args.bf16_grad_blocks,
             use_occupancy=args.use_occupancy,
         )

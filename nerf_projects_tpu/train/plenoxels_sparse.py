@@ -309,11 +309,20 @@ def train_step_tiles_sparse(
     acc_d = acc_d * md
     acc_sh = acc_sh * msh
 
-    delta = (step - st.last_step[uniq]).astype(jnp.float32)
-    if trainer.sigma_optim == "rmsprop" or trainer.sh_optim == "rmsprop":
-        decay = jnp.power(trainer.rms_beta, delta)
+    b = trainer.rms_beta
+    if getattr(trainer, "rms_pervisit", False):
+        # per-coefficient per-visit decay (see touched step / trainer)
+        decay_d = jnp.where(acc_d != 0.0, b, 1.0)
+        decay_s = jnp.where(acc_sh != 0.0, b, 1.0)
     else:
-        decay = jnp.ones_like(delta)
+        delta = (step - st.last_step[uniq]).astype(jnp.float32)
+        if (trainer.sigma_optim == "rmsprop"
+                or trainer.sh_optim == "rmsprop"):
+            decay = jnp.power(b, delta)
+        else:
+            decay = jnp.ones_like(delta)
+        decay_d = decay[:, None, None]
+        decay_s = decay[:, None, None, None]
 
     lr_sigma = trainer.lr_sigma_fn(fstep)
     lr_sh = trainer.lr_sh_fn(fstep)
@@ -322,7 +331,7 @@ def train_step_tiles_sparse(
     new_d, rms_d = _finalize_rms(
         trainer, trainer.sigma_optim, d_rows, acc_d,
         st.rms_density[uniq].astype(jnp.float32),
-        decay[:, None, None], lr_sigma,
+        decay_d, lr_sigma,
         minval=trainer.density_minval,
     )
     new_d = new_d * md
@@ -330,7 +339,7 @@ def train_step_tiles_sparse(
     new_s, rms_s = _finalize_rms(
         trainer, trainer.sh_optim, s_rows, acc_sh,
         st.rms_sh[uniq].astype(jnp.float32),
-        decay[:, None, None, None], lr_sh,
+        decay_s, lr_sh,
     )
 
     # ---- scatter back (unique indices; sentinel re-zeroed) -----------
@@ -967,8 +976,18 @@ def train_step_tiles_packed_touched(
     pk_rows = st.packed_k[uniq_rows]
     if trainer.sigma_optim == "rmsprop":
         b = trainer.rms_beta
-        delta = (step - st.last_step[uniq_rows]).astype(jnp.float32)
-        decay = jnp.power(b, delta)[:, None, None, None]
+        if getattr(trainer, "rms_pervisit", False):
+            # per-visit decay, PER COEFFICIENT: rms decays only where
+            # this step produced a gradient (sparse-Adam semantics).
+            # Row-level beta^delta would still collapse the rms of a
+            # cell whose brick is touched often but whose own gradient
+            # is rare. See PlenoxelsTrainer.rms_pervisit.
+            decay = jnp.where(g != 0.0, b, 1.0)
+        else:
+            delta = (
+                step - st.last_step[uniq_rows]
+            ).astype(jnp.float32)
+            decay = jnp.power(b, delta)[:, None, None, None]
         rms_rows = decay * st.rms[uniq_rows].astype(jnp.float32) + (
             1.0 - b
         ) * g * g

@@ -122,6 +122,7 @@ class PlenoxelsTrainer:
         sigma_optim: str = "rmsprop",
         sh_optim: str = "rmsprop",
         rms_beta: float = 0.95,
+        rms_pervisit: bool = False,
         density_minval: float = -1e9,
         bf16_grad_blocks: bool = False,
         use_occupancy: bool = False,
@@ -140,6 +141,20 @@ class PlenoxelsTrainer:
         self.sigma_optim = sigma_optim
         self.sh_optim = sh_optim
         self.rms_beta = rms_beta
+        # RMSprop second-moment semantics for the touched/sparse steps.
+        # False = reference-literal: rms decays by beta EVERY global
+        # step (svox2.cu rmsprop_step runs densely each step), applied
+        # lazily as beta^delta on next touch. That semantics is only
+        # benign in the reference's regime — globally-shuffled ray
+        # batches touch nearly every active voxel every step (delta~1).
+        # Under coherent-tile sampling a voxel is visited in bursts
+        # (delta ~ 50-500), beta^delta ~ 0, rms collapses to
+        # (1-beta)*g^2 and every visit applies lr*g/sqrt((1-beta)g^2)
+        # = 4.47*lr*sign(g) regardless of |g| — unbounded oscillation.
+        # True = per-visit decay: rms decays by beta once per TOUCH, so
+        # it tracks the running mean of per-visit g^2 (the reference's
+        # EFFECTIVE dynamics for frequently-touched voxels).
+        self.rms_pervisit = rms_pervisit
         self.density_minval = density_minval
         # bf16 per-corner gradient blocks halve the backward kernel's
         # HBM emission (the dominant cost at scale); accumulation stays

@@ -40,6 +40,27 @@ PLENOXEL_MAX_TOUCHED = int(os.environ.get("QUALITY_MAX_TOUCHED", 12288))
 # QUALITY_FLAT=1: train through the flat active-window plan (w_cap
 # probe-sized with 50% headroom per topology; overflow logged)
 PLENOXEL_FLAT = int(os.environ.get("QUALITY_FLAT", 0))
+# per-visit RMSprop decay (rms persists between touches) — the
+# reference's EFFECTIVE dynamics under its global ray shuffle; the
+# literal beta^delta lazy decay collapses rms to (1-b)g^2 under
+# coherent-tile sampling and every visit becomes a 4.47*lr*sign(g)
+# yank (see PlenoxelsTrainer.rms_pervisit)
+PLENOXEL_RMS_PERVISIT = int(os.environ.get("QUALITY_RMS_PERVISIT", 1))
+# held-out eval every N steps (0 = only at the end); convergence curve
+EVAL_EVERY = int(os.environ.get("QUALITY_EVAL_EVERY", 0))
+# directory for held-out/GT/error pngs + the trained grid npz
+SAVE_DIR = os.environ.get("QUALITY_SAVE", "")
+# "tiles" (coherent 8x16 tile batches through the Pallas touched step)
+# or "cell" (globally-shuffled random-ray batches through the dense
+# per-sample-gather step — the reference's sampling statistics,
+# opt.py:395-400 global ray shuffle)
+STEP_MODE = os.environ.get("QUALITY_STEP_MODE", "tiles")
+CELL_BATCH = int(os.environ.get("QUALITY_CELL_BATCH", 5120))
+# lr-decay horizon in steps (0 = the run length). The reference trains
+# 128k steps against a 250k-step decay schedule (opt.py defaults), so
+# it ends at lr_sigma ~1.1, never the final 5e-2; a fully-decayed
+# schedule starves late training. ~2x the run length matches.
+PLENOXEL_DECAY = int(os.environ.get("QUALITY_DECAY_STEPS", 0))
 SH_CHUNKS = int(os.environ.get("QUALITY_SH_CHUNKS", 6))
 H = W = int(os.environ.get("QUALITY_IMG", 96))
 N_VIEWS = int(os.environ.get("QUALITY_VIEWS", 16))
@@ -89,21 +110,30 @@ def quality_plenoxels(ds):
     # device arrays become jaxpr constants the remote compile helper
     # serializes) — eager per-step gathers cost ~8 relay round trips
     # (~0.4 s/step), 5x the train step itself
-    @functools.partial(jax.jit, static_argnums=(3, 4, 5))
-    def _draw(key, r_all, pix, n_tiles, th, tw):
+    stride = int(os.environ.get("QUALITY_TILE_STRIDE", 1))
+
+    @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+    def _draw(key, r_all, pix, n_tiles, th, tw, s):
         kv, ky, kx = jax.random.split(key, 3)
         v = jax.random.randint(kv, (n_tiles,), 0, N_VIEWS - 1)
-        y0 = jax.random.randint(ky, (n_tiles,), 0, H - th + 1)
-        x0 = jax.random.randint(kx, (n_tiles,), 0, W - tw + 1)
+        # stride s > 1: the 8x16 tile is a LATTICE over an
+        # (s*th)x(s*tw) footprint — still window-coherent for the
+        # marching kernels, but each tile's gradient averages a 16x
+        # wider image region (de-biases the per-visit gradient that
+        # coherent pencils produce)
+        y0 = jax.random.randint(
+            ky, (n_tiles,), 0, H - (th - 1) * s)
+        x0 = jax.random.randint(
+            kx, (n_tiles,), 0, W - (tw - 1) * s)
         dy, dx = jnp.meshgrid(jnp.arange(th), jnp.arange(tw), indexing="ij")
-        flat = (y0[:, None] + dy.reshape(-1)[None]) * W + (
-            x0[:, None] + dx.reshape(-1)[None]
+        flat = (y0[:, None] + s * dy.reshape(-1)[None]) * W + (
+            x0[:, None] + s * dx.reshape(-1)[None]
         )
         r = tu.tree_map(lambda a: a[v[:, None], flat], r_all)
         return r, pix[v[:, None], flat]
 
     def draw(key, n_tiles=40, th=8, tw=16):
-        return _draw(key, rays_all, pixels, n_tiles, th, tw)
+        return _draw(key, rays_all, pixels, n_tiles, th, tw, stride)
 
     upsample_step = (
         int(PLENOXEL_STEPS * PLENOXEL_UPSAMPLE_AT)
@@ -117,11 +147,13 @@ def quality_plenoxels(ds):
     bg = from_sparse_grid(g)
     opts = GridRenderOptions(step_size=0.5)
     trainer = PlenoxelsTrainer(
-        opts, n_iters=PLENOXEL_STEPS, lr_sigma=PLENOXEL_LR_SIGMA,
+        opts, n_iters=PLENOXEL_DECAY or PLENOXEL_STEPS,
+        lr_sigma=PLENOXEL_LR_SIGMA,
         lr_sigma_delay_steps=0,
         lr_sh=PLENOXEL_LR_SH, lambda_tv=1e-5 * PLENOXEL_TV_SCALE,
         lambda_tv_sh=1e-3 * PLENOXEL_TV_SCALE,
         lambda_sparsity=PLENOXEL_SPARSITY,
+        rms_pervisit=bool(PLENOXEL_RMS_PERVISIT),
     )
     from nerf_projects_tpu.train import plenoxels_sparse as ps
 
@@ -140,9 +172,29 @@ def quality_plenoxels(ds):
 
     pst = ps.packed_state_from_grid(bg)
     flat_cap = flat_cap_for(bg)
+
+    def eval_held_out(bg_, tag=""):
+        rays0 = held_out_rays(ds)
+        flat0 = tu.tree_map(lambda x: x.reshape(-1, 3), rays0)
+        tiles0 = tiles_from_image_rays(flat0, H, W, 8, 16)
+        parts0 = []
+        for j in range(0, tiles0.origins.shape[0], 512):
+            sl0 = tu.tree_map(lambda x: x[j : j + 512], tiles0)
+            parts0.append(render_tiles_pallas(bg_, sl0, opts)["rgb"])
+        img0 = untile_image(jnp.concatenate(parts0, 0), H, W, 8, 16)
+        m0 = compute_metrics(img0, ds["images"][0])
+        if tag:
+            print(f"plenoxels held-out[{tag}]:", json.dumps(
+                {k: round(float(v), 3) for k, v in m0.items()}),
+                flush=True)
+        return img0, m0
+
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     for i in range(PLENOXEL_STEPS):
+        if EVAL_EVERY and i and i % EVAL_EVERY == 0:
+            eval_held_out(ps.grid_from_packed_state(bg, pst),
+                          tag=f"step {i}")
         if upsample_step is not None and i == upsample_step:
             from nerf_projects_tpu.models.grid_lifecycle import resample
             from nerf_projects_tpu.ops.brick_grid import to_sparse_grid
@@ -196,19 +248,40 @@ def quality_plenoxels(ds):
     dt = time.time() - t0
 
     # held-out render through the Pallas path (8x16 tiles)
-    rays0 = held_out_rays(ds)
-    flat = tu.tree_map(lambda x: x.reshape(-1, 3), rays0)
-    tiles = tiles_from_image_rays(flat, H, W, 8, 16)
-    parts = []
-    step_b = 512
-    for i in range(0, tiles.origins.shape[0], step_b):
-        sl = tu.tree_map(lambda x: x[i : i + step_b], tiles)
-        parts.append(render_tiles_pallas(bg, sl, opts)["rgb"])
-    img = untile_image(jnp.concatenate(parts, 0), H, W, 8, 16)
-    m = compute_metrics(img, ds["images"][0])
+    img, m = eval_held_out(bg)
+    flat = tu.tree_map(
+        lambda x: x.reshape(-1, 3), held_out_rays(ds)
+    )
     print("plenoxels held-out:", json.dumps(
         {k: round(float(v), 3) for k, v in m.items()}
         | {"train_minutes": round(dt / 60, 1)}), flush=True)
+    if SAVE_DIR:
+        os.makedirs(SAVE_DIR, exist_ok=True)
+        try:
+            import imageio.v2 as imageio
+
+            gt = np.asarray(ds["images"][0])
+            ren = np.asarray(jnp.clip(img, 0, 1))
+            err = np.abs(ren - gt).max(-1)
+            imageio.imwrite(f"{SAVE_DIR}/heldout.png",
+                            (ren * 255).astype(np.uint8))
+            imageio.imwrite(f"{SAVE_DIR}/gt.png",
+                            (np.clip(gt, 0, 1) * 255).astype(np.uint8))
+            imageio.imwrite(f"{SAVE_DIR}/err.png",
+                            (np.clip(err * 4, 0, 1) * 255).astype(
+                                np.uint8))
+        except Exception as exc:
+            print("png save failed:", repr(exc)[:120], flush=True)
+        try:
+            from nerf_projects_tpu.ops.brick_grid import (
+                to_sparse_grid as _tsg0,
+            )
+
+            _tsg0(bg).save(f"{SAVE_DIR}/trained_grid.npz")
+            print(f"saved grid -> {SAVE_DIR}/trained_grid.npz",
+                  flush=True)
+        except Exception as exc:
+            print("grid save failed:", repr(exc)[:120], flush=True)
 
     # exact-path eval (per-sample gathers, no tile window): separates
     # trained-grid quality from tile-render window artifacts. One retry:
@@ -241,6 +314,120 @@ def quality_plenoxels(ds):
         break
       except Exception as exc:
         print("exact-path eval failed:", repr(exc)[:200], flush=True)
+    return m
+
+
+def quality_plenoxels_cell(ds):
+    """Dense per-sample-gather step with GLOBALLY-SHUFFLED random-ray
+    batches — the reference's sampling statistics (opt.py:395-400).
+    Discriminator for the coherent-tile quality gap: identical losses,
+    lrs, and schedule to the tile path; only the sampling pattern and
+    the render/grad path differ."""
+    from nerf_projects_tpu.models.sparse_grid import SparseGrid
+    from nerf_projects_tpu.ops.grid import (
+        GridRenderOptions,
+        volume_render_grid,
+    )
+    from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
+
+    rays_all = tu.tree_map(
+        lambda x: x.reshape(N_VIEWS, H * W, 3)[1:].reshape(-1, 3),
+        ds["rays"],
+    )
+    pixels = ds["pixels"].reshape(N_VIEWS, H * W, 3)[1:].reshape(-1, 3)
+    n_pool = pixels.shape[0]
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def draw(key, r_all, pix, bs):
+        idx = jax.random.randint(key, (bs,), 0, n_pool)
+        return tu.tree_map(lambda a: a[idx], r_all), pix[idx]
+
+    upsample_step = (
+        int(PLENOXEL_STEPS * PLENOXEL_UPSAMPLE_AT)
+        if PLENOXEL_UPSAMPLE_AT > 0 else None
+    )
+    reso0 = PLENOXEL_RESO // 2 if upsample_step else PLENOXEL_RESO
+    g = SparseGrid.create(
+        reso0, basis_dim=9, radius=1.3, use_sphere_bound=True,
+        init_density=PLENOXEL_INIT_SIGMA,
+    )
+    opts = GridRenderOptions(step_size=0.5)
+    trainer = PlenoxelsTrainer(
+        opts, n_iters=PLENOXEL_DECAY or PLENOXEL_STEPS,
+        lr_sigma=PLENOXEL_LR_SIGMA,
+        lr_sigma_delay_steps=0,
+        lr_sh=PLENOXEL_LR_SH, lambda_tv=1e-5 * PLENOXEL_TV_SCALE,
+        lambda_tv_sh=1e-3 * PLENOXEL_TV_SCALE,
+        lambda_sparsity=PLENOXEL_SPARSITY,
+    )
+    rms = trainer.init_rms(g)
+
+    def eval_exact(g_, tag=""):
+        flat0 = tu.tree_map(
+            lambda x: x.reshape(-1, 3), held_out_rays(ds))
+        ex = jax.jit(
+            lambda gg, r: volume_render_grid(gg, r, opts)["rgb"])
+        outs, chunk = [], 8192
+        n = flat0.origins.shape[0]
+        for i in range(0, n, chunk):
+            sl = tu.tree_map(lambda x: x[i : i + chunk], flat0)
+            pad = chunk - sl.origins.shape[0]
+            if pad:
+                sl = tu.tree_map(
+                    lambda x: jnp.pad(x, ((0, pad), (0, 0)),
+                                      mode="edge"), sl)
+            o = ex(g_, sl)
+            outs.append(o[: chunk - pad] if pad else o)
+        img0 = jnp.concatenate(outs, 0).reshape(H, W, 3)
+        m0 = compute_metrics(img0, ds["images"][0])
+        if tag:
+            print(f"plenoxels-cell held-out[{tag}]:", json.dumps(
+                {k: round(float(v), 3) for k, v in m0.items()}),
+                flush=True)
+        return img0, m0
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    for i in range(PLENOXEL_STEPS):
+        if upsample_step is not None and i == upsample_step:
+            from nerf_projects_tpu.models.grid_lifecycle import resample
+
+            del rms
+            jax.clear_caches()
+            g = resample(
+                g, (PLENOXEL_RESO,) * 3, sigma_thresh=0.5, dilate=2,
+            )
+            rms = trainer.init_rms(g)
+            print(f"upsampled to {PLENOXEL_RESO}^3: cap {g.capacity}",
+                  flush=True)
+        if EVAL_EVERY and i and i % EVAL_EVERY == 0:
+            eval_exact(g, tag=f"step {i}")
+        key, kd, kt = jax.random.split(key, 3)
+        rays, target = draw(kd, rays_all, pixels, CELL_BATCH)
+        g, rms, st = trainer.train_step(
+            g, rms, rays, target, jnp.asarray(i, jnp.float32), kt)
+        if i % 500 == 0:
+            print(f"plenoxels-cell step {i}: train psnr "
+                  f"{float(st['psnr']):.2f}", flush=True)
+    dt = time.time() - t0
+    img, m = eval_exact(g)
+    print("plenoxels-cell held-out:", json.dumps(
+        {k: round(float(v), 3) for k, v in m.items()}
+        | {"train_minutes": round(dt / 60, 1)}), flush=True)
+    if SAVE_DIR:
+        os.makedirs(SAVE_DIR, exist_ok=True)
+        try:
+            import imageio.v2 as imageio
+
+            ren = np.asarray(jnp.clip(img, 0, 1))
+            imageio.imwrite(f"{SAVE_DIR}/heldout_cell.png",
+                            (ren * 255).astype(np.uint8))
+        except Exception as exc:
+            print("png save failed:", repr(exc)[:120], flush=True)
+        try:
+            g.save(f"{SAVE_DIR}/trained_grid_cell.npz")
+        except Exception as exc:
+            print("grid save failed:", repr(exc)[:120], flush=True)
     return m
 
 
@@ -324,6 +511,9 @@ if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     ds = dataset()
     if WHICH in ("plenoxels", "all"):
-        quality_plenoxels(ds)
+        if STEP_MODE == "cell":
+            quality_plenoxels_cell(ds)
+        else:
+            quality_plenoxels(ds)
     if WHICH in ("nerf_sh", "all"):
         quality_nerf_sh(ds)

@@ -314,6 +314,48 @@ class TestPackedTouchedStep:
             rtol=1e-4, atol=1e-6,
         )
 
+    def test_pervisit_rms_gap_invariant(self):
+        """rms_pervisit=True: the update must not depend on the GAP
+        between touches (rms decays once per visit, not beta^delta).
+        Two identical 2-step runs whose second step carries global step
+        index 1 vs 500 must produce identical states (modulo the lr
+        schedule, held constant here). The literal semantics
+        (pervisit=False) must differ — beta^499 collapses the
+        accumulator and the update degenerates toward
+        lr*g/sqrt((1-b)g^2)."""
+        g = random_grid(24, seed=12)
+        bg = from_sparse_grid(g)
+        rays = tile_rays(2, seed=55)
+        target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+        key = jax.random.PRNGKey(3)
+
+        def two_steps(trainer, second_step):
+            st = ps.packed_state_from_grid(bg)
+            st, _ = ps.train_step_tiles_packed_touched(
+                trainer, bg, st, rays, target,
+                jnp.asarray(0, jnp.int32), key, max_touched=4096,
+            )
+            st, _ = ps.train_step_tiles_packed_touched(
+                trainer, bg, st, rays, target,
+                jnp.asarray(second_step, jnp.int32), key,
+                max_touched=4096,
+            )
+            return np.asarray(st.packed_k)
+
+        # constant lr: isolate the rms semantics from the lr schedule
+        lr_kw = dict(
+            lr_sigma=1.0, lr_sigma_final=1.0,
+            lr_sh=1e-2, lr_sh_final=1e-2,
+        )
+        pv = make_trainer(rms_pervisit=True, **lr_kw)
+        a = two_steps(pv, 1)
+        b = two_steps(pv, 500)
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+        lit = make_trainer(rms_pervisit=False, **lr_kw)
+        c = two_steps(lit, 500)
+        assert not np.allclose(b, c, rtol=1e-4, atol=1e-5)
+
     def test_overflow_reported(self):
         trainer = make_trainer()
         g = random_grid(24, seed=10)
