@@ -102,7 +102,8 @@ def render_grid_image_frame(bg, ka, scene, view, opts, n_chunks,
     return img[: scene.height, : scene.width]
 
 
-def render_grid_image_tiles(bg, ka, ck, scene, view, opts):
+def render_grid_image_tiles(bg, ka, ck, scene, view, opts,
+                            exact_fallback_grid=None):
     """Brick/tile Pallas renderer (the real-time path): prebuilt kernel
     arrays + exact empty-chunk compaction."""
     import jax.tree_util as tu
@@ -132,6 +133,34 @@ def render_grid_image_tiles(bg, ka, ck, scene, view, opts):
         bg, tiles, ka
     )
     img = untile_image(out["rgb"], Hp, Wp, 8, 16)
+    if exact_fallback_grid is not None:
+        # re-render window-missed rays through the exact per-sample
+        # path (miss_per_ray counts in-span samples the 16-voxel
+        # window dropped — grazing tiles at high reso)
+        import numpy as _np
+
+        from nerf_projects_tpu.ops.grid import volume_render_grid
+
+        miss = untile_image(
+            out["miss_per_ray"][..., None], Hp, Wp, 8, 16)[..., 0]
+        bad = _np.asarray(miss > 0).reshape(-1)
+        idx = _np.nonzero(bad)[0]
+        if len(idx):
+            ex = jax.jit(lambda gg, r: volume_render_grid(
+                gg, r, opts)["rgb"])
+            CH = 2048
+            fixed = []
+            for i in range(0, len(idx), CH):
+                ii = idx[i : i + CH]
+                pad = CH - len(ii)
+                ii_p = (_np.concatenate([ii, _np.full(pad, ii[-1])])
+                        if pad else ii)
+                sl = tu.tree_map(
+                    lambda x: x.reshape(-1, 3)[jnp.asarray(ii_p)], rays)
+                o = ex(exact_fallback_grid, sl)
+                fixed.append(o[: len(ii)] if pad else o)
+            img = img.reshape(-1, 3).at[jnp.asarray(idx)].set(
+                jnp.concatenate(fixed, 0)).reshape(Hp, Wp, 3)
     return img[: scene.height, : scene.width]
 
 
@@ -158,6 +187,9 @@ def main(argv=None):
                    help="disable the fast eval path (occupancy interval "
                         "restriction + top-K color + dense density cache)")
     p.add_argument("--color_top_k", type=int, default=48)
+    p.add_argument("--no_fallback", action="store_true",
+                   help="--tiles metrics: skip the exact re-render of "
+                        "window-missed rays")
     p.add_argument("--tiles", action="store_true",
                    help="render through the brick/tile Pallas march "
                         "(prebuilt kernel arrays + exact chunk "
@@ -233,9 +265,13 @@ def main(argv=None):
         ck = max(required_chunks(bg, _view_tiles(v), opts)
                  for v in range(n))
         bg = geometry_only(bg)
+        # metrics runs get the exact fallback for window-missed rays;
+        # --timing measures the pure fast path
+        fb = None if (args.timing or args.no_fallback) else grid
 
         def render_view(v):
-            return render_grid_image_tiles(bg, ka, ck, scene, v, opts)
+            return render_grid_image_tiles(
+                bg, ka, ck, scene, v, opts, exact_fallback_grid=fb)
     else:
         def render_view(v):
             return render_grid_image(grid, scene, v, opts, args.chunk,

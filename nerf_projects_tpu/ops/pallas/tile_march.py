@@ -201,23 +201,63 @@ def _pack_rays(bg: BrickGrid, rays: Rays, opts: GridRenderOptions,
 
 def _plan_windows(bg: BrickGrid, geom, n_chunks: int):
     """Analytic window plan: per (tile, chunk) window voxel origin + the
-    8 corner brick rows (empty -> sentinel row nb)."""
+    8 corner brick rows (empty -> sentinel row nb).
+
+    The window for chunk c is centered on the MIDPOINT of the hit-ray
+    bundle's min/max positions at the chunk-center step — a 2-brick
+    window has only 16-voxel extent and the brick-aligned origin costs
+    up to 4 voxels of centering, so the bundle (whose transverse spread
+    is depth x tile angle) needs every remaining voxel of slack. The
+    previous hit-MEAN centroid let edge rays of grazing tiles fall
+    outside the window (dropped-sample image stripes, window_miss up to
+    2% at 800^2)."""
     og, dg, dt, T0, t0, t1, _ = geom
     BX, BY, BZ = bg.bricks_shape
-    hit = t1 > t0
-    w = hit.astype(jnp.float32)
-    denom = jnp.maximum(jnp.sum(w, axis=1), 1.0)
-    mo = jnp.sum(og * w[..., None], axis=1) / denom[:, None]   # [T, 3]
-    md = jnp.sum(dg * w[..., None], axis=1) / denom[:, None]
-    mdt = jnp.sum(dt * w, axis=1) / denom                       # [T]
-
+    hit = t1 > t0                                               # [T, R]
     c = jnp.arange(n_chunks, dtype=jnp.float32)
-    t_mid = T0[:, None] + (c[None, :] * SC + SC * 0.5) * mdt[:, None]
-    centroid = mo[:, None, :] + t_mid[..., None] * md[:, None, :]
-    Bm2 = jnp.asarray([BX - 2, BY - 2, BZ - 2])
-    wb = jnp.clip(
-        jnp.round(centroid / BRICK - 1.0).astype(jnp.int32), 0, Bm2
-    )  # [T, C, 3]
+    big = jnp.float32(1e30)
+    # a ray contributes to chunk c's extent iff its valid span
+    # intersects the chunk's step interval [c*SC, c*SC + SC)
+    ts = T0[:, None, None] + (c * SC)[None, :, None] * dt[:, None, :]
+    te = T0[:, None, None] + (
+        c * SC + (SC - 1)
+    )[None, :, None] * dt[:, None, :]                           # [T, C, R]
+    live = (
+        hit[:, None, :]
+        & (ts < t1[:, None, :])
+        & (te >= t0[:, None, :])
+    )
+    # clamp the endpoint evaluations to the ray's valid span so a ray
+    # that dies mid-chunk doesn't inflate the extent past its exit
+    tsc = jnp.clip(ts, t0[:, None, :], t1[:, None, :])
+    tec = jnp.clip(te, t0[:, None, :], t1[:, None, :])
+    any_live = jnp.any(live, axis=2)                            # [T, C]
+    wbs = []
+    bm2 = (BX - 2, BY - 2, BZ - 2)
+    for a in range(3):
+        # per-axis so XLA fuses the affine producers into the ray
+        # reductions instead of materializing [T, C, R, 3]
+        o_a = og[..., a][:, None, :]
+        d_a = dg[..., a][:, None, :]
+        p0 = o_a + tsc * d_a                                    # [T, C, R]
+        p1 = o_a + tec * d_a
+        lo = jnp.minimum(p0, p1)
+        hi = jnp.maximum(p0, p1)
+        pmin = jnp.min(jnp.where(live, lo, big), axis=2)        # [T, C]
+        pmax = jnp.max(jnp.where(live, hi, -big), axis=2)
+        pmin = jnp.where(any_live, pmin, 0.0)
+        pmax = jnp.where(any_live, pmax, 0.0)
+        # the window [8k, 8k+16) usably covers samples in [8k, 8k+15]
+        # (trilerp reads cell+1). Feasible origins: 8k <= pmin AND
+        # pmax <= 8k + 15; pick the centered one inside that interval.
+        kmin = jnp.ceil((pmax - 15.0) / BRICK)
+        kmax = jnp.floor(pmin / BRICK)
+        kc = jnp.round((pmin + pmax) / (2.0 * BRICK) - 1.0)
+        k = jnp.where(
+            kmin <= kmax, jnp.clip(kc, kmin, kmax), kc
+        )  # infeasible extent (> 15 voxels): stay centered
+        wbs.append(jnp.clip(k.astype(jnp.int32), 0, bm2[a]))
+    wb = jnp.stack(wbs, axis=-1)                                # [T, C, 3]
 
     offs = jnp.asarray(_CORNERS, jnp.int32)
     coords = wb[:, :, None, :] + offs  # [T, C, 8, 3]
@@ -524,7 +564,20 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
             lx = _lanes_flat(og[0:1] + tt * dg[0:1], SC, r) - ox
             ly = _lanes_flat(og[1:2] + tt * dg[1:2], SC, r) - oy
             lz = _lanes_flat(og[2:3] + tt * dg[2:3], SC, r) - oz
+            # SOFT window gate: the hat-weight A-matrices fade a sample
+            # linearly to zero over the last voxel on each side, so a
+            # boundary sample (the 8-voxel brick granularity of window
+            # origins cannot always cover the bundle's full extent —
+            # see _plan_windows) degrades to a partial-weight estimate
+            # instead of dropping outright. Samples outside the EXACT
+            # [0, 15] span are still counted in miss row 7 so eval
+            # paths can re-render them through the exact path.
             in_win_f = (
+                (lx > -1.0) & (lx < 16.0)
+                & (ly > -1.0) & (ly < 16.0)
+                & (lz > -1.0) & (lz < 16.0)
+            ).astype(jnp.float32)
+            in_exact_f = (
                 (lx >= 0.0) & (lx <= 15.0)
                 & (ly >= 0.0) & (ly <= 15.0)
                 & (lz >= 0.0) & (lz <= 15.0)
@@ -666,7 +719,7 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
             out_ref[0, 6:7, :] += jnp.sum(
                 jnp.log1p(2.0 * sig2 * sig2), axis=0
             )[None]
-            miss = valid_f * (1.0 - in_win_f)
+            miss = valid_f * (1.0 - in_exact_f)
             out_ref[0, 7:8, :] += jnp.sum(
                 _lanes_unflat(miss, SC, r), axis=0
             )[None]
@@ -1195,6 +1248,11 @@ def render_tiles_pallas(
         "log_transmit": -out[:, 5],
         "sparsity_sum": out[:, 6],
         "window_miss": jnp.sum(out[:, 7]) / (out.shape[0] * out.shape[-1] * SC * C),
+        # [T, 128] count of in-span samples that fell outside their
+        # chunk's 16-voxel window (dropped). Rays with a nonzero count
+        # rendered with missing geometry — eval paths can re-render
+        # exactly those through volume_render_grid (exact fallback).
+        "miss_per_ray": out[:, 7],
         "dropped_active_chunks": dropped,
     }
     if return_depth:
@@ -1301,10 +1359,11 @@ def _make_bwd_kernel(basis_dim: int, sparsity_scale: float, r: int = R,
             lx = _lanes_flat(og[0:1] + tt * dg[0:1], SC, r) - ox
             ly = _lanes_flat(og[1:2] + tt * dg[1:2], SC, r) - oy
             lz = _lanes_flat(og[2:3] + tt * dg[2:3], SC, r) - oz
+            # soft gate: must match the forward's hat-support fade
             in_win_f = (
-                (lx >= 0.0) & (lx <= 15.0)
-                & (ly >= 0.0) & (ly <= 15.0)
-                & (lz >= 0.0) & (lz <= 15.0)
+                (lx > -1.0) & (lx < 16.0)
+                & (ly > -1.0) & (ly < 16.0)
+                & (lz > -1.0) & (lz < 16.0)
             ).astype(jnp.float32)
             valid_f = _lanes_flat(valid.astype(jnp.float32), SC, r)
             eff = valid_f * in_win_f

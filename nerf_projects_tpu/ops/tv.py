@@ -107,6 +107,13 @@ def tv_grad_sampled(
     # Per-COEFFICIENT norm: the reference kernel runs one thread per
     # (cell, coefficient) pair, so the sqrt couples the three spatial
     # diffs of a single channel only (loss_kernel.cu:224-228).
+    # scale / n_sampled: the reference launcher normalizes by the
+    # sampled-cell count (loss_kernel.cu:595 `scale / nl`) — the TV
+    # loss is a MEAN over sampled cells. Without it the per-edge TV
+    # gradient is ~4 orders of magnitude stronger than the reference's
+    # and (under RMSprop's scale-invariant updates) erodes any
+    # occluded or weakly-constrained density at ~lr per step.
+    scale = scale / cells.shape[0]
     idelta = scale * jax.lax.rsqrt(1e-9 + dx * dx + dy * dy + dz * dz)
     X, Y, Z = links.shape
     sx, sy, sz = X / 256.0, Y / 256.0, Z / 256.0
@@ -198,7 +205,7 @@ def tv_lumisphere_grad_sampled(
     dy = (c010 - c000) * sxa[1]
     dz = (c001 - c000) * sxa[2]
     du = (c000u - c000) * dir_factor
-    idelta = scale * jax.lax.rsqrt(
+    idelta = (scale / cells.shape[0]) * jax.lax.rsqrt(
         1e-9 + dx * dx + dy * dy + dz * dz + du * du
     )  # [W, 3] per channel
     dx = dx * sxa[0]

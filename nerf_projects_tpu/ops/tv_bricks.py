@@ -113,8 +113,13 @@ def tv_grad_brick_blocks(
     else:
         dx, dy, dz = v_px - v, v_py - v, v_pz - v
 
-    # per-coefficient norm (one reference thread per (cell, coeff))
-    idelta = scale * jax.lax.rsqrt(1e-9 + dx * dx + dy * dy + dz * dz)
+    # per-coefficient norm (one reference thread per (cell, coeff));
+    # scale normalized by the sampled-cell count like the reference
+    # launcher (loss_kernel.cu:595 `scale / nl` — TV is a MEAN over
+    # sampled cells; unnormalized it overpowers the data term by ~1e4)
+    idelta = (scale / (w * B * B * B)) * jax.lax.rsqrt(
+        1e-9 + dx * dx + dy * dy + dz * dz
+    )
     X, Y, Z = bg.reso
     gx = dx * (X / 256.0) * idelta
     gy = dy * (Y / 256.0) * idelta

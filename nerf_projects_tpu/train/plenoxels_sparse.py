@@ -158,10 +158,21 @@ def _mask_kernel_layouts(cell_mask_rows: jnp.ndarray, basis_dim: int):
 
 def _finalize_rms(trainer, optim, data, grad, rms, decay, lr, minval=None):
     """The dense `_optim` recursion with the closed-form b^D lazy decay
-    folded in (exact: untouched steps have g == 0)."""
+    folded in (exact: untouched steps have g == 0). In pervisit mode
+    `decay` is per-coefficient (b where touched) and the first visit
+    bootstraps rms to g^2 (optim_kernel.cu:21)."""
     if optim == "rmsprop":
         b = trainer.rms_beta
-        rms = decay * rms + (1.0 - b) * grad * grad
+        rms_rec = decay * rms + (1.0 - b) * grad * grad
+        # first-visit bootstrap rms=g^2 (optim_kernel.cu:21) applies in
+        # BOTH modes — the reference's rmsprop_once always does it
+        if getattr(trainer, "rms_pervisit", False):
+            rms = jnp.where(
+                grad == 0.0, rms,
+                jnp.where(rms == 0.0, grad * grad, rms_rec),
+            )
+        else:
+            rms = jnp.where(rms == 0.0, grad * grad, rms_rec)
         new = data - lr * grad / (jnp.sqrt(rms) + 1e-8)
     else:  # sgd
         new = data - lr * grad
@@ -733,7 +744,17 @@ def train_step_tiles_packed(
     g = acc * m192
     if trainer.sigma_optim == "rmsprop":
         b = trainer.rms_beta
-        rms = b * st.rms.astype(jnp.float32) + (1.0 - b) * g * g
+        rms_old = st.rms.astype(jnp.float32)
+        rms_rec = b * rms_old + (1.0 - b) * g * g
+        if getattr(trainer, "rms_pervisit", False):
+            # per-visit decay + first-visit bootstrap (see the touched
+            # step / optim_kernel.cu:16-25)
+            rms = jnp.where(
+                g == 0.0, rms_old,
+                jnp.where(rms_old == 0.0, g * g, rms_rec),
+            )
+        else:
+            rms = jnp.where(rms_old == 0.0, g * g, rms_rec)
         upd = lr_vec * g / (jnp.sqrt(rms) + 1e-8)
     else:
         rms = st.rms.astype(jnp.float32)
@@ -976,21 +997,31 @@ def train_step_tiles_packed_touched(
     pk_rows = st.packed_k[uniq_rows]
     if trainer.sigma_optim == "rmsprop":
         b = trainer.rms_beta
+        rms_old = st.rms[uniq_rows].astype(jnp.float32)
         if getattr(trainer, "rms_pervisit", False):
             # per-visit decay, PER COEFFICIENT: rms decays only where
-            # this step produced a gradient (sparse-Adam semantics).
-            # Row-level beta^delta would still collapse the rms of a
-            # cell whose brick is touched often but whose own gradient
-            # is rare. See PlenoxelsTrainer.rms_pervisit.
-            decay = jnp.where(g != 0.0, b, 1.0)
+            # this step produced a gradient — the reference's sparse
+            # indexer semantics (rmsprop_index_step_kernel updates only
+            # touched indices; optim_kernel.cu:16-25). Row-level
+            # beta^delta would still collapse the rms of a cell whose
+            # brick is touched often but whose own gradient is rare.
+            # First-visit bootstrap (optim_kernel.cu:21 `rms == 0 ?
+            # SQR(grad) : lerp`): the first update is bounded by lr,
+            # not lr/sqrt(1-beta).
+            rms_rows = jnp.where(
+                g == 0.0, rms_old,
+                jnp.where(rms_old == 0.0, g * g,
+                          b * rms_old + (1.0 - b) * g * g),
+            )
         else:
             delta = (
                 step - st.last_step[uniq_rows]
             ).astype(jnp.float32)
             decay = jnp.power(b, delta)[:, None, None, None]
-        rms_rows = decay * st.rms[uniq_rows].astype(jnp.float32) + (
-            1.0 - b
-        ) * g * g
+            rms_rows = jnp.where(
+                rms_old == 0.0, g * g,
+                decay * rms_old + (1.0 - b) * g * g,
+            )
         upd = lr_vec * g / (jnp.sqrt(rms_rows) + 1e-8)
     else:
         rms_rows = st.rms[uniq_rows].astype(jnp.float32)

@@ -242,10 +242,19 @@ class PlenoxelsTrainer:
         return g_d, g_s
 
     def _optim(self, optim, data, grad, rms, lr, minval=None):
-        """Fused RMSprop-with-floor / SGD (optim_kernel.cu:20-27,98-160)."""
+        """Fused RMSprop-with-floor / SGD (optim_kernel.cu:20-27,98-160).
+
+        First-visit bootstrap per optim_kernel.cu:21 (`rms == 0 ?
+        SQR(grad) : lerp(SQR(grad), rms, beta)`): the first update is
+        bounded by lr instead of lr/sqrt(1-beta) = 4.47x lr — material
+        at lr_sigma=30 in the first training steps."""
         if optim == "rmsprop":
             b = self.rms_beta
-            rms = b * rms + (1 - b) * grad**2
+            rms = jnp.where(
+                (rms == 0.0) & (grad != 0.0),
+                grad**2,
+                b * rms + (1 - b) * grad**2,
+            )
             new = data - lr * grad / (jnp.sqrt(rms) + 1e-8)
         else:  # sgd
             new = data - lr * grad

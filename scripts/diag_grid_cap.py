@@ -123,7 +123,7 @@ def render_view_exact(g, H, focal, pose, opts):
     flat = tu.tree_map(lambda x: x.reshape(-1, 3), rays)
     ex = jax.jit(lambda gg, r: volume_render_grid(gg, r, opts)["rgb"])
     outs = []
-    chunk = 8192
+    chunk = 2048
     n = flat.origins.shape[0]
     for i in range(0, n, chunk):
         sl = tu.tree_map(lambda x: x[i : i + chunk], flat)

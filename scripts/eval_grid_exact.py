@@ -62,7 +62,7 @@ def main():
 
     ex = jax.jit(lambda gg, r: volume_render_grid(gg, r, opts)["rgb"])
     outs = []
-    chunk = 8192
+    chunk = int(os.environ.get("EVAL_CHUNK", 2048))
     n = flat.origins.shape[0]
     for i in range(0, n, chunk):
         sl = tu.tree_map(lambda x: x[i : i + chunk], flat)

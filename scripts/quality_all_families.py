@@ -32,7 +32,13 @@ PLENOXEL_TV_SCALE = float(os.environ.get("QUALITY_TV_SCALE", 1.0))
 # reference-style progressive upsample (opt.py:855-887): start at
 # RESO/2, resample to RESO at this step fraction (0 = off)
 PLENOXEL_UPSAMPLE_AT = float(os.environ.get("QUALITY_UPSAMPLE_AT", 0.0))
-PLENOXEL_SPARSITY = float(os.environ.get("QUALITY_SPARSITY", 1e-7))
+# default 0: the reference's synthetic config has NO sparsity loss
+# (opt.py --lambda_sparsity default 0.0; syn.json sets only TV). Under
+# RMSprop's scale-invariant updates even 1e-7 erodes all occluded
+# density at ~lr per visit (it is the only gradient an occluded voxel
+# receives) — the round-3 dynamics probe measured the object's density
+# p90 dissolving 39 -> 0 over 1800 steps with it on.
+PLENOXEL_SPARSITY = float(os.environ.get("QUALITY_SPARSITY", 0.0))
 PLENOXEL_INIT_SIGMA = float(os.environ.get("QUALITY_INIT_SIGMA", 0.1))
 # unique-touched-brick bound for the touched-row step; raise for
 # 512^3 runs (overflowing rows drop their update and are reported)
@@ -61,6 +67,14 @@ CELL_BATCH = int(os.environ.get("QUALITY_CELL_BATCH", 5120))
 # it ends at lr_sigma ~1.1, never the final 5e-2; a fully-decayed
 # schedule starves late training. ~2x the run length matches.
 PLENOXEL_DECAY = int(os.environ.get("QUALITY_DECAY_STEPS", 0))
+# lr_sigma warm-up ramp (x0.01 -> x1 over this many steps). The
+# reference's synthetic config keeps the 15000-step default against a
+# 200k run (syn.json + opt.py:100); running with delay 0 at lr 30 makes
+# density overshoot +-250 in the first 100 steps and the relu'd march
+# (sigma <= thresh -> sample skipped, zero gradient) permanently kills
+# the overshot-negative crust -> the wispy-ghost 18-19 dB fixed point
+# the round-3 dynamics probe measured.
+PLENOXEL_DELAY = int(os.environ.get("QUALITY_DELAY_STEPS", -1))
 SH_CHUNKS = int(os.environ.get("QUALITY_SH_CHUNKS", 6))
 H = W = int(os.environ.get("QUALITY_IMG", 96))
 N_VIEWS = int(os.environ.get("QUALITY_VIEWS", 16))
@@ -149,7 +163,9 @@ def quality_plenoxels(ds):
     trainer = PlenoxelsTrainer(
         opts, n_iters=PLENOXEL_DECAY or PLENOXEL_STEPS,
         lr_sigma=PLENOXEL_LR_SIGMA,
-        lr_sigma_delay_steps=0,
+        lr_sigma_delay_steps=(
+            PLENOXEL_DELAY if PLENOXEL_DELAY >= 0
+            else int(0.075 * PLENOXEL_STEPS)),
         lr_sh=PLENOXEL_LR_SH, lambda_tv=1e-5 * PLENOXEL_TV_SCALE,
         lambda_tv_sh=1e-3 * PLENOXEL_TV_SCALE,
         lambda_sparsity=PLENOXEL_SPARSITY,
@@ -174,18 +190,17 @@ def quality_plenoxels(ds):
     flat_cap = flat_cap_for(bg)
 
     def eval_held_out(bg_, tag=""):
-        rays0 = held_out_rays(ds)
-        flat0 = tu.tree_map(lambda x: x.reshape(-1, 3), rays0)
-        tiles0 = tiles_from_image_rays(flat0, H, W, 8, 16)
-        parts0 = []
-        for j in range(0, tiles0.origins.shape[0], 512):
-            sl0 = tu.tree_map(lambda x: x[j : j + 512], tiles0)
-            parts0.append(render_tiles_pallas(bg_, sl0, opts)["rgb"])
-        img0 = untile_image(jnp.concatenate(parts0, 0), H, W, 8, 16)
+        from nerf_projects_tpu.ops.tile_render import (
+            render_image_tiles_pallas_exact,
+        )
+
+        img0, est = render_image_tiles_pallas_exact(
+            bg_, held_out_rays(ds), H, W, opts)
         m0 = compute_metrics(img0, ds["images"][0])
         if tag:
             print(f"plenoxels held-out[{tag}]:", json.dumps(
-                {k: round(float(v), 3) for k, v in m0.items()}),
+                {k: round(float(v), 3) for k, v in m0.items()}
+                | {"fallback_rays": est["fallback_rays"]}),
                 flush=True)
         return img0, m0
 
@@ -294,7 +309,7 @@ def quality_plenoxels(ds):
 
         g_out = _tsg(bg)
         outs = []
-        chunk = 8192
+        chunk = 2048
         n = flat.origins.shape[0]
         ex = jax.jit(lambda gg, r: volume_render_grid(gg, r, opts)["rgb"])
         for i in range(0, n, chunk):
@@ -355,7 +370,9 @@ def quality_plenoxels_cell(ds):
     trainer = PlenoxelsTrainer(
         opts, n_iters=PLENOXEL_DECAY or PLENOXEL_STEPS,
         lr_sigma=PLENOXEL_LR_SIGMA,
-        lr_sigma_delay_steps=0,
+        lr_sigma_delay_steps=(
+            PLENOXEL_DELAY if PLENOXEL_DELAY >= 0
+            else int(0.075 * PLENOXEL_STEPS)),
         lr_sh=PLENOXEL_LR_SH, lambda_tv=1e-5 * PLENOXEL_TV_SCALE,
         lambda_tv_sh=1e-3 * PLENOXEL_TV_SCALE,
         lambda_sparsity=PLENOXEL_SPARSITY,
@@ -367,7 +384,7 @@ def quality_plenoxels_cell(ds):
             lambda x: x.reshape(-1, 3), held_out_rays(ds))
         ex = jax.jit(
             lambda gg, r: volume_render_grid(gg, r, opts)["rgb"])
-        outs, chunk = [], 8192
+        outs, chunk = [], 2048
         n = flat0.origins.shape[0]
         for i in range(0, n, chunk):
             sl = tu.tree_map(lambda x: x[i : i + chunk], flat0)

@@ -29,6 +29,8 @@ def dense_tv_grad_ref(links, data, cells, scale, ignore_edge):
     X, Y, Z = links.shape
     grad = np.zeros_like(data)
     sx, sy, sz = X / 256.0, Y / 256.0, Z / 256.0
+    # launcher normalizes by the sampled-cell count (loss_kernel.cu:595)
+    scale = scale / len(np.asarray(cells))
     for cell in np.asarray(cells):
         z = cell % Z
         y = (cell // Z) % Y
