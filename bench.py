@@ -634,6 +634,10 @@ def bench_nerf_sh_train():
         vs_baseline=None,
         baseline_note="reference logged rays/sec only as unstored "
         "TensorBoard scalars",
+        config_note="sh_deg=2 fused-trunk config (the SH/SG heads do "
+        "not feed viewdirs through the trunk); a use_viewdirs=True "
+        "plain-NeRF config runs the unfused flax trunk instead "
+        "(models/nerf_sh.py::_fused_trunk_ok)",
     )
 
 
