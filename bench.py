@@ -707,13 +707,111 @@ def bench_grid_render_fps_shell(reso=512, frame=(800, 800)):
     )
 
 
+# ---------------------------------------------------------------------------
+def bench_plenoxels_train_sparse512():
+    """512^3 sparse training — the reference's standard post-upsample
+    scale (svox2/opt/opt.py:855-887 trains its final phase at 512^3).
+
+    Ship config (scripts/bench_sparse_512.py): spherical-shell
+    occupancy, ONE packed f32 master + bf16 rms state, flat
+    active-window plan (exact window count for the fixed bench rays),
+    exact touched-row bound, per-step donation. Steps are dispatched
+    asynchronously in a chain with ONE trailing readback (the chip
+    executes dispatches in order), slope-fit over chain length — the
+    FPS benches' timing path, amortizing the ~20 ms axon relay
+    dispatch that dominated the per-step loop (NOTES_ROUND3 r3u).
+    """
+    from dataclasses import replace
+
+    reso = 32 if SMOKE else 512
+    tiles = 2 if SMOKE else int(os.environ.get("BENCH_512_TILES", 128))
+    from nerf_projects_tpu.ops.grid import GridRenderOptions
+    from nerf_projects_tpu.ops.pallas.flat_train import required_windows
+    from nerf_projects_tpu.ops.pallas.tile_march import geometry_only
+    from nerf_projects_tpu.train import plenoxels_sparse as ps
+    from nerf_projects_tpu.train.plenoxels_trainer import PlenoxelsTrainer
+
+    # build at bf16 (the fp32 full-sphere intermediate OOMs at 512^3),
+    # upcast the small filtered shell to f32 for training
+    _bg16 = _shell_setup(reso, dtype=jnp.bfloat16)
+    bg = replace(
+        _bg16,
+        density_bricks=_bg16.density_bricks.astype(jnp.float32),
+        sh_bricks=_bg16.sh_bricks.astype(jnp.float32),
+    )
+    del _bg16
+    opts = GridRenderOptions(step_size=0.5)
+    trainer = PlenoxelsTrainer(
+        opts, n_iters=128_000, lambda_tv=1e-5, lambda_tv_sh=1e-3,
+        bf16_grad_blocks=True,
+    )
+    rays = _tile_rays(jax.random.PRNGKey(2), tiles)
+    target = jnp.full(rays.origins.shape[:2] + (3,), 0.4)
+    geom = geometry_only(bg)
+    flat_w = required_windows(geom, rays, opts)
+    tv_w = max(int(trainer.tv_sparsity * bg.n_bricks), 1) + max(
+        int(trainer.tv_sh_sparsity * bg.n_bricks), 1
+    )
+    k_exact = ps.required_touched_rows(geom, rays, opts, tv_rows=4 * tv_w)
+    print(json.dumps({"flat_windows": flat_w, "max_touched": k_exact}),
+          flush=True)
+    st0 = ps.packed_state_from_grid(bg, rms_dtype=jnp.bfloat16)
+    bg = replace(
+        bg,
+        density_bricks=jnp.zeros((bg.n_bricks, 1), jnp.float32),
+        sh_bricks=jnp.zeros((bg.n_bricks, 1, 1), jnp.float32),
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(st, i, key):
+        st, stats = ps.train_step_tiles_packed_touched(
+            trainer, geom, st, rays, target, i, key,
+            max_touched=k_exact, flat_windows=flat_w,
+        )
+        return st, stats["mse"], (
+            stats["touched_overflow"]
+            + stats["dropped_tile_rows"].astype(jnp.float32)
+        )
+
+    holder = {"st": st0, "i": 0}
+    del st0
+    overflow = {"max": 0.0}
+
+    def run(k):
+        # async chain: k dispatches, one readback
+        st = holder["st"]
+        mse = ovf = None
+        for _ in range(k):
+            st, mse, ovf = step(
+                st, jnp.int32(holder["i"]), jax.random.PRNGKey(holder["i"])
+            )
+            holder["i"] += 1
+        overflow["max"] = max(overflow["max"], float(ovf))
+        _ = float(mse)
+        holder["st"] = st
+
+    per_step = slope_timed(run, lo=3, hi=12)
+    emit(
+        "plenoxels_train_rays_per_sec_512", tiles * 128 / per_step,
+        "rays/s", vs_baseline=None, reso=reso, step_mode="touched_flat",
+        tiles=tiles, touched_overflow=round(overflow["max"], 5),
+        baseline_note="512^3 shell scene, the reference's standard "
+        "post-upsample training scale (svox2/opt/opt.py:855-887); no "
+        "recorded reference throughput in repo",
+    )
+
+
+# value order: round-4 flagships first, the long-proven NeRF rows and
+# the dense worst-case render last — a budget kill loses the least
+# information (VERDICT r3 item 1c)
 WORKLOADS = {
-    "nerf_train": bench_nerf_train,
-    "plenoxels_train": bench_plenoxels_train,
     "plenoxels_train_shell": bench_plenoxels_train_shell,
-    "grid_render_fps": bench_grid_render_fps,
     "grid_render_fps_shell": bench_grid_render_fps_shell,
+    "plenoxels_train_sparse512": bench_plenoxels_train_sparse512,
+    "plenoxels_train": bench_plenoxels_train,
     "nerf_sh_train": bench_nerf_sh_train,
+    "nerf_train": bench_nerf_train,
+    "grid_render_fps": bench_grid_render_fps,
 }
 
 
@@ -728,6 +826,52 @@ def _run_in_process(names):
             )
 
 
+def _run_workload_streamed(name, deadline):
+    """One workload subprocess, stdout+stderr STREAMED line-by-line —
+    metric lines are re-printed the moment they appear, so a driver
+    kill loses at most the in-flight workload (VERDICT r3 item 1b:
+    round 3's capture_output buffering lost 4 finished metrics to a
+    timeout kill). Killed at `deadline` (absolute time.time())."""
+    import subprocess
+    import sys
+    import threading
+    from collections import deque
+
+    script = os.path.abspath(__file__)
+    env = dict(os.environ, BENCH_WORKLOADS=name, BENCH_IN_PROCESS="1")
+    proc = subprocess.Popen(
+        [sys.executable, script], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, bufsize=1,
+    )
+    state = {"emitted": False, "init_fail": False}
+    tail = deque(maxlen=6)
+
+    def reader():
+        for line in proc.stdout:
+            line = line.rstrip("\n")
+            if line.strip():
+                tail.append(line.strip())
+            s = line.strip()
+            if s.startswith("{") and '"metric"' in s:
+                print(s, flush=True)
+                state["emitted"] = True
+            if "Unable to initialize backend" in line:
+                state["init_fail"] = True
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    timed_out = False
+    try:
+        rc = proc.wait(timeout=max(1.0, deadline - time.time()))
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+        rc, timed_out = -9, True
+    th.join(timeout=15)
+    return rc, timed_out, state["emitted"], state["init_fail"], list(tail)
+
+
 def main():
     sel = os.environ.get("BENCH_WORKLOADS", "")
     names = [n.strip() for n in sel.split(",") if n.strip()] or list(WORKLOADS)
@@ -740,50 +884,65 @@ def main():
     # RESOURCE_EXHAUSTED in one workload erased the records of three
     # (VERDICT r2 item 1). Sequential subprocesses also serialize TPU
     # clients, which the axon relay requires.
-    import subprocess
-    import sys
+    #
+    # GLOBAL wall-clock budget (VERDICT r3 item 1a): round 3's harness
+    # worst-cased at ~7 h (6 x 3600 s + init-retry sleeps) and the
+    # driver killed it at rc=124 with 2/6 metrics. Every workload now
+    # gets a deadline computed from time remaining, reserving
+    # BENCH_RESERVE_SECS for each workload still queued behind it, and
+    # anything unrunnable inside the budget is reported as skipped
+    # instead of silently dying.
+    budget = float(os.environ.get("BENCH_TOTAL_BUDGET_SECS", 2700))
+    wl_cap = float(os.environ.get("BENCH_WORKLOAD_TIMEOUT", 3600))
+    reserve = float(os.environ.get("BENCH_RESERVE_SECS", 210))
+    min_useful = float(os.environ.get("BENCH_MIN_USEFUL_SECS", 90))
+    t0 = time.time()
+    hard_end = t0 + budget
 
-    script = os.path.abspath(__file__)
     # the axon tunnel goes UNAVAILABLE for stretches; a workload that
     # dies at backend INIT carries no information about the code —
-    # retry it (BENCH_INIT_RETRIES, sleep BENCH_INIT_RETRY_SECS)
-    init_retries = int(os.environ.get("BENCH_INIT_RETRIES", 3))
-    retry_sleep = int(os.environ.get("BENCH_INIT_RETRY_SECS", 180))
-    for name in names:
-        env = dict(os.environ, BENCH_WORKLOADS=name)
+    # retry it, but cap TOTAL retry sleep across the whole run
+    init_retries = int(os.environ.get("BENCH_INIT_RETRIES", 2))
+    retry_sleep = float(os.environ.get("BENCH_INIT_RETRY_SECS", 60))
+    retry_sleep_left = float(os.environ.get("BENCH_INIT_RETRY_TOTAL", 240))
+
+    for idx, name in enumerate(names):
+        n_behind = len(names) - idx - 1
+        remaining = hard_end - time.time()
+        # front-loaded but never starved: try to reserve
+        # `reserve`-seconds for every queued workload, but guarantee at
+        # least a fair share of what's left — the queue is value-ordered,
+        # so the FRONT must run even when the budget is tight
+        avail = min(wl_cap, max(
+            remaining / (n_behind + 1), remaining - reserve * n_behind
+        ))
+        if avail < min_useful:
+            print(json.dumps({
+                "metric": name,
+                "error": "skipped: bench budget exhausted "
+                         f"({remaining:.0f}s left, {n_behind} queued)",
+            }), flush=True)
+            continue
+        deadline = time.time() + avail
         for attempt in range(init_retries + 1):
-            try:
-                proc = subprocess.run(
-                    [sys.executable, script], env=env,
-                    capture_output=True, text=True,
-                    timeout=int(
-                        os.environ.get("BENCH_WORKLOAD_TIMEOUT", 3600)
-                    ),
-                )
-                out, err, rc = proc.stdout, proc.stderr, proc.returncode
-            except subprocess.TimeoutExpired as exc:
-                out = (exc.stdout or b"").decode() if isinstance(
-                    exc.stdout, bytes) else (exc.stdout or "")
-                err, rc = "workload timed out", -1
-            init_fail = "Unable to initialize backend" in (
-                (out or "") + (err or "")
+            rc, timed_out, emitted, init_fail, tail = (
+                _run_workload_streamed(name, deadline)
             )
-            if not (init_fail and attempt < init_retries):
+            can_retry = (
+                init_fail and attempt < init_retries
+                and retry_sleep_left >= retry_sleep
+                and deadline - time.time() > retry_sleep + min_useful
+            )
+            if not can_retry:
                 break
+            retry_sleep_left -= retry_sleep
             time.sleep(retry_sleep)
-        emitted = False
-        for line in out.splitlines():
-            line = line.strip()
-            if line.startswith("{") and '"metric"' in line:
-                print(line, flush=True)
-                emitted = True
         if not emitted:
-            tail = " | ".join(
-                (err or out or f"exit {rc} with no output").strip(
-                ).splitlines()[-4:]
-            )
+            msg = "workload timed out" if timed_out else " | ".join(
+                tail[-4:]
+            ) or f"exit {rc} with no output"
             print(
-                json.dumps({"metric": name, "error": tail[:400]}),
+                json.dumps({"metric": name, "error": msg[:400]}),
                 flush=True,
             )
 

@@ -174,6 +174,9 @@ def maybe_merge_config_file(args, *, allow_invalid: bool = False):
         return args
     with open(config) as f:
         data = json.load(f)
+    # "_"-prefixed keys are comments (shipped configs carry their
+    # provenance in a "_comment" key)
+    data = {k: v for k, v in data.items() if not k.startswith("_")}
     invalid = [k for k in data if not hasattr(args, k)]
     if invalid and not allow_invalid:
         raise ValueError(f"invalid config keys: {invalid}")
