@@ -65,6 +65,7 @@ def render_frame_pallas(
     early_stop: bool = True,
     term_cull: bool = True,
     gather_fetch: bool = False,
+    wps: int = 1,
 ):
     """Render a whole frame of [T, r] ray tiles in one jitted program.
 
@@ -117,6 +118,7 @@ def render_frame_pallas(
     single-array fetch crashes with r=256 tiles at any group size —
     pass the (density_z, sh_z) TUPLE for 256-ray tiles.
     """
+    assert not (gather_fetch and wps > 1)
     T, r = rays.origins.shape[:2]
     nb = bg.n_bricks
     if isinstance(kernel_arrays, (tuple, list)):
@@ -163,26 +165,57 @@ def render_frame_pallas(
     if max_windows is not None:
         rank = jnp.cumsum(active.astype(jnp.int32), axis=1)
         active = active & (rank <= max_windows)
-    active = active.reshape(-1)                        # [T*C]
-    af = active.astype(jnp.int32)
-    pos = jnp.cumsum(af) - af                          # exclusive
-    n_act = pos[-1] + af[-1]
-    Wp = -(-(T * C) // group) * group
-    dest = jnp.where(active, pos, Wp)                  # drop padding
+    # wps > 1: each grid step of the march kernel runs `wps`
+    # consecutive windows, amortizing the per-step sequencing floor
+    # (the dominant fixed cost — fwd_march_constrows: corner DMAs are
+    # ~free). A step's windows must share one tile/out slot, so each
+    # tile's run is padded to a wps multiple with windows that carry
+    # sentinel corner rows (skipped in-kernel) + an out-of-range base
+    # step (contributes exactly nothing even if marched).
+    assert group % wps == 0
+    af2 = active.astype(jnp.int32)                     # [T, C]
+    cnt = af2.sum(axis=1)                              # [T]
+    padded = -(-cnt // wps) * wps if wps > 1 else cnt
+    ends = jnp.cumsum(padded)
+    tile_base = ends - padded                          # exclusive
+    rank_t = jnp.cumsum(af2, axis=1) - af2             # excl, per tile
+    n_act = ends[-1]
+    slack = T * (wps - 1) if wps > 1 else 0
+    Wp = -(-(T * C + slack) // group) * group
+    dest = jnp.where(
+        active, tile_base[:, None] + rank_t, Wp
+    ).reshape(-1)                                      # drop inactive
 
     def compact(x, fill):
         flat = x.reshape((T * C,) + x.shape[2:])
         out = jnp.full((Wp,) + flat.shape[1:], fill, flat.dtype)
         return out.at[dest].set(flat, mode="drop")
 
-    tw = compact(
-        jnp.broadcast_to(
-            jnp.arange(T, dtype=jnp.int32)[:, None], (T, C)
-        ),
-        T,
-    )                                                  # [Wp]
+    if wps > 1:
+        # position p belongs to tile t iff tile_base[t] <= p < ends[t]
+        # — true for the run-padding slots too, which keeps the
+        # first-flag/slot machinery seeing one contiguous run per tile
+        p = jnp.arange(Wp, dtype=jnp.int32)
+        tw = jnp.where(
+            p < n_act,
+            jnp.searchsorted(ends, p, side="right").astype(jnp.int32),
+            T,
+        )
+    else:
+        tw = compact(
+            jnp.broadcast_to(
+                jnp.arange(T, dtype=jnp.int32)[:, None], (T, C)
+            ),
+            T,
+        )                                              # [Wp]
     rows_f = compact(rows.astype(jnp.int32), nb)[:, None]   # [Wp,1,8]
-    orig_f = compact(orig, 0)[:, None]                 # [Wp, 1, 4]
+    # padding windows get base step 2^24: every tt lands past t1, so
+    # valid == 0 and even a marched padding window adds exactly zero
+    # (including the aux miss row)
+    orig_fill = jnp.zeros((Wp, 4), jnp.int32).at[:, 3].set(1 << 24)
+    orig_f = orig_fill.at[dest].set(
+        orig.reshape(T * C, 4), mode="drop"
+    )[:, None]                                         # [Wp, 1, 4]
     first = jnp.concatenate(
         [jnp.ones((1,), jnp.int32),
          (tw[1:] != tw[:-1]).astype(jnp.int32)]
@@ -232,6 +265,7 @@ def render_frame_pallas(
                 density_z, sh_z, lt_g, first_g, rows_g, orig_g,
                 basis_g, pack_g, state_g, bg.basis_dim,
                 opts.color_mode, early_stop_logt=logt,
+                sentinel=(nb if wps > 1 else None), wps=wps,
             )
         return carry.at[tiles_g].set(out_g)
 

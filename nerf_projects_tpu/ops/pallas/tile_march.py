@@ -448,8 +448,12 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
     # caller pads C to a wps multiple with sentinel rows + an
     # out-of-range base step (contributes exactly nothing). Sub-windows
     # run sequentially in-kernel, so results are bit-identical to
-    # wps=1.
-    assert wps == 1 or not (flat_state or gathered)
+    # wps=1. flat_state + wps: the FLAT window list is padded per-TILE
+    # to a wps multiple (render_frame_pallas), so the wps windows of a
+    # step always share one tile/out slot; padding windows carry
+    # sentinel rows + an out-of-range base step and are skipped.
+    assert wps == 1 or not gathered
+    assert wps == 1 or not emit_samples or not flat_state
     # sentinel (int, = nb): skip the march body for ALL-SENTINEL
     # windows (every corner empty). Exact for rgb/acc/depth/prefix and
     # sparsity (an empty window contributes zero); only the aux
@@ -525,7 +529,7 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
         c = pl.program_id(1)
 
         if flat_state:
-            @pl.when(first_ref[t] == 1)
+            @pl.when(first_ref[t * wps] == 1)
             def _():
                 out_ref[...] = state_ref[...]
         else:
@@ -534,7 +538,13 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
                 out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
         def _march_window(i=0):
-            cc = c if wps == 1 else c * wps + i
+            # ti: the row of the per-window scalar-prefetch arrays
+            # (orig/basis): the WINDOW index on the flat grid, the tile
+            # index on the (T, C) grid
+            if flat_state:
+                ti, cc = t * wps + i, 0
+            else:
+                ti, cc = t, (c if wps == 1 else c * wps + i)
             pack = pack_ref[0]            # [16, 128]
             og = pack[0:3]
             dg = pack[3:6]
@@ -549,7 +559,7 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
             # comes from the plan (orig col 3) so empty chunks can be
             # compacted away without changing the t parametrization
             step_idx = (
-                orig_ref[t, cc, 3].astype(jnp.float32)
+                orig_ref[ti, cc, 3].astype(jnp.float32)
                 + jax.lax.broadcasted_iota(jnp.int32, (SC, r), 0).astype(
                     jnp.float32
                 )
@@ -557,9 +567,9 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
             tt = T0 + step_idx * dt                     # [SC, R]
             valid = (tt >= t0) & (tt < t1)
 
-            ox = orig_ref[t, cc, 0].astype(jnp.float32)
-            oy = orig_ref[t, cc, 1].astype(jnp.float32)
-            oz = orig_ref[t, cc, 2].astype(jnp.float32)
+            ox = orig_ref[ti, cc, 0].astype(jnp.float32)
+            oy = orig_ref[ti, cc, 1].astype(jnp.float32)
+            oz = orig_ref[ti, cc, 2].astype(jnp.float32)
 
             lx = _lanes_flat(og[0:1] + tt * dg[0:1], SC, r) - ox
             ly = _lanes_flat(og[1:2] + tt * dg[1:2], SC, r) - oy
@@ -611,9 +621,9 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
                 # multiply-adds — no lane-splitting reshapes (Mosaic cannot
                 # shape-cast 27 lanes into 3x9).
                 def decode(src):
-                    Wc = src[0].astype(jnp.float32) * basis_ref[t, 0]
+                    Wc = src[0].astype(jnp.float32) * basis_ref[ti, 0]
                     for b in range(1, basis_dim):
-                        Wc = Wc + src[b].astype(jnp.float32) * basis_ref[t, b]
+                        Wc = Wc + src[b].astype(jnp.float32) * basis_ref[ti, b]
                     return Wc
 
                 if packed:
@@ -724,17 +734,29 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
                 _lanes_unflat(miss, SC, r), axis=0
             )[None]
 
-        if flat_state and early_stop_logt is not None:
+        if flat_state and (early_stop_logt is not None
+                           or (sentinel is not None and wps > 1)):
             # all-rays-saturated skip (render fast path): once every
             # lane's accumulated -log T passed -log(stop_thresh), each
             # further window's weights are exactly zero — skip the
             # whole march body (the aux sparsity/miss rows [6]/[7] stop
             # accumulating; the returned rgb/acc/depth/log_transmit are
             # bit-identical). The analogue of svox render_persp `fast`
-            # (octree/nerf/utils.py:448-499).
-            pl.when(
-                jnp.min(out_ref[0, 5, :]) < early_stop_logt
-            )(_march_window)
+            # (octree/nerf/utils.py:448-499). With wps > 1 the skip is
+            # per sub-window (out_ref[5] updates sequentially between
+            # them), AND-combined with the sentinel check that drops
+            # the per-tile wps-alignment padding windows.
+            for i in range(wps):
+                cond = None
+                if early_stop_logt is not None:
+                    cond = jnp.min(out_ref[0, 5, :]) < early_stop_logt
+                if sentinel is not None and wps > 1:
+                    wi = t * wps + i
+                    act = rows_ref[wi, 0, 0] != sentinel
+                    for k in range(1, 8):
+                        act = act | (rows_ref[wi, 0, k] != sentinel)
+                    cond = act if cond is None else (cond & act)
+                pl.when(cond)(functools.partial(_march_window, i))
         elif sentinel is None:
             for i in range(wps):
                 _march_window(i)
@@ -980,7 +1002,7 @@ def _march_group(density_z, sh_z, rows, orig, basisf, pack, n_chunks,
 def _march_frame_group(density_z, sh_z, lt, first, rows, orig, basisf,
                        pack_g, state_g, basis_dim, color_mode="bias",
                        early_stop_logt=None, gathered=False,
-                       emit_samples=False, sentinel=None):
+                       emit_samples=False, sentinel=None, wps: int = 1):
     """One flat window group of a whole-frame march (see
     ops/pallas/frame_march.py). The grid is (W, 1) over active windows
     in tile-major order; consecutive windows of the same tile share an
@@ -1008,7 +1030,14 @@ def _march_frame_group(density_z, sh_z, lt, first, rows, orig, basisf,
     Returns out [S, 8, r]; slots never referenced by `lt` are
     unspecified (callers scatter through a dummy row)."""
     assert not (gathered and (emit_samples or sentinel is not None))
+    # wps > 1: `wps` consecutive flat windows per grid step, amortizing
+    # the per-step sequencing floor (the dominant fixed cost; corner
+    # DMAs measured ~free — fwd_march_constrows bisect). The caller
+    # pads each tile's window run to a wps multiple so a step never
+    # straddles tiles, and passes sentinel so padding windows skip.
+    assert wps == 1 or not (gathered or emit_samples)
     W = lt.shape[0]
+    assert W % wps == 0
     S = pack_g.shape[0]
     r = pack_g.shape[-1]
     packed = sh_z is None
@@ -1061,39 +1090,42 @@ def _march_frame_group(density_z, sh_z, lt, first, rows, orig, basisf,
     def local(_i):
         return pl.BlockSpec(
             (1, pack_g.shape[1] if _i == 0 else 8, r),
-            lambda w, c, lt, first, rows, orig, basisf: (lt[w], 0, 0),
+            lambda w, c, lt, first, rows, orig, basisf: (
+                lt[w * wps], 0, 0),
             memory_space=pltpu.VMEM,
         )
 
-    def dspec(k):
+    def dspec(k, i=0):
         return pl.BlockSpec(
             (1, 8, 64),
-            lambda w, c, lt, first, rows, orig, basisf, k=k: (
-                rows[w, 0, k], 0, 0),
+            lambda w, c, lt, first, rows, orig, basisf, k=k, i=i: (
+                rows[w * wps + i, 0, k], 0, 0),
             memory_space=pltpu.VMEM,
         )
 
-    def sspec(k, nslots=basis_dim):
+    def sspec(k, i=0, nslots=basis_dim):
         return pl.BlockSpec(
             (1, nslots, 8, 192),
-            lambda w, c, lt, first, rows, orig, basisf, k=k: (
-                rows[w, 0, k], 0, 0, 0),
+            lambda w, c, lt, first, rows, orig, basisf, k=k, i=i: (
+                rows[w * wps + i, 0, k], 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     if packed:
-        brick_specs = [sspec(k, basis_dim + 1) for k in range(8)]
-        brick_args = [density_z] * 8
+        brick_specs = [sspec(k, i, basis_dim + 1)
+                       for i in range(wps) for k in range(8)]
+        brick_args = [density_z] * (8 * wps)
     else:
         brick_specs = [
-            *[dspec(k) for k in range(8)],
-            *[sspec(k) for k in range(8)],
+            *[dspec(k, i) for i in range(wps) for k in range(8)],
+            *[sspec(k, i) for i in range(wps) for k in range(8)],
         ]
-        brick_args = [*([density_z] * 8), *([sh_z] * 8)]
+        brick_args = [*([density_z] * (8 * wps)),
+                      *([sh_z] * (8 * wps))]
 
     state_spec = pl.BlockSpec(
         (1, 8, r),
-        lambda w, c, lt, first, rows, orig, basisf: (lt[w], 0, 0),
+        lambda w, c, lt, first, rows, orig, basisf: (lt[w * wps], 0, 0),
         memory_space=pltpu.VMEM,
     )
     if emit_samples:
@@ -1116,19 +1148,25 @@ def _march_frame_group(density_z, sh_z, lt, first, rows, orig, basisf,
         out_shape = jax.ShapeDtypeStruct((S, 8, r), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(W, 1),
+        grid=(W // wps, 1),
         in_specs=[local(0), local(1), *brick_specs],
         out_specs=out_specs,
     )
+    extra = {}
+    if wps > 1:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
     return pl.pallas_call(
         _make_fwd_kernel(basis_dim, r, color_mode,
                          emit_samples=emit_samples, packed=packed,
                          flat_state=True,
                          early_stop_logt=early_stop_logt,
-                         sentinel=sentinel),
+                         sentinel=sentinel, wps=wps),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=INTERPRET,
+        **extra,
     )(lt, first, rows, orig, basisf, pack_g, state_g, *brick_args)
 
 

@@ -568,6 +568,142 @@ def main():
         return run
 
     report("flat_kernels_pert", lambda: flat_kernels_pert())
+
+    # --- touched-tail attribution (the 8.6 ms between the 4.24 ms
+    # kernel floor and the 12.8 ms full step): compaction / segment
+    # sum / optimizer, each on PRECOMPUTED flat grad blocks ----------
+    def flat_tail_stage(stage):
+        import functools
+
+        from nerf_projects_tpu.ops.pallas.flat_train import (
+            fused_grad_blocks_flat,
+            required_windows,
+        )
+        from nerf_projects_tpu.train import plenoxels_sparse as ps
+        from nerf_projects_tpu.train.plenoxels_trainer import (
+            PlenoxelsTrainer,
+        )
+
+        sb = B._shell_setup(RESO, dtype=jnp.float32)
+        srays = B._tile_rays(jax.random.PRNGKey(2), TILES)
+        starget = jnp.full((TILES, 128, 3), 0.4)
+        fl = required_windows(sb, srays, opts)
+        tr = PlenoxelsTrainer(opts, n_iters=128_000,
+                              lambda_tv=1e-5, lambda_tv_sh=1e-3)
+        tv_w = max(int(tr.tv_sparsity * sb.n_bricks), 1) + max(
+            int(tr.tv_sh_sparsity * sb.n_bricks), 1)
+        K = ps.required_touched_rows(sb, srays, opts, tv_rows=4 * tv_w)
+        st = ps.packed_state_from_grid(sb)
+        nb, Bd = sb.n_bricks, sb.basis_dim
+        _, _gd, gp_blocks, rows, _aux = jax.block_until_ready(
+            jax.jit(
+                lambda pk: fused_grad_blocks_flat(
+                    sb, srays, starget, opts, kernel_arrays=pk,
+                    w_cap=fl)
+            )(st.packed_k)
+        )
+        print(json.dumps({"tail_K": K, "tail_Wp": int(rows.shape[0]),
+                          "tail_nb": int(nb)}), flush=True)
+        rows_r = rows.reshape(-1)
+        flag = jnp.zeros((nb + 1,), jnp.int32).at[rows_r].set(1)
+        flag = flag.at[nb].set(0)
+        pos = jnp.cumsum(flag) - flag
+        live = (flag == 1) & (pos < K)
+        slot = jnp.where(live, pos, K)
+        uniq = jnp.full((K + 1,), nb, jnp.int32).at[
+            jnp.where(live, pos, K)
+        ].set(jnp.arange(nb + 1, dtype=jnp.int32))[:K]
+        slot, uniq = jax.block_until_ready((slot, uniq))
+        acc0 = jax.block_until_ready(
+            jnp.zeros((K + 1, Bd + 1, 8, 192), jnp.float32).at[
+                slot[rows_r]
+            ].add(gp_blocks.reshape(-1, Bd + 1, 8, 192))
+        )[:K]
+
+        if stage == "compact":
+            @functools.partial(jax.jit, static_argnums=0)
+            def scan_k(k, rws):
+                def body(c, i):
+                    rr = jnp.where(rws == nb, nb, (rws + i) % nb)
+                    fg = jnp.zeros((nb + 1,), jnp.int32).at[rr].set(1)
+                    fg = fg.at[nb].set(0)
+                    p = jnp.cumsum(fg) - fg
+                    lv = (fg == 1) & (p < K)
+                    u = jnp.full((K + 1,), nb, jnp.int32).at[
+                        jnp.where(lv, p, K)
+                    ].set(jnp.arange(nb + 1, dtype=jnp.int32))[:K]
+                    return c + u[0].astype(jnp.float32), None
+                out, _ = jax.lax.scan(
+                    body, jnp.zeros(()), jnp.arange(k, dtype=jnp.int32))
+                return out
+
+            def run(k):
+                _ = float(scan_k(k, rows_r))
+            return run
+
+        if stage == "segsum":
+            @functools.partial(jax.jit, static_argnums=0)
+            def scan_k(k, gp, sl):
+                def body(c, i):
+                    a = jnp.zeros(
+                        (K + 1, Bd + 1, 8, 192), jnp.float32
+                    ).at[sl].add(
+                        gp.reshape(-1, Bd + 1, 8, 192) + i * 1e-12
+                    )
+                    return c + a.reshape(-1)[0], None
+                out, _ = jax.lax.scan(
+                    body, jnp.zeros(()), jnp.arange(k, dtype=jnp.int32))
+                return out
+
+            sl = jax.block_until_ready(slot[rows_r])
+
+            def run(k):
+                _ = float(scan_k(k, gp_blocks, sl))
+            return run
+
+        if stage == "optim":
+            cmf = jnp.concatenate(
+                [sb.cell_mask, jnp.zeros_like(sb.cell_mask[:1])]
+            )
+
+            @functools.partial(jax.jit, static_argnums=0,
+                               donate_argnums=1)
+            def scan_k(k, pk_rms, a, u):
+                def body(carry, i):
+                    pk, rms = carry
+                    g = a + i * 1e-12
+                    cm = cmf[u].astype(jnp.float32)
+                    mp = jnp.repeat(
+                        cm.reshape(K, 8, 64), 3, axis=-1)[:, None]
+                    g = g * mp
+                    pk_rows = pk[u]
+                    rms_old = rms[u].astype(jnp.float32)
+                    b = 0.95
+                    rms_rows = jnp.where(
+                        g == 0.0, rms_old,
+                        jnp.where(rms_old == 0.0, g * g,
+                                  b * rms_old + (1 - b) * g * g))
+                    upd = 0.01 * g / (jnp.sqrt(rms_rows) + 1e-8)
+                    new = (pk_rows - upd) * mp
+                    return (pk.at[u].set(new),
+                            rms.at[u].set(rms_rows)), new.reshape(-1)[0]
+                (pk, rms), outs = jax.lax.scan(
+                    body, pk_rms, jnp.arange(k, dtype=jnp.int32))
+                return (pk, rms), outs
+
+            holder = {"c": (st.packed_k, jnp.zeros_like(st.packed_k))}
+
+            def run(k):
+                c, outs = scan_k(k, holder["c"], acc0, uniq)
+                _ = float(outs[-1])
+                holder["c"] = c
+            return run
+        raise ValueError(stage)
+
+    report("flat_tail_compact", lambda: flat_tail_stage("compact"))
+    report("flat_tail_segsum", lambda: flat_tail_stage("segsum"))
+    report("flat_tail_optim", lambda: flat_tail_stage("optim"))
+
     report("flat_plan_only", lambda: flat_stage("plan"))
     report("flat_fwd_noemit", lambda: flat_stage("fwd"))
     report("flat_fwd_emit", lambda: flat_stage("fwd_emit"))

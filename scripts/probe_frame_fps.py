@@ -94,7 +94,7 @@ def main():
     exact_rgb = {}
 
     def run_variant(name, th, tw, occ, cap, stop=True, cull=True,
-                    gather=False):
+                    gather=False, wps=1):
         if ONLY and name not in ONLY:
             return
         my_ka = tuple_ka() if th * tw == 256 else ka
@@ -110,7 +110,7 @@ def main():
                     bg_, rays, opts, kernel_arrays=ka_, n_chunks=C,
                     use_occupancy=occ, max_windows=cap,
                     early_stop=stop, term_cull=cull,
-                    gather_fetch=gather,
+                    gather_fetch=gather, wps=wps,
                 )
 
             out = render(bg, frames[0], my_ka)
@@ -229,6 +229,13 @@ def main():
         run_variant("r256_cap16", 16, 16, False, 16)
         run_variant("r256_cap12", 16, 16, False, 12)
         run_variant("r256_cap8", 16, 16, False, 8)
+        # wps: multi-window grid steps — amortizes the ~5.6 us/window
+        # sequencing floor (fwd_march_constrows: DMAs are ~free)
+        run_variant("r256_wps2", 16, 16, False, None, wps=2)
+        run_variant("r256_wps4", 16, 16, False, None, wps=4)
+        run_variant("r256_wps8", 16, 16, False, None, wps=8)
+        run_variant("r128_wps4", 8, 16, False, None, wps=4)
+        run_variant("r256_wps4_cap12", 16, 16, False, 12, wps=4)
 
     print(json.dumps({"summary": results, "reso": RESO,
                       "sigma_scale": SIGMA}), flush=True)

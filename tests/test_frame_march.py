@@ -176,3 +176,49 @@ class TestRenderFramePallas:
         np.testing.assert_array_equal(
             np.asarray(a["acc"]), np.asarray(b["acc"])
         )
+
+    @pytest.mark.parametrize("r256", [False, True])
+    @pytest.mark.parametrize("wps", [2, 4])
+    def test_wps_parity(self, wps, r256):
+        """Multi-window grid steps (wps) must be BIT-identical to
+        wps=1: sub-windows run sequentially in-kernel and the per-tile
+        run padding carries sentinel rows + out-of-range base steps."""
+        bg, rays, opts = _setup(seed=19, r256=r256)
+        ka = (
+            tm.build_kernel_arrays(bg) if r256
+            else tm.build_packed_kernel_arrays(bg)
+        )
+        a = render_frame_pallas(
+            bg, rays, opts, kernel_arrays=ka, use_occupancy=False,
+            return_depth=True,
+        )
+        # group=8 forces padded tile runs to straddle group boundaries
+        b = render_frame_pallas(
+            bg, rays, opts, kernel_arrays=ka, use_occupancy=False,
+            return_depth=True, wps=wps, group=8,
+        )
+        for k in ("rgb", "acc", "depth", "log_transmit"):
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+            )
+
+    def test_wps_with_term_cull_and_early_stop(self):
+        """wps composes with the analytic cull + in-kernel early stop
+        on an opaque scene (the ship render config)."""
+        from dataclasses import replace
+
+        g = random_grid(32, seed=23)
+        g = replace(g, density_data=g.density_data * 400.0 + 50.0)
+        bg = from_sparse_grid(g)
+        rays = tile_rays(3, seed=24)
+        opts = GridRenderOptions(step_size=0.5)
+        ka = tm.build_packed_kernel_arrays(bg)
+        ref = tm.render_tiles_pallas(bg, rays, opts, kernel_arrays=ka)
+        out = render_frame_pallas(
+            bg, rays, opts, kernel_arrays=ka, use_occupancy=False,
+            term_cull=True, early_stop=True, wps=4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"]), np.asarray(ref["rgb"]),
+            rtol=1e-4, atol=1e-4,
+        )
