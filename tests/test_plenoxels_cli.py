@@ -170,3 +170,60 @@ class TestPlenoxelsCli:
         assert args.n_iters == 10
         grid, trainer, result = run(args, scene=scene, test_scene=scene)
         assert grid.reso == (12, 12, 12)
+
+
+class TestCliQualityRecipe:
+    def test_default_schedule_matches_reference_ratios(self):
+        """The -1 sentinels must resolve to the reference's schedule
+        ratios (svox2/opt/opt.py:100 defaults against its 128k-step
+        run): delay 15000/128000, decay horizon 250000/128000 — the
+        round-3 quality root causes live in exactly these knobs."""
+        from nerf_projects_tpu.cli.train_plenoxels import (
+            build_parser, resolve_schedule,
+        )
+
+        p = build_parser()
+        a = resolve_schedule(p.parse_args(
+            ["--train_dir", "/tmp/x", "--n_iters", "128000"]))
+        assert a.lr_sigma_delay_steps == 15000
+        assert a.lr_sigma_decay_steps == 250000
+        assert a.lr_sh_decay_steps == 250000
+        assert a.lambda_sparsity == 0.0        # syn.json: TV only
+        assert a.rms_pervisit == 1             # sparse-indexer rms
+        a2 = resolve_schedule(p.parse_args(
+            ["--train_dir", "/tmp/x", "--n_iters", "20000"]))
+        assert a2.lr_sigma_delay_steps == round(20000 * 15000 / 128000)
+        assert a2.lr_sigma_decay_steps == round(20000 * 250000 / 128000)
+
+    def test_convergence_via_cli_defaults(self, tmp_path):
+        """Quality-catastrophe regression gate: the DEFAULT CLI
+        schedule (delay ramp + per-visit rms + normalized TV + zero
+        sparsity) must converge well past the 18-19 dB fixed point the
+        round-3 dynamics probe measured for the broken schedule
+        (NOTES_ROUND3 r3z). At this miniature scale (48^2 images, 32^3
+        grid, 800 steps) the healthy recipe reaches ~25 dB held-out —
+        the 30 dB-class recipe's behavior; the broken one locks below
+        19 regardless of step count."""
+        H = 48
+        ds = make_dataset(n_views=10, image_size=H,
+                          focal=80.0 * H / 96.0, seed=3)
+        scene = SceneData(
+            images=np.asarray(ds["images"][1:]),
+            poses=np.asarray(ds["poses"][1:]),
+            intrinsics=ds["intrinsics"], near=ds["near"], far=ds["far"],
+        )
+        test = SceneData(
+            images=np.asarray(ds["images"][:1]),
+            poses=np.asarray(ds["poses"][:1]),
+            intrinsics=ds["intrinsics"], near=ds["near"], far=ds["far"],
+        )
+        parser = build_parser()
+        args = parser.parse_args([
+            "--train_dir", str(tmp_path / "ckpt"),
+            "--reso", "[[32,32,32]]",
+            "--n_iters", "800", "--batch_size", "1024",
+            "--step_mode", "cell", "--print_every", "400",
+        ])
+        _grid, _trainer, result = run(args, scene=scene,
+                                      test_scene=test)
+        assert result["psnr"] > 23.0, result
