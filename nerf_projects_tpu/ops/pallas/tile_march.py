@@ -76,51 +76,50 @@ _CORNERS = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
 # ---------------------------------------------------------------------------
 # In-kernel lane relayouts. Mosaic reshapes between [SC, r] and
 # [1, SC*r] are only supported when one side has 128 lanes; for
-# r == 256 the direct [16, 256] <-> [1, 4096] cast is an internal
-# compiler error. Route through [2*SC, 128] (one side 128 — legal both
-# ways) with even/odd row (de)interleave as 0/1 selection matmuls
-# (strided sublane slicing is unsafe on TPU).
+# r >= 256 the direct [16, r] <-> [1, SC*r] cast is an internal
+# compiler error. Route through [m*SC, 128] (m = r/128; one side 128 —
+# legal both ways) with m-way row (de)interleave as 0/1 selection
+# matmuls (strided sublane slicing is unsafe on TPU).
 # ---------------------------------------------------------------------------
 
-def _eo_select(SC: int):
-    ri = jax.lax.broadcasted_iota(jnp.int32, (SC, 2 * SC), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (SC, 2 * SC), 1)
-    Pe = (ci == 2 * ri).astype(jnp.float32)
-    Po = (ci == 2 * ri + 1).astype(jnp.float32)
-    return Pe, Po
+def _m_select(SC: int, m: int):
+    ri = jax.lax.broadcasted_iota(jnp.int32, (SC, m * SC), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (SC, m * SC), 1)
+    return [
+        (ci == m * ri + k).astype(jnp.float32) for k in range(m)
+    ]
 
 
 def _lanes_unflat(x, SC: int, r: int):
     """[1, SC*r] (lane a = s*r + j) -> [SC, r]."""
     if r == 128:
         return x.reshape(SC, r)
-    y = x.reshape(2 * SC, 128)
-    Pe, Po = _eo_select(SC)
-    E = jax.lax.dot_general(
-        Pe, y, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    O = jax.lax.dot_general(
-        Po, y, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return jnp.concatenate([E, O], axis=1)
+    m = r // 128
+    y = x.reshape(m * SC, 128)
+    parts = [
+        jax.lax.dot_general(
+            P, y, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for P in _m_select(SC, m)
+    ]
+    return jnp.concatenate(parts, axis=1)
 
 
 def _lanes_flat(x, SC: int, r: int):
     """[SC, r] -> [1, SC*r] (lane a = s*r + j)."""
     if r == 128:
         return x.reshape(1, SC * r)
-    a = x[:, :128]
-    b = x[:, 128:]
-    Pe, Po = _eo_select(SC)
-    y = jax.lax.dot_general(
-        Pe, a, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        Po, b, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    m = r // 128
+    Ps = _m_select(SC, m)
+    y = None
+    for k, P in enumerate(Ps):
+        term = jax.lax.dot_general(
+            P, x[:, 128 * k : 128 * (k + 1)],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = term if y is None else y + term
     return y.reshape(1, SC * r)
 
 
@@ -1153,7 +1152,7 @@ def _march_frame_group(density_z, sh_z, lt, first, rows, orig, basisf,
         out_specs=out_specs,
     )
     extra = {}
-    if wps > 1:
+    if wps > 1 or r > 256:
         extra["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         )

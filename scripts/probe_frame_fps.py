@@ -94,10 +94,18 @@ def main():
     exact_rgb = {}
 
     def run_variant(name, th, tw, occ, cap, stop=True, cull=True,
-                    gather=False, wps=1):
+                    gather=False, wps=1, floor=False):
         if ONLY and name not in ONLY:
             return
-        my_ka = tuple_ka() if th * tw == 256 else ka
+        my_ka = tuple_ka() if th * tw >= 256 else ka
+        # floor: stop_thresh=1.0 makes the in-kernel early-stop
+        # condition false from window 0 — every fetch still issues,
+        # no march body ever runs: the per-window floor excluding VPU
+        # work and the out_ref dependency chain's compute
+        my_opts = (
+            GridRenderOptions(step_size=0.5, stop_thresh=1.0)
+            if floor else opts
+        )
         try:
             frames = [
                 jax.block_until_ready(frame_tiles(i, th, tw))
@@ -107,7 +115,7 @@ def main():
             @jax.jit
             def render(bg_, rays, ka_):
                 return render_frame_pallas(
-                    bg_, rays, opts, kernel_arrays=ka_, n_chunks=C,
+                    bg_, rays, my_opts, kernel_arrays=ka_, n_chunks=C,
                     use_occupancy=occ, max_windows=cap,
                     early_stop=stop, term_cull=cull,
                     gather_fetch=gather, wps=wps,
@@ -161,7 +169,7 @@ def main():
         one jit — no per-frame dispatch/readback through the relay."""
         if ONLY and name not in ONLY:
             return
-        my_ka = tuple_ka() if th * tw == 256 else ka
+        my_ka = tuple_ka() if th * tw >= 256 else ka
         try:
             frames = [frame_tiles(i, th, tw) for i in range(4)]
             stack = tu.tree_map(
@@ -229,13 +237,28 @@ def main():
         run_variant("r256_cap16", 16, 16, False, 16)
         run_variant("r256_cap12", 16, 16, False, 12)
         run_variant("r256_cap8", 16, 16, False, 8)
-        # wps: multi-window grid steps — amortizes the ~5.6 us/window
-        # sequencing floor (fwd_march_constrows: DMAs are ~free)
+        # wps: multi-window grid steps. Measured r256-tuple: LOSES —
+        # cost scales with the (padded) window count, so the r256
+        # per-window cost is fetch work (16 DMAs/window), not per-step
+        # sequencing. r128-packed (8 fetches) probes below.
         run_variant("r256_wps2", 16, 16, False, None, wps=2)
         run_variant("r256_wps4", 16, 16, False, None, wps=4)
         run_variant("r256_wps8", 16, 16, False, None, wps=8)
+        run_variant("r128_opaque", 8, 16, False, None)
+        run_variant("r128_wps2", 8, 16, False, None, wps=2)
         run_variant("r128_wps4", 8, 16, False, None, wps=4)
         run_variant("r256_wps4_cap12", 16, 16, False, 12, wps=4)
+        # per-window floor: fetches issue, no body ever runs
+        run_variant("r256_floor", 16, 16, False, None, floor=True)
+        run_variant("r128_floor", 8, 16, False, None, floor=True)
+        run_variant("r256_floor_wps4", 16, 16, False, None,
+                    floor=True, wps=4)
+        # r512 (16x32-px tiles): half the window instances of r256 —
+        # the floor probe showed per-window cost is the invariant
+        run_variant("r512", 16, 32, False, None)
+        run_variant("r512_floor", 16, 32, False, None, floor=True)
+        run_variant("r512_cap12", 16, 32, False, 12)
+        run_variant("r1024", 32, 32, False, None)
 
     print(json.dumps({"summary": results, "reso": RESO,
                       "sigma_scale": SIGMA}), flush=True)

@@ -222,3 +222,53 @@ class TestRenderFramePallas:
             np.asarray(out["rgb"]), np.asarray(ref["rgb"]),
             rtol=1e-4, atol=1e-4,
         )
+
+    def test_r512_tiles_match_twin(self):
+        """16x32-px tiles (512 rays): half the windows per frame of
+        r256 at the same coverage — the per-window-instance cost is
+        the frame renderer's invariant floor (round-4 floor probe), so
+        bigger tiles are the FPS lever. Parity vs the jnp twin through
+        the m-way lane relayout (m=4)."""
+        import jax
+        import jax.numpy as jnp
+        from nerf_projects_tpu.core.rays import Rays
+        from nerf_projects_tpu.ops.tile_render import render_tiles
+        from tests.test_tile_march_pallas import random_grid as rg
+
+        rng = np.random.default_rng(31)
+        g = rg(32, seed=31)
+        bg = from_sparse_grid(g)
+        tiles = []
+        for _ in range(2):
+            u = rng.standard_normal(3)
+            cam = 2.5 * u / np.linalg.norm(u)
+            fwd = -cam / 2.5
+            right = np.cross(fwd, [0.0, 1.0, 0.0])
+            right /= np.linalg.norm(right) + 1e-9
+            up2 = np.cross(right, fwd)
+            jj, ii = np.meshgrid(np.arange(32.0), np.arange(16.0))
+            base = rng.uniform(-40, 40, 2)
+            d = (
+                fwd[None]
+                + ((base[0] + jj.ravel()) / 200.0)[:, None] * right[None]
+                + ((base[1] + ii.ravel()) / 200.0)[:, None] * up2[None]
+            )
+            d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+            tiles.append((np.tile(cam[None], (512, 1)), d))
+        o = jnp.asarray(np.stack([t[0] for t in tiles]), jnp.float32)
+        d = jnp.asarray(np.stack([t[1] for t in tiles]), jnp.float32)
+        rays = Rays(o, d, d)
+        opts = GridRenderOptions(step_size=0.5)
+        ka = tm.build_kernel_arrays(bg)
+        want = render_tiles(bg, rays, opts, steps_per_chunk=tm.SC)
+        out = render_frame_pallas(
+            bg, rays, opts, kernel_arrays=ka, use_occupancy=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"]), np.asarray(want["rgb"]),
+            rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["acc"]), np.asarray(want["acc"]),
+            rtol=2e-3, atol=2e-3,
+        )
