@@ -644,15 +644,25 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
                         [get_d(k0, i), get_d(k1, i)], axis=0
                     )                                    # [16, 64]
 
+                # ONE fused x-stage matmul for density + color: the
+                # two dots share Axb and K=16, so stacking along M
+                # halves the per-window MXU issues (each issue has
+                # fixed pipeline overhead at K=16) — results are the
+                # same contraction, element-wise identical
+                nd = dp.shape[1]                         # 192 | 64
+                V1 = jax.lax.dot_general(
+                    jnp.concatenate([dp, Wp], axis=1).astype(
+                        jnp.bfloat16
+                    ), Axb,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                        # [nd+192, A]
+                V1d = V1[:nd]
+                V1c = V1[nd:]                            # [192, A]
                 if packed:
                     # density rides slot B of the packed block, repeated
                     # x3 across the (ly,lz,ch) lanes — trilerp through the
                     # same 192-wide path as color (rows identical; take 0)
-                    V1d = jax.lax.dot_general(
-                        dp.astype(jnp.bfloat16), Axb,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )                                    # [192, A]
                     V2d = jnp.sum(
                         V1d.reshape(8, 24, A) * Ayk[:, None, :], axis=0
                     )                                    # [24, A]
@@ -660,23 +670,12 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
                         V2d.reshape(8, 3, A) * Azk[:, None, :], axis=0
                     )[0:1]
                 else:
-                    V1d = jax.lax.dot_general(
-                        dp.astype(jnp.bfloat16), Axb,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )                                    # [64, A] (ly, lz)
                     V2d = jnp.sum(
                         V1d.reshape(8, 8, A) * Ayk[:, None, :], axis=0
                     )                                    # [8, A] (lz)
                     sigma_acc = sigma_acc + jnp.sum(
                         V2d * Azk, axis=0
                     )[None]
-
-                V1c = jax.lax.dot_general(
-                    Wp.astype(jnp.bfloat16), Axb,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                        # [192, A] (ly,lz,ch)
                 V2c = jnp.sum(
                     V1c.reshape(8, 24, A) * Ayk[:, None, :], axis=0
                 )                                        # [24, A] (lz, ch)

@@ -259,6 +259,13 @@ def main():
         run_variant("r512_floor", 16, 32, False, None, floor=True)
         run_variant("r512_cap12", 16, 32, False, 12)
         run_variant("r1024", 32, 32, False, None)
+        # gathered-fetch at big tiles: 1-2 DMA issues per window (the
+        # floor is DMA-issue rate) and the XLA pre-gather row count is
+        # 4-8x smaller than the r128 case where it lost
+        run_variant("r512_gather", 16, 32, False, None, gather=True)
+        run_variant("r1024_gather", 32, 32, False, None, gather=True)
+        run_variant("r512_cap20", 16, 32, False, 20)
+        run_variant("r1024_cap28", 32, 32, False, 28)
 
     print(json.dumps({"summary": results, "reso": RESO,
                       "sigma_scale": SIGMA}), flush=True)
