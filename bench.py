@@ -258,6 +258,9 @@ def bench_plenoxels_train(reso=256, tiles=40, shell=False):
     trainer = PlenoxelsTrainer(
         GridRenderOptions(step_size=0.5), n_iters=128_000,
         lambda_tv=1e-5, lambda_tv_sh=1e-3,
+        # per-visit rms = the ship semantics (the reference's sparse
+        # indexer, optim_kernel.cu:16-25; CLI default since round 3)
+        rms_pervisit=True,
         # bf16_grad_blocks measured +6% in a same-process A/B but the
         # delta does not reproduce above cross-process relay jitter;
         # keep the reference-faithful f32 accumulation as the default
@@ -368,11 +371,22 @@ def bench_plenoxels_train(reso=256, tiles=40, shell=False):
             else:
                 k_tile = None
 
+            # dense-sweep optimizer (round-4 tail bisect: the XLA
+            # K-row gather/scatter path costs ~5.5 us PER ROW; the
+            # dense where(g==0) sweep is pure bandwidth and exact
+            # under per-visit rms). BENCH_PLEN_DOPT=0 falls back.
+            dopt = bool(int(os.environ.get(
+                "BENCH_PLEN_DOPT", 1 if shell else 0
+            )))
+            if dopt:
+                mode = mode + "+dense_optim"
+
             def step(st, i, key):
                 if flat_w:
                     return ps.train_step_tiles_packed_touched(
                         trainer, geom, st, rays, target, i, key,
                         max_touched=k_cap, flat_windows=flat_w,
+                        dense_optim=dopt,
                     )
                 return ps.train_step_tiles_packed_touched(
                     trainer, geom, st, rays, target, i, key,
@@ -514,7 +528,11 @@ def _frame_fps_common(metric, bg, ka, reso, frame, note):
 
     opts = GridRenderOptions(step_size=0.5)
     H, W = frame
-    th, tw = (8, 16) if SMOKE else (16, 16)   # r=256 halves windows
+    # 16x32-px tiles (r=512): the round-4 floor probe measured the
+    # march cost as ~6 us per WINDOW INSTANCE invariant to wps/fetch
+    # count, so bigger tiles (fewer instances at the same coverage)
+    # are the lever — r512 measured 112 ms vs r256's 134 at 512^3
+    th, tw = (8, 16) if SMOKE else (16, 32)
     B_dim = bg.basis_dim
     # r=256 tiles need the (density_z, sh_z) TUPLE fetch (packed-fetch
     # Mosaic ICE — see render_frame_pallas docstring)
@@ -743,8 +761,12 @@ def bench_plenoxels_train_sparse512():
     opts = GridRenderOptions(step_size=0.5)
     trainer = PlenoxelsTrainer(
         opts, n_iters=128_000, lambda_tv=1e-5, lambda_tv_sh=1e-3,
-        bf16_grad_blocks=True,
+        bf16_grad_blocks=True, rms_pervisit=True,
     )
+    # dense-sweep optimizer (see bench_plenoxels_train): at 512^3 the
+    # K-row machinery costs ~5.5 us/row; the dense sweep is ~5 HBM
+    # passes over the shell state. BENCH_512_DOPT=0 falls back.
+    dopt512 = bool(int(os.environ.get("BENCH_512_DOPT", 1)))
     rays = _tile_rays(jax.random.PRNGKey(2), tiles)
     target = jnp.full(rays.origins.shape[:2] + (3,), 0.4)
     geom = geometry_only(bg)
@@ -767,6 +789,7 @@ def bench_plenoxels_train_sparse512():
         st, stats = ps.train_step_tiles_packed_touched(
             trainer, geom, st, rays, target, i, key,
             max_touched=k_exact, flat_windows=flat_w,
+            dense_optim=dopt512,
         )
         return st, stats["mse"], (
             stats["touched_overflow"]
@@ -793,7 +816,9 @@ def bench_plenoxels_train_sparse512():
     per_step = slope_timed(run, lo=3, hi=12)
     emit(
         "plenoxels_train_rays_per_sec_512", tiles * 128 / per_step,
-        "rays/s", vs_baseline=None, reso=reso, step_mode="touched_flat",
+        "rays/s", vs_baseline=None, reso=reso,
+        step_mode="touched_flat"
+        + ("+dense_optim" if dopt512 else ""),
         tiles=tiles, touched_overflow=round(overflow["max"], 5),
         baseline_note="512^3 shell scene, the reference's standard "
         "post-upsample training scale (svox2/opt/opt.py:855-887); no "

@@ -130,6 +130,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="touched/flat modes: static bound on unique "
                    "touched bricks per step (overflow drops updates "
                    "and is reported)")
+    g.add_argument("--dense_optim", type=int, default=-1,
+                   help="touched/flat modes: dense-sweep optimizer "
+                   "(no K-row gather/scatter; exact under per-visit "
+                   "rms or SGD). -1 = auto (on when eligible)")
     g.add_argument("--bf16_grad_blocks", action="store_true", default=False,
                    help="bf16 backward-kernel gradient blocks (halves "
                    "grad emission HBM traffic; fp32 accumulation)")
@@ -346,6 +350,18 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
             return r, pix_v[v[:, None], flat]
 
         flat_cap = {"w": 0}
+        # dense-sweep optimizer (-1 auto): on for touched/flat under
+        # per-visit rms or SGD — the K-row gather/scatter machinery
+        # costs ~5.5 us/row on TPU (round-4 tail bisect) while the
+        # dense where(g==0) sweep is pure bandwidth over the state
+        dense_optim = bool(
+            args.dense_optim if args.dense_optim >= 0
+            else (
+                args.step_mode in ("touched", "flat")
+                and (bool(args.rms_pervisit)
+                     or args.sigma_optim == "sgd")
+            )
+        )
 
         def build_tile_state(g):
             nonlocal bg, sst, rms_b
@@ -429,6 +445,7 @@ def run(args, *, scene=None, test_scene=None, max_iters=None):
                 max_touched=args.max_touched,
                 use_occupancy=args.use_occupancy,
                 flat_windows=flat_cap["w"] or None,
+                dense_optim=dense_optim,
             )
         else:  # sparse
             rays, target = draw_tiles(sub)

@@ -812,6 +812,7 @@ def train_step_tiles_packed_touched(
     tile_rows: Optional[int] = None,
     skip_empty: bool = True,
     flat_windows: Optional[int] = None,
+    dense_optim: bool = False,
 ):
     """Touched-row train step on the fully-packed state — the fast
     sparse path. Same math as `train_step_tiles_packed` (fused kernels
@@ -837,6 +838,18 @@ def train_step_tiles_packed_touched(
     flat_train.required_windows; overflow windows drop, reported in
     stats["dropped_active_chunks"]). Occupancy clipping is always on;
     wps/tile_rows/compact_chunks do not apply.
+
+    `dense_optim`: skip the touched-row compaction/gather machinery
+    entirely — scatter the gradient blocks into a DENSE [nb+1]-row
+    accumulator and sweep the whole state elementwise, with
+    `where(g == 0, old, updated)` keeping untouched elements
+    bit-identical (exactly the per-visit RMSprop semantics). The
+    round-4 tail bisect measured the XLA K-row gather/scatter path at
+    ~5.5 us PER ROW (it is DMA-issue serialized), so whenever a step
+    touches more than ~1/4 of the rows the pure-bandwidth dense sweep
+    (~5 HBM passes over the state) wins — shell scenes at reference
+    batch sizes sit far past that. Requires rms_pervisit (or SGD):
+    the beta^delta lazy decay needs per-row deltas.
 
     Touched rows are found WITHOUT sort: scatter a dense flag
     [nb+1], exclusive-cumsum for each touched row's compact slot, and
@@ -924,6 +937,81 @@ def train_step_tiles_packed_touched(
             srows, scale=trainer.lambda_tv_sh, ignore_edge=True,
         )
         tv_parts.append(("s", jnp.where(r4 < 0, nb, r4), v4))
+
+    if dense_optim:
+        if tile_rows is not None:
+            raise ValueError(
+                "dense_optim: tile_rows pre-reduction does not apply"
+            )
+        if (trainer.sigma_optim == "rmsprop"
+                and not getattr(trainer, "rms_pervisit", False)):
+            raise ValueError(
+                "dense_optim requires rms_pervisit RMSprop (or SGD): "
+                "the beta^delta lazy decay needs per-row deltas"
+            )
+        rows_r = rows.reshape(-1)
+        acc = jnp.zeros(
+            (nb + 1, B + 1, 8, 192), jnp.float32
+        ).at[rows_r].add(
+            gp_blocks.reshape(-1, B + 1, 8, 192).astype(jnp.float32)
+        )
+        tv_rows_l, tv_blocks_l = pack_tv_blocks(tv_parts, B)
+        for r4, blk in zip(tv_rows_l, tv_blocks_l):
+            acc = acc.at[r4].add(blk.astype(jnp.float32))
+        # mask fuses into the elementwise update (a broadcast repeat,
+        # never materialized); sentinel row nb masks to zero
+        cm = jnp.concatenate(
+            [bg.cell_mask, jnp.zeros_like(bg.cell_mask[:1])]
+        ).astype(jnp.float32)
+        mp = jnp.repeat(cm.reshape(nb + 1, 8, 64), 3, axis=-1)[:, None]
+        g = acc * mp
+
+        lr_sigma = trainer.lr_sigma_fn(fstep)
+        lr_sh = trainer.lr_sh_fn(fstep)
+        slot_ax = jnp.arange(B + 1)
+        lr_vec = jnp.where(
+            slot_ax == B, lr_sigma, lr_sh
+        )[None, :, None, None]
+        pk = st.packed_k
+        if trainer.sigma_optim == "rmsprop":
+            b = trainer.rms_beta
+            rms_old = st.rms.astype(jnp.float32)
+            rms_new = jnp.where(
+                g == 0.0, rms_old,
+                jnp.where(rms_old == 0.0, g * g,
+                          b * rms_old + (1.0 - b) * g * g),
+            )
+            upd = lr_vec * g / (jnp.sqrt(rms_new) + 1e-8)
+            new_rms = rms_new.astype(st.rms.dtype)
+        else:
+            upd = lr_vec * g
+            new_rms = st.rms
+        new = pk - upd
+        if trainer.density_minval > -1e8:
+            new = jnp.where(
+                slot_ax[None, :, None, None] == B,
+                jnp.maximum(new, trainer.density_minval), new,
+            )
+        # untouched elements stay BIT-identical (per-visit semantics)
+        new = jnp.where(g == 0.0, pk, new)
+
+        flag = jnp.zeros((nb + 1,), jnp.int32).at[rows_r].set(1)
+        for _, r4, _v in tv_parts:
+            flag = flag.at[r4].set(1)
+        new_last = jnp.where(
+            flag == 1, step, st.last_step
+        ).at[nb].set(-1)
+        new_st = PackedState(
+            packed_k=new, rms=new_rms, last_step=new_last
+        )
+        psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)
+        return new_st, {
+            "loss": mse, "mse": mse, "psnr": psnr,
+            "window_miss": aux["window_miss"],
+            "touched_overflow": jnp.zeros(()),
+            "dropped_tile_rows": jnp.zeros((), jnp.int32),
+            "dropped_active_chunks": aux["dropped_active_chunks"],
+        }
 
     dropped_tile = jnp.zeros((), jnp.int32)
     if tile_rows is not None:
@@ -1055,6 +1143,7 @@ def train_step_tiles_packed_touched(
     static_argnames=(
         "max_touched", "use_occupancy", "compact_chunks", "n_chunks",
         "wps", "tile_rows", "skip_empty", "flat_windows",
+        "dense_optim",
     ),
     donate_argnums=(2,),
 )
@@ -1062,14 +1151,14 @@ def train_step_tiles_packed_touched_jit(
     trainer, bg, st, rays, target, step, key, *,
     max_touched=12288, use_occupancy=False, compact_chunks=None,
     n_chunks=None, wps=1, tile_rows=None, skip_empty=True,
-    flat_windows=None,
+    flat_windows=None, dense_optim=False,
 ):
     return train_step_tiles_packed_touched(
         trainer, bg, st, rays, target, step, key,
         max_touched=max_touched, use_occupancy=use_occupancy,
         compact_chunks=compact_chunks, n_chunks=n_chunks,
         wps=wps, tile_rows=tile_rows, skip_empty=skip_empty,
-        flat_windows=flat_windows,
+        flat_windows=flat_windows, dense_optim=dense_optim,
     )
 
 

@@ -236,7 +236,7 @@ def main():
 
     # --- touched-row step on the shell scene (the ship bench mode) ---
     def touched_runner(trainer, my_bg=None, compact=None, use_occ=False,
-                       k_cap=6144, wps=1, tile_rows=0, flat=0):
+                       k_cap=6144, wps=1, tile_rows=0, flat=0, dopt=0):
         import functools
 
         from nerf_projects_tpu.train import plenoxels_sparse as ps
@@ -250,9 +250,9 @@ def main():
         holder = {"st": ps.packed_state_from_grid(geom)}
 
         @functools.partial(jax.jit,
-                           static_argnums=(0, 3, 4, 5, 6, 7, 8),
+                           static_argnums=(0, 3, 4, 5, 6, 7, 8, 9),
                            donate_argnums=1)
-        def scan_steps(k, st, key, ck, occ, cap, w, tr, fl):
+        def scan_steps(k, st, key, ck, occ, cap, w, tr, fl, do):
             def body(st, i):
                 st, stats = ps.train_step_tiles_packed_touched(
                     trainer, geom, st, my_rays, my_target,
@@ -260,7 +260,8 @@ def main():
                     max_touched=cap, compact_chunks=ck,
                     use_occupancy=occ, wps=w,
                     tile_rows=tr if tr else None,
-                    flat_windows=fl if fl else None)
+                    flat_windows=fl if fl else None,
+                    dense_optim=bool(do))
                 return st, stats["mse"]
 
             return jax.lax.scan(body, st,
@@ -270,12 +271,13 @@ def main():
             st, mses = scan_steps(k, holder["st"],
                                   jax.random.PRNGKey(k), compact,
                                   use_occ, k_cap, wps, tile_rows,
-                                  flat)
+                                  flat, dopt)
             _ = float(mses[-1])
             holder["st"] = st
         return run
 
-    def shell_touched(k_cap=6144, wps=1, tile_rows=0, flat=0, **kw):
+    def shell_touched(k_cap=6144, wps=1, tile_rows=0, flat=0, dopt=0,
+                      **kw):
         from nerf_projects_tpu.ops.pallas.tile_march import (
             required_chunks,
         )
@@ -301,9 +303,12 @@ def main():
             flat = required_windows(sb, srays, opts)
             print(json.dumps({"shell_flat_windows": flat}),
                   flush=True)
+        if dopt:
+            kw.setdefault("rms_pervisit", True)
         return touched_runner(make_trainer(**kw), my_bg=sb,
                               compact=ck, use_occ=True, k_cap=k_cap,
-                              wps=wps, tile_rows=tile_rows, flat=flat)
+                              wps=wps, tile_rows=tile_rows, flat=flat,
+                              dopt=dopt)
 
     report("touched_shell", lambda: shell_touched())
     report("touched_shell_bf16g", lambda: shell_touched(
@@ -353,6 +358,11 @@ def main():
     report("touched_shell_flat_kexact", lambda: shell_flat_kexact())
     report("touched_shell_flat_kexact_no_tv", lambda: shell_flat_kexact(
         lambda_tv=0.0, lambda_tv_sh=0.0))
+    # dense-sweep optimizer (round-4): no K-row machinery at all
+    report("touched_shell_flat_dopt", lambda: shell_touched(
+        flat=1, dopt=1))
+    report("touched_shell_flat_dopt_pv", lambda: shell_touched(
+        flat=1, rms_pervisit=True))
 
     def flat_kernels(grad_dtype=jnp.float32):
         """fused_grad_blocks_flat alone (plan + both marches), no

@@ -615,3 +615,92 @@ class TestFlatWindowStep:
         )
         assert int(out[4]["dropped_windows"]) > 0
         assert bool(jnp.all(jnp.isfinite(out[0])))
+
+
+class TestDenseOptimStep:
+    """dense_optim=True: dense-sweep optimizer (no K-row machinery)
+    must reproduce the touched step exactly under per-visit RMSprop —
+    untouched elements stay bit-identical via where(g == 0)."""
+
+    def test_matches_touched_pervisit(self):
+        trainer = make_trainer(rms_pervisit=True)
+        g = random_grid(24, seed=21)
+        bg = from_sparse_grid(g)
+        st_t = ps.packed_state_from_grid(bg)
+        st_d = ps.packed_state_from_grid(bg)
+        for i in range(3):
+            rays = tile_rays(2, seed=210 + 7 * i)
+            target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+            key = jax.random.PRNGKey(i)
+            step_i = jnp.asarray(i, jnp.int32)
+            st_t, ts = ps.train_step_tiles_packed_touched(
+                trainer, bg, st_t, rays, target, step_i, key,
+                max_touched=4096,
+            )
+            st_d, dstats = ps.train_step_tiles_packed_touched(
+                trainer, bg, st_d, rays, target, step_i, key,
+                max_touched=4096, dense_optim=True,
+            )
+            np.testing.assert_allclose(
+                float(ts["mse"]), float(dstats["mse"]),
+                rtol=1e-6, atol=1e-8,
+            )
+        np.testing.assert_allclose(
+            np.asarray(st_t.packed_k), np.asarray(st_d.packed_k),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_t.rms), np.asarray(st_d.rms),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st_t.last_step), np.asarray(st_d.last_step)
+        )
+
+    def test_matches_touched_flat_and_sgd(self):
+        """flat plan + dense optimizer; and the SGD path."""
+        from nerf_projects_tpu.ops.pallas.flat_train import (
+            required_windows,
+        )
+
+        for kw in (dict(rms_pervisit=True),
+                   dict(sigma_optim="sgd", sh_optim="sgd")):
+            trainer = make_trainer(**kw)
+            g = random_grid(24, seed=23)
+            bg = from_sparse_grid(g)
+            rays = tile_rays(2, seed=77)
+            wc = required_windows(bg, rays, trainer.opts)
+            target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+            st_t = ps.packed_state_from_grid(bg)
+            st_d = ps.packed_state_from_grid(bg)
+            for i in range(2):
+                key = jax.random.PRNGKey(i)
+                step_i = jnp.asarray(i, jnp.int32)
+                st_t, _ = ps.train_step_tiles_packed_touched(
+                    trainer, bg, st_t, rays, target, step_i, key,
+                    max_touched=4096, flat_windows=wc,
+                )
+                st_d, _ = ps.train_step_tiles_packed_touched(
+                    trainer, bg, st_d, rays, target, step_i, key,
+                    max_touched=4096, flat_windows=wc,
+                    dense_optim=True,
+                )
+            np.testing.assert_allclose(
+                np.asarray(st_t.packed_k), np.asarray(st_d.packed_k),
+                rtol=1e-5, atol=1e-6,
+            )
+
+    def test_literal_rms_rejected(self):
+        trainer = make_trainer(rms_pervisit=False)
+        g = random_grid(16, seed=25)
+        bg = from_sparse_grid(g)
+        st = ps.packed_state_from_grid(bg)
+        rays = tile_rays(1, seed=5)
+        target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="dense_optim"):
+            ps.train_step_tiles_packed_touched(
+                trainer, bg, st, rays, target,
+                jnp.asarray(0, jnp.int32), jax.random.PRNGKey(0),
+                dense_optim=True,
+            )
