@@ -63,6 +63,9 @@ PLENOXEL_FLAT = int(os.environ.get("QUALITY_FLAT", 0))
 # coherent-tile sampling and every visit becomes a 4.47*lr*sign(g)
 # yank (see PlenoxelsTrainer.rms_pervisit)
 PLENOXEL_RMS_PERVISIT = int(os.environ.get("QUALITY_RMS_PERVISIT", 1))
+# dense-sweep optimizer (exact under per-visit rms; round-4
+# plenoxels_sparse.train_step_tiles_packed_touched dense_optim)
+PLENOXEL_DENSE_OPTIM = int(os.environ.get("QUALITY_DENSE_OPTIM", 0))
 # held-out eval every N steps (0 = only at the end); convergence curve
 EVAL_EVERY = int(os.environ.get("QUALITY_EVAL_EVERY", 0))
 # directory for held-out/GT/error pngs + the trained grid npz
@@ -271,6 +274,7 @@ def quality_plenoxels(ds):
             jnp.asarray(i, jnp.int32), kt,
             max_touched=PLENOXEL_MAX_TOUCHED,
             flat_windows=flat_cap,
+            dense_optim=bool(PLENOXEL_DENSE_OPTIM),
         )
         if i % 500 == 0:
             print(f"plenoxels step {i}: train psnr "
