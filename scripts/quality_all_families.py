@@ -70,6 +70,8 @@ PLENOXEL_DENSE_OPTIM = int(os.environ.get("QUALITY_DENSE_OPTIM", 0))
 EVAL_EVERY = int(os.environ.get("QUALITY_EVAL_EVERY", 0))
 # directory for held-out/GT/error pngs + the trained grid npz
 SAVE_DIR = os.environ.get("QUALITY_SAVE", "")
+# in-phase safety-checkpoint cadence (0 = phase boundaries only)
+CKPT_EVERY = int(os.environ.get("QUALITY_CKPT_EVERY", 0))
 # "tiles" (coherent 8x16 tile batches through the Pallas touched step)
 # or "cell" (globally-shuffled random-ray batches through the dense
 # per-sample-gather step — the reference's sampling statistics,
@@ -203,6 +205,25 @@ def quality_plenoxels(ds):
         print(f"flat w_cap {cap} (probe {w})", flush=True)
         return cap
 
+    # phase-boundary resume: the rms state is rebuilt fresh at every
+    # upsample boundary anyway, so resuming from a phase-end grid
+    # checkpoint is EXACTLY equivalent to the uninterrupted run. On
+    # QUALITY_RESUME=1, load the latest phase_*.npz in SAVE_DIR and
+    # restart the loop at its recorded step (the upsample_plan entry AT
+    # that step then fires immediately, replaying the resample).
+    start_step = 0
+    if SAVE_DIR and int(os.environ.get("QUALITY_RESUME", "0")):
+        import glob as _glob
+
+        cands = sorted(_glob.glob(f"{SAVE_DIR}/phase_*.npz"))
+        if cands:
+            path = cands[-1]
+            start_step = int(path.rsplit("_", 1)[1].split(".")[0])
+            g = SparseGrid.load(path)
+            bg = from_sparse_grid(g)
+            print(f"resumed from {path} at step {start_step} "
+                  f"(reso {g.reso[0]})", flush=True)
+
     pst = ps.packed_state_from_grid(bg)
     flat_cap = flat_cap_for(bg)
 
@@ -223,7 +244,7 @@ def quality_plenoxels(ds):
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
-    for i in range(PLENOXEL_STEPS):
+    for i in range(start_step, PLENOXEL_STEPS):
         if EVAL_EVERY and i and i % EVAL_EVERY == 0:
             eval_held_out(ps.grid_from_packed_state(bg, pst),
                           tag=f"step {i}")
@@ -249,6 +270,20 @@ def quality_plenoxels(ds):
             # phase-boundary held-out eval: records what each
             # resolution phase adds (VERDICT r3 weak #6 evidence)
             eval_held_out(bg, tag=f"end of {bg.reso[0]}^3 phase @ {i}")
+            if SAVE_DIR:
+                # phase-end checkpoint (resume point: QUALITY_RESUME=1)
+                try:
+                    from nerf_projects_tpu.ops.brick_grid import (
+                        to_sparse_grid as _tsg_ck,
+                    )
+
+                    os.makedirs(SAVE_DIR, exist_ok=True)
+                    _tsg_ck(bg).save(f"{SAVE_DIR}/phase_{i:06d}.npz")
+                    print(f"phase ckpt -> {SAVE_DIR}/phase_{i:06d}.npz",
+                          flush=True)
+                except Exception as exc:
+                    print("phase ckpt failed:", repr(exc)[:120],
+                          flush=True)
             g2 = resample(
                 to_sparse_grid(bg),
                 (reso_next,) * 3,
@@ -265,6 +300,22 @@ def quality_plenoxels(ds):
             _hbm("post-state")
             print(f"upsampled to {reso_next}^3: "
                   f"{bg.n_bricks} bricks", flush=True)
+        if (SAVE_DIR and CKPT_EVERY and i and i % CKPT_EVERY == 0
+                and i not in upsample_plan):
+            # in-phase safety checkpoint. Resuming from one is
+            # APPROXIMATE (the rms second-moment state restarts), unlike
+            # the exactly-equivalent phase-boundary points; it bounds
+            # the loss from a killed run to CKPT_EVERY steps.
+            try:
+                from nerf_projects_tpu.ops.brick_grid import (
+                    to_sparse_grid as _tsg_p,
+                )
+
+                _tsg_p(ps.grid_from_packed_state(bg, pst)).save(
+                    f"{SAVE_DIR}/phase_{i:06d}.npz")
+                print(f"safety ckpt @ {i}", flush=True)
+            except Exception as exc:
+                print("safety ckpt failed:", repr(exc)[:120], flush=True)
         key, kd, kt = jax.random.split(key, 3)
         rays, target = draw(kd, n_tiles=PLENOXEL_TILES)
         # touched-row step: O(touched) optimizer, lazy-exact RMSprop
