@@ -16,8 +16,10 @@ BENCH_WORKLOADS=plenoxels_train_shell timeout 1800 python -u bench.py \
 BENCH_WORKLOADS=plenoxels_train_sparse512 timeout 2400 python -u bench.py \
   > /tmp/r4_bench_512.log 2>&1
 
-# 4. FPS probe with the fused x-stage (r512 exact + cap20)
-PROBE_SIGMA=1000 PROBE_ONLY=r512,r512_cap20 timeout 2400 \
-  python -u scripts/probe_frame_fps.py > /tmp/r4_probe_fps.log 2>&1
+# 4. FPS probe with the fused x-stage: the fusion shrank the march
+# body, so the body-bound r1024 tiling may now lead — measure both
+PROBE_SIGMA=1000 PROBE_ONLY=r512,r512_cap20,r1024,r1024_cap28 \
+  timeout 2400 python -u scripts/probe_frame_fps.py \
+  > /tmp/r4_probe_fps.log 2>&1
 
 echo QUEUE_DONE
