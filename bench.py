@@ -888,7 +888,7 @@ def _run_workload_streamed(name, deadline):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, bufsize=1,
     )
-    state = {"emitted": False, "init_fail": False}
+    state = {"emitted": False, "init_fail": False, "error_line": ""}
     tail = deque(maxlen=6)
 
     def reader():
@@ -898,9 +898,17 @@ def _run_workload_streamed(name, deadline):
                 tail.append(line.strip())
             s = line.strip()
             if s.startswith("{") and '"metric"' in s:
-                print(s, flush=True)
-                state["emitted"] = True
-            if "Unable to initialize backend" in line:
+                if '"error"' in s:
+                    # workload-level failure row: hold it back — the
+                    # caller may retry (axon remote-compile 500s and
+                    # backend-init failures are transient); only the
+                    # final attempt's row gets recorded
+                    state["error_line"] = s
+                else:
+                    print(s, flush=True)
+                    state["emitted"] = True
+            if ("Unable to initialize backend" in line
+                    or "remote_compile: HTTP 5" in line):
                 state["init_fail"] = True
 
     th = threading.Thread(target=reader, daemon=True)
@@ -913,7 +921,8 @@ def _run_workload_streamed(name, deadline):
         proc.wait()
         rc, timed_out = -9, True
     th.join(timeout=15)
-    return rc, timed_out, state["emitted"], state["init_fail"], list(tail)
+    return (rc, timed_out, state["emitted"], state["init_fail"],
+            state["error_line"], list(tail))
 
 
 def main():
@@ -969,11 +978,11 @@ def main():
             continue
         deadline = time.time() + avail
         for attempt in range(init_retries + 1):
-            rc, timed_out, emitted, init_fail, tail = (
+            rc, timed_out, emitted, init_fail, error_line, tail = (
                 _run_workload_streamed(name, deadline)
             )
             can_retry = (
-                init_fail and attempt < init_retries
+                init_fail and not emitted and attempt < init_retries
                 and retry_sleep_left >= retry_sleep
                 and deadline - time.time() > retry_sleep + min_useful
             )
@@ -982,6 +991,9 @@ def main():
             retry_sleep_left -= retry_sleep
             time.sleep(retry_sleep)
         if not emitted:
+            if error_line:
+                print(error_line, flush=True)
+                continue
             msg = "workload timed out" if timed_out else " | ".join(
                 tail[-4:]
             ) or f"exit {rc} with no output"

@@ -52,6 +52,10 @@ PACK_ROWS = 16
 
 _SIGMA_THRESH = 1e-8
 _STOP_THRESH = 1e-7
+# fused density+color x-stage dot (see _make_fwd_kernel); TM_XFUSE=0
+# falls back to two separate dots for hardware A/B
+import os as _os
+_XFUSE = _os.environ.get("TM_XFUSE", "1") != "0"
 
 # Mosaic keeps per-grid-step scalar state in SMEM (~1 KB/step measured:
 # a (40 tiles x 38 chunks) grid overflowed the 1 MB SMEM by 27%);
@@ -648,17 +652,33 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
                 # two dots share Axb and K=16, so stacking along M
                 # halves the per-window MXU issues (each issue has
                 # fixed pipeline overhead at K=16) — results are the
-                # same contraction, element-wise identical
-                nd = dp.shape[1]                         # 192 | 64
-                V1 = jax.lax.dot_general(
-                    jnp.concatenate([dp, Wp], axis=1).astype(
-                        jnp.bfloat16
-                    ), Axb,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                        # [nd+192, A]
-                V1d = V1[:nd]
-                V1c = V1[nd:]                            # [192, A]
+                # same contraction, element-wise identical. The stack
+                # costs a [16, nd+192] VMEM concat per corner pair;
+                # TM_XFUSE=0 keeps the two separate dots (frame-path
+                # A/B: at many small windows the concat can cost more
+                # than the saved MXU issue).
+                if _XFUSE:
+                    nd = dp.shape[1]                     # 192 | 64
+                    V1 = jax.lax.dot_general(
+                        jnp.concatenate([dp, Wp], axis=1).astype(
+                            jnp.bfloat16
+                        ), Axb,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                    # [nd+192, A]
+                    V1d = V1[:nd]
+                    V1c = V1[nd:]                        # [192, A]
+                else:
+                    V1d = jax.lax.dot_general(
+                        dp.astype(jnp.bfloat16), Axb,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    V1c = jax.lax.dot_general(
+                        Wp.astype(jnp.bfloat16), Axb,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                    # [192, A]
                 if packed:
                     # density rides slot B of the packed block, repeated
                     # x3 across the (ly,lz,ch) lanes — trilerp through the
