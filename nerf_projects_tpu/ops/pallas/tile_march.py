@@ -53,9 +53,16 @@ PACK_ROWS = 16
 _SIGMA_THRESH = 1e-8
 _STOP_THRESH = 1e-7
 # fused density+color x-stage dot (see _make_fwd_kernel); TM_XFUSE=0
-# falls back to two separate dots for hardware A/B
+# falls back to two separate dots for hardware A/B. Read at kernel
+# BUILD time (inside _make_fwd_kernel), not import time, so in-process
+# A/Bs that flip the env var between pallas_call constructions see it;
+# note jit/pallas caches keyed on config do NOT include this gate —
+# flip it only across fresh kernel builds.
 import os as _os
-_XFUSE = _os.environ.get("TM_XFUSE", "1") != "0"
+
+
+def _xfuse_enabled():
+    return _os.environ.get("TM_XFUSE", "1") != "0"
 
 # Mosaic keeps per-grid-step scalar state in SMEM (~1 KB/step measured:
 # a (40 tiles x 38 chunks) grid overflowed the 1 MB SMEM by 27%);
@@ -466,6 +473,7 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
     # sentinel padding — this deletes their VPU/MXU work (the
     # sequencing floor remains; wps amortizes that).
     assert sentinel is None or not gathered
+    xfuse = _xfuse_enabled()  # bound at kernel BUILD time, per config
 
     def kernel(*refs):
         if flat_state and gathered:
@@ -657,7 +665,7 @@ def _make_fwd_kernel(basis_dim: int, r: int = R,
                 # TM_XFUSE=0 keeps the two separate dots (frame-path
                 # A/B: at many small windows the concat can cost more
                 # than the saved MXU issue).
-                if _XFUSE:
+                if xfuse:
                     nd = dp.shape[1]                     # 192 | 64
                     V1 = jax.lax.dot_general(
                         jnp.concatenate([dp, Wp], axis=1).astype(
