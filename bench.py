@@ -834,13 +834,16 @@ def bench_plenoxels_train_sparse512():
     )
     # dense-sweep optimizer (see bench_plenoxels_train): at 512^3 the
     # K-row machinery costs ~5.5 us/row; the dense sweep is ~5 HBM
-    # passes over the shell state. Default OFF here: at 512^3 the
-    # dense-sweep step's compile crashes the axon remote compile
-    # helper (HTTP 500, deterministic across fresh processes,
-    # 2026-08-20; the same step compiles and runs at 256^3 — see the
-    # shell workload). BENCH_512_DOPT=1 re-enables for A/B once the
-    # helper is fixed.
-    dopt512 = bool(int(os.environ.get("BENCH_512_DOPT", 0)))
+    # passes over the shell state. The FUSED step+sweep program's
+    # compile crashes the axon remote compile helper at 512^3 (HTTP
+    # 500, deterministic, 2026-08-20; fine at 256^3), so the default
+    # here is the two-program DEFER split (mode 2): the step returns a
+    # dense grad accumulator, and dense_sweep_apply runs as its own
+    # program in the same async dispatch chain — each compiled body
+    # stays under the helper's limit. BENCH_512_DOPT: 0=off (K-row
+    # touched optimizer), 1=fused single program (A/B against the
+    # helper), 2=defer split.
+    dopt512 = int(os.environ.get("BENCH_512_DOPT", 2))
     rays = _tile_rays(jax.random.PRNGKey(2), tiles)
     target = jnp.full(rays.origins.shape[:2] + (3,), 0.4)
     geom = geometry_only(bg)
@@ -858,17 +861,42 @@ def bench_plenoxels_train_sparse512():
         sh_bricks=jnp.zeros((bg.n_bricks, 1, 1), jnp.float32),
     )
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def step(st, i, key):
-        st, stats = ps.train_step_tiles_packed_touched(
-            trainer, geom, st, rays, target, i, key,
-            max_touched=k_exact, flat_windows=flat_w,
-            dense_optim=dopt512,
-        )
-        return st, stats["mse"], (
-            stats["touched_overflow"]
-            + stats["dropped_tile_rows"].astype(jnp.float32)
-        )
+    if dopt512 == 2:
+        # defer split: program A (kernels + dense grad accumulator,
+        # state read-only) then program B (dense sweep, state + acc
+        # donated) — dispatched back-to-back in the async chain
+        @jax.jit
+        def step_a(st, i, key):
+            _, stats = ps.train_step_tiles_packed_touched(
+                trainer, geom, st, rays, target, i, key,
+                max_touched=k_exact, flat_windows=flat_w,
+                dense_optim="defer",
+            )
+            return (stats["dense_acc"], stats["touched_flag"],
+                    stats["mse"], stats["dropped_active_chunks"])
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step_b(st, acc, flag, i):
+            return ps.dense_sweep_apply(
+                trainer, geom, st, acc, flag, i
+            )
+
+        def step(st, i, key):
+            acc, flag, mse, dropped = step_a(st, i, key)
+            st = step_b(st, acc, flag, i)
+            return st, mse, dropped.astype(jnp.float32)
+    else:
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step(st, i, key):
+            st, stats = ps.train_step_tiles_packed_touched(
+                trainer, geom, st, rays, target, i, key,
+                max_touched=k_exact, flat_windows=flat_w,
+                dense_optim=bool(dopt512),
+            )
+            return st, stats["mse"], (
+                stats["touched_overflow"]
+                + stats["dropped_tile_rows"].astype(jnp.float32)
+            )
 
     holder = {"st": st0, "i": 0}
     del st0
@@ -892,7 +920,9 @@ def bench_plenoxels_train_sparse512():
         "plenoxels_train_rays_per_sec_512", tiles * 128 / per_step,
         "rays/s", vs_baseline=None, reso=reso,
         step_mode="touched_flat"
-        + ("+dense_optim" if dopt512 else ""),
+        + {0: "", 1: "+dense_optim", 2: "+dense_optim_defer"}.get(
+            dopt512, ""
+        ),
         tiles=tiles, touched_overflow=round(overflow["max"], 5),
         baseline_note="512^3 shell scene, the reference's standard "
         "post-upsample training scale (svox2/opt/opt.py:855-887); no "

@@ -347,6 +347,15 @@ def render_image_tiles_pallas_exact(
 
             grid = to_sparse_grid(bg)
         idx = np.nonzero(bad)[0]
+        # per-sample fallback memory scales with samples/ray (~56/voxel
+        # diag at step 0.5): the padded [N*S, 27] corner gather hit
+        # 13.9 GB and OOMed 15.75 GB HBM at 512^3/800^2 (the round-5
+        # quality-resume crash). Hold N*S*pad roughly at the 256^3
+        # default's footprint by shrinking the chunk quadratically.
+        reso_max = max(bg.brick_links.shape) * 8
+        fallback_chunk = max(
+            128, int(fallback_chunk * min(1.0, (256 / reso_max) ** 2))
+        )
         ex = jax.jit(
             lambda gg, r: volume_render_grid(gg, r, opts)["rgb"])
         fixed = []

@@ -795,6 +795,76 @@ def train_step_tiles_packed_jit(
     )
 
 
+def _dense_sweep(trainer, cell_mask, st, acc, flag, step, fstep):
+    """Dense-sweep optimizer body (see train_step_tiles_packed_touched
+    `dense_optim`): whole-state elementwise RMSprop/SGD from a dense
+    [nb+1]-row gradient accumulator, with where(g == 0) keeping
+    untouched elements bit-identical — exactly the per-visit-RMSprop
+    semantics. Replaces the reference's always-dense fused optimizer
+    sweep (svox2/svox2/csrc/optim_kernel.cu:20-27) at the same O(state)
+    bandwidth cost."""
+    nb = cell_mask.shape[0]
+    B = st.basis_dim
+    # mask fuses into the elementwise update (a broadcast repeat,
+    # never materialized); sentinel row nb masks to zero
+    cm = jnp.concatenate(
+        [cell_mask, jnp.zeros_like(cell_mask[:1])]
+    ).astype(jnp.float32)
+    mp = jnp.repeat(cm.reshape(nb + 1, 8, 64), 3, axis=-1)[:, None]
+    g = acc * mp
+
+    lr_sigma = trainer.lr_sigma_fn(fstep)
+    lr_sh = trainer.lr_sh_fn(fstep)
+    slot_ax = jnp.arange(B + 1)
+    lr_vec = jnp.where(
+        slot_ax == B, lr_sigma, lr_sh
+    )[None, :, None, None]
+    pk = st.packed_k
+    if trainer.sigma_optim == "rmsprop":
+        b = trainer.rms_beta
+        rms_old = st.rms.astype(jnp.float32)
+        rms_new = jnp.where(
+            g == 0.0, rms_old,
+            jnp.where(rms_old == 0.0, g * g,
+                      b * rms_old + (1.0 - b) * g * g),
+        )
+        upd = lr_vec * g / (jnp.sqrt(rms_new) + 1e-8)
+        new_rms = rms_new.astype(st.rms.dtype)
+    else:
+        upd = lr_vec * g
+        new_rms = st.rms
+    new = pk - upd
+    if trainer.density_minval > -1e8:
+        new = jnp.where(
+            slot_ax[None, :, None, None] == B,
+            jnp.maximum(new, trainer.density_minval), new,
+        )
+    # untouched elements stay BIT-identical (per-visit semantics)
+    new = jnp.where(g == 0.0, pk, new)
+    new_last = jnp.where(
+        flag == 1, step, st.last_step
+    ).at[nb].set(-1)
+    return PackedState(
+        packed_k=new, rms=new_rms, last_step=new_last
+    )
+
+
+def dense_sweep_apply(trainer, bg, st, acc, flag, step):
+    """Second half of the dense_optim="defer" two-program split: apply
+    the dense-sweep optimizer to `st` from the accumulator + flag that
+    train_step_tiles_packed_touched(dense_optim="defer") returned in
+    stats. Bit-identical to the fused dense_optim=True step."""
+    return _dense_sweep(
+        trainer, bg.cell_mask, st, acc, flag, step,
+        step.astype(jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3))
+def dense_sweep_apply_jit(trainer, bg, st, acc, flag, step):
+    return dense_sweep_apply(trainer, bg, st, acc, flag, step)
+
+
 def train_step_tiles_packed_touched(
     trainer,
     bg: BrickGrid,
@@ -850,6 +920,12 @@ def train_step_tiles_packed_touched(
     (~5 HBM passes over the state) wins — shell scenes at reference
     batch sizes sit far past that. Requires rms_pervisit (or SGD):
     the beta^delta lazy decay needs per-row deltas.
+    dense_optim="defer" splits the step into TWO programs: this one
+    returns the dense accumulator + touched flag in stats
+    ("dense_acc"/"touched_flag", state unchanged) and the caller
+    dispatches dense_sweep_apply(_jit) to apply it — for scales where
+    the fused step+sweep compile exceeds the remote-compile helper's
+    limit (512^3, e95301e). Bit-identical to dense_optim=True.
 
     Touched rows are found WITHOUT sort: scatter a dense flag
     [nb+1], exclusive-cumsum for each touched row's compact slot, and
@@ -958,63 +1034,35 @@ def train_step_tiles_packed_touched(
         tv_rows_l, tv_blocks_l = pack_tv_blocks(tv_parts, B)
         for r4, blk in zip(tv_rows_l, tv_blocks_l):
             acc = acc.at[r4].add(blk.astype(jnp.float32))
-        # mask fuses into the elementwise update (a broadcast repeat,
-        # never materialized); sentinel row nb masks to zero
-        cm = jnp.concatenate(
-            [bg.cell_mask, jnp.zeros_like(bg.cell_mask[:1])]
-        ).astype(jnp.float32)
-        mp = jnp.repeat(cm.reshape(nb + 1, 8, 64), 3, axis=-1)[:, None]
-        g = acc * mp
-
-        lr_sigma = trainer.lr_sigma_fn(fstep)
-        lr_sh = trainer.lr_sh_fn(fstep)
-        slot_ax = jnp.arange(B + 1)
-        lr_vec = jnp.where(
-            slot_ax == B, lr_sigma, lr_sh
-        )[None, :, None, None]
-        pk = st.packed_k
-        if trainer.sigma_optim == "rmsprop":
-            b = trainer.rms_beta
-            rms_old = st.rms.astype(jnp.float32)
-            rms_new = jnp.where(
-                g == 0.0, rms_old,
-                jnp.where(rms_old == 0.0, g * g,
-                          b * rms_old + (1.0 - b) * g * g),
-            )
-            upd = lr_vec * g / (jnp.sqrt(rms_new) + 1e-8)
-            new_rms = rms_new.astype(st.rms.dtype)
-        else:
-            upd = lr_vec * g
-            new_rms = st.rms
-        new = pk - upd
-        if trainer.density_minval > -1e8:
-            new = jnp.where(
-                slot_ax[None, :, None, None] == B,
-                jnp.maximum(new, trainer.density_minval), new,
-            )
-        # untouched elements stay BIT-identical (per-visit semantics)
-        new = jnp.where(g == 0.0, pk, new)
-
         flag = jnp.zeros((nb + 1,), jnp.int32).at[rows_r].set(1)
         for _, r4, _v in tv_parts:
             flag = flag.at[r4].set(1)
-        new_last = jnp.where(
-            flag == 1, step, st.last_step
-        ).at[nb].set(-1)
-        new_st = PackedState(
-            packed_k=new, rms=new_rms, last_step=new_last
-        )
+
         psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)
-        return new_st, {
+        stats = {
             "loss": mse, "mse": mse, "psnr": psnr,
             "window_miss": aux["window_miss"],
             "touched_overflow": jnp.zeros(()),
             "dropped_tile_rows": jnp.zeros((), jnp.int32),
             "dropped_active_chunks": aux["dropped_active_chunks"],
         }
+        if dense_optim == "defer":
+            # two-program split: return the dense gradient accumulator
+            # + touched flag unapplied; the caller dispatches
+            # dense_sweep_apply(_jit) as its OWN program. At 512^3 the
+            # fused step+sweep compile crashes the axon remote compile
+            # helper (HTTP 500, e95301e); each half compiles alone.
+            # State flows through UNCHANGED.
+            stats["dense_acc"] = acc
+            stats["touched_flag"] = flag
+            return st, stats
+        new_st = _dense_sweep(
+            trainer, bg.cell_mask, st, acc, flag, step, fstep
+        )
+        return new_st, stats
 
     dropped_tile = jnp.zeros((), jnp.int32)
-    if tile_rows is not None:
+    if tile_rows is not None:  # (non-dense path continues below)
         # MXU pre-reduction: each tile's blocks collapse onto its
         # distinct bricks; TV blocks join the reduced stream as full
         # packed blocks so ONE scatter covers everything

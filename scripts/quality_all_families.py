@@ -64,7 +64,10 @@ PLENOXEL_FLAT = int(os.environ.get("QUALITY_FLAT", 0))
 # yank (see PlenoxelsTrainer.rms_pervisit)
 PLENOXEL_RMS_PERVISIT = int(os.environ.get("QUALITY_RMS_PERVISIT", 1))
 # dense-sweep optimizer (exact under per-visit rms; round-4
-# plenoxels_sparse.train_step_tiles_packed_touched dense_optim)
+# plenoxels_sparse.train_step_tiles_packed_touched dense_optim).
+# 0=off (K-row touched optimizer), 1=fused single program (crashes the
+# remote compile helper at 512^3), 2=two-program defer split (works at
+# every reso; bit-identical semantics)
 PLENOXEL_DENSE_OPTIM = int(os.environ.get("QUALITY_DENSE_OPTIM", 0))
 # held-out eval every N steps (0 = only at the end); convergence curve
 EVAL_EVERY = int(os.environ.get("QUALITY_EVAL_EVERY", 0))
@@ -320,13 +323,20 @@ def quality_plenoxels(ds):
         rays, target = draw(kd, n_tiles=PLENOXEL_TILES)
         # touched-row step: O(touched) optimizer, lazy-exact RMSprop
         # (parity-tested vs the dense packed step)
+        dopt = {0: False, 1: True, 2: "defer"}[PLENOXEL_DENSE_OPTIM]
+        step_i = jnp.asarray(i, jnp.int32)
         pst, st = ps.train_step_tiles_packed_touched_jit(
             trainer, bg, pst, rays, target,
-            jnp.asarray(i, jnp.int32), kt,
+            step_i, kt,
             max_touched=PLENOXEL_MAX_TOUCHED,
             flat_windows=flat_cap,
-            dense_optim=bool(PLENOXEL_DENSE_OPTIM),
+            dense_optim=dopt,
         )
+        if dopt == "defer":
+            pst = ps.dense_sweep_apply_jit(
+                trainer, bg, pst, st.pop("dense_acc"),
+                st.pop("touched_flag"), step_i,
+            )
         if i % 500 == 0:
             print(f"plenoxels step {i}: train psnr "
                   f"{float(st['psnr']):.2f} miss "
@@ -383,7 +393,9 @@ def quality_plenoxels(ds):
 
         g_out = _tsg(bg)
         outs = []
-        chunk = 2048
+        # samples/ray scale with reso; the padded per-sample gather
+        # OOMs HBM at 512^3 with the 256^3-sized chunk (r5 crash)
+        chunk = 2048 if max(g_out.reso) <= 256 else 256
         n = flat.origins.shape[0]
         ex = jax.jit(lambda gg, r: volume_render_grid(gg, r, opts)["rgb"])
         for i in range(0, n, chunk):

@@ -690,6 +690,51 @@ class TestDenseOptimStep:
                 rtol=1e-5, atol=1e-6,
             )
 
+    def test_defer_split_bit_identical(self):
+        """dense_optim="defer" (two-program split for the 512^3
+        remote-compile limit) must be BIT-identical to the fused
+        dense_optim=True step: same accumulator, same sweep, just a
+        program boundary between them. (Compared eager-vs-eager — a
+        jitted sweep can FMA-contract the rms update and drift ulps
+        from the eager fused path; within one compilation regime the
+        split is exact.)"""
+        trainer = make_trainer(rms_pervisit=True)
+        g = random_grid(24, seed=29)
+        bg = from_sparse_grid(g)
+        st_f = ps.packed_state_from_grid(bg)
+        st_s = ps.packed_state_from_grid(bg)
+        for i in range(3):
+            rays = tile_rays(2, seed=290 + 3 * i)
+            target = jnp.full(rays.origins.shape[:2] + (3,), 0.35)
+            key = jax.random.PRNGKey(i)
+            step_i = jnp.asarray(i, jnp.int32)
+            st_f, fs = ps.train_step_tiles_packed_touched(
+                trainer, bg, st_f, rays, target, step_i, key,
+                max_touched=4096, dense_optim=True,
+            )
+            st_mid, ds = ps.train_step_tiles_packed_touched(
+                trainer, bg, st_s, rays, target, step_i, key,
+                max_touched=4096, dense_optim="defer",
+            )
+            # state must flow through the defer step unchanged
+            assert st_mid is st_s
+            st_s = ps.dense_sweep_apply(
+                trainer, bg, st_s, ds["dense_acc"],
+                ds["touched_flag"], step_i,
+            )
+            np.testing.assert_array_equal(
+                float(fs["mse"]), float(ds["mse"])
+            )
+        np.testing.assert_array_equal(
+            np.asarray(st_f.packed_k), np.asarray(st_s.packed_k)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st_f.rms), np.asarray(st_s.rms)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st_f.last_step), np.asarray(st_s.last_step)
+        )
+
     def test_literal_rms_rejected(self):
         trainer = make_trainer(rms_pervisit=False)
         g = random_grid(16, seed=25)
