@@ -719,6 +719,41 @@ def bench_nerf_sh_train():
         "plain-NeRF config runs the unfused flax trunk instead "
         "(models/nerf_sh.py::_fused_trunk_ok)",
     )
+    if SMOKE or CHEAP:
+        return
+    # secondary row: the use_viewdirs=True config (the reference's
+    # non-SH jaxnerf mode, plenoctree/nerf_sh/nerf/models.py:216) runs
+    # the UNFUSED flax trunk — the fused-trunk scope boundary made
+    # measurable (VERDICT r3 task 8 / r4 task 10)
+    model_vd = NeRFSHModel(
+        sh_deg=-1, use_viewdirs=True,
+        num_coarse_samples=64, num_fine_samples=128,
+        near=2.0, far=6.0, white_bkgd=True,
+    )
+    trainer_vd = NeRFSHTrainer(model_vd)
+    holder2 = {"state": trainer_vd.init_state(jax.random.PRNGKey(0))}
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def scan_steps_vd(k, s):
+        def body(s, _):
+            s, stats = trainer_vd.train_step(s, rays, target)
+            return s, stats["loss"]
+
+        return jax.lax.scan(body, s, None, length=k)
+
+    def run_vd(k):
+        s, losses = scan_steps_vd(k, holder2["state"])
+        _ = float(losses[-1])
+        holder2["state"] = s
+
+    per_step_vd = slope_timed(run_vd, lo=5, hi=25)
+    emit(
+        "nerf_sh_train_rays_per_sec_viewdirs", N_RAND / per_step_vd,
+        "rays/s", vs_baseline=None,
+        config_note="use_viewdirs=True plain-NeRF config: viewdirs "
+        "feed the condition branch, so the trunk runs UNFUSED flax "
+        "(fused-trunk scope note)",
+    )
 
 
 def _shell_select(bg, reso, r_lo, r_hi):
