@@ -26,6 +26,13 @@ BENCH_WORKLOADS=plenoxels_train_sparse512 BENCH_512_DOPT=0 \
   > measurements/r5/sparse512_krow.log 2>&1
 echo "sparse512 krow rc=$? $(date)" >> measurements/r5/queue.log
 
+# 1b. compile-only bisect: where exactly the 512^3 remote-compile
+#     limit sits (fused vs defer halves vs scan-wrapped composites —
+#     a working scan would delete per-step dispatch cost entirely)
+timeout 2400 python -u scripts/repro_dopt512.py \
+  > measurements/r5/repro_dopt512.log 2>&1
+echo "repro_dopt512 rc=$? $(date)" >> measurements/r5/queue.log
+
 # 2. FPS post-x-stage-fusion remeasure (VERDICT r4 task 6): r512 vs
 #    r1024 tiles, cap fast modes
 PROBE_SIGMA=1000 \
