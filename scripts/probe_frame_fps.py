@@ -267,6 +267,7 @@ def main():
         run_variant("r512_cap20", 16, 32, False, 20)
         run_variant("r1024_cap28", 32, 32, False, 28)
         run_variant("r1024_cap20", 32, 32, False, 20)
+        run_variant("r1024_floor", 32, 32, False, None, floor=True)
 
     print(json.dumps({"summary": results, "reso": RESO,
                       "sigma_scale": SIGMA}), flush=True)

@@ -36,7 +36,7 @@ echo "repro_dopt512 rc=$? $(date)" >> measurements/r5/queue.log
 # 2. FPS post-x-stage-fusion remeasure (VERDICT r4 task 6): r512 vs
 #    r1024 tiles, cap fast modes
 PROBE_SIGMA=1000 \
-  PROBE_ONLY=r512,r512_cap20,r512_cap12,r1024,r1024_cap28,r1024_cap20 \
+  PROBE_ONLY=r512,r512_cap20,r512_cap12,r1024,r1024_cap28,r1024_cap20,r512_gather,r1024_gather,r1024_floor \
   timeout 2400 python -u scripts/probe_frame_fps.py \
   > measurements/r5/fps_postfusion.log 2>&1
 echo "fps probe rc=$? $(date)" >> measurements/r5/queue.log
