@@ -23,7 +23,8 @@ for attempt in 1 2 3; do
     QUALITY_DECAY_STEPS=12000 QUALITY_EVAL_EVERY=1000 \
     QUALITY_CKPT_EVERY=500 \
     QUALITY_SAVE="$DIR" QUALITY_RESUME=1 \
-    timeout 7200 python -u scripts/quality_all_families.py plenoxels \
+    timeout "${QUALITY_TIMEOUT:-9600}" \
+    python -u scripts/quality_all_families.py plenoxels \
     >> "$DIR/resume_r5.log" 2>&1
   rc=$?
   echo "attempt $attempt rc=$rc at $(date)" >> "$DIR/resume_r5.log"
