@@ -13,7 +13,7 @@ while true; do
   latest=$(ls -t quality_runs/r4_800/phase_*.npz 2>/dev/null | head -1)
   if [ -n "$latest" ]; then
     git add "$latest" quality_runs/r4_800/*.log \
-      measurements/r5 2>/dev/null
+      measurements/r5 .jax_cache 2>/dev/null
     if ! git diff --cached --quiet 2>/dev/null; then
       git commit -q -m "Auto-commit: quality-run checkpoint + logs ($(basename "$latest"))" \
         || true
