@@ -16,6 +16,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# persistent compile cache (shared with bench.py): restart attempts and
+# the round-5 measurement queue skip minutes-long remote recompiles
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
 import jax.numpy as jnp
 
 RESO = int(os.environ.get("BISECT_RESO", 256))

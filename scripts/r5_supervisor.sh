@@ -14,6 +14,10 @@ set -x
 cd /root/repo
 DIR=/root/repo/quality_runs/r4_800
 mkdir -p "$DIR"
+# persistent compile cache: restart attempts (and the measurement
+# queue after) skip the minutes-long 512^3 remote recompiles
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=2
 
 for attempt in 1 2 3; do
   echo "=== resume attempt $attempt at $(date) ===" >> "$DIR/resume_r5.log"
