@@ -1105,6 +1105,39 @@ def _run_pass(names, pass_end, cheap, retry_state, wl_cap, reserve,
                                "pass": tag})
 
 
+# BENCH_FAKE_SPEC: harness self-test hook (tests/test_bench_harness.py).
+# "name=behavior:secs,..." replaces WORKLOADS with synthetic workloads
+# so the two-pass scheduling / streaming / retry / error paths can be
+# exercised on CPU with no TPU and no kernels. Behaviors:
+#   ok      — sleep secs, emit one metric row
+#   partial — emit one good row, then a workload error row (the
+#             ADVICE-r4-medium case: partial failure must be recorded)
+#   raise   — sleep secs, raise (exercises the error-row hold-back)
+#   slow    — sleep secs, emit (meant to be killed by the deadline)
+_FAKE_SPEC = os.environ.get("BENCH_FAKE_SPEC", "")
+if _FAKE_SPEC:
+    def _mk_fake(fname, behavior, secs):
+        def fake():
+            time.sleep(secs)
+            if behavior == "raise":
+                raise RuntimeError("fake workload failure")
+            if behavior == "partial":
+                emit(fname, 1.0, "unit")
+                print(json.dumps({"metric": fname + "_tail",
+                                  "error": "fake partial failure"}),
+                      flush=True)
+                return
+            emit(fname, 1.0, "unit")
+        return fake
+
+    WORKLOADS = {}
+    for item in _FAKE_SPEC.split(","):
+        fname, _, rest = item.partition("=")
+        behavior, _, secs = rest.partition(":")
+        WORKLOADS[fname] = _mk_fake(fname, behavior,
+                                    float(secs or 0))
+
+
 # pass-1 order: never-driver-recorded metrics first (NeRF-SH has zero
 # records in four rounds — VERDICT r4 item 3), then the flagships
 PASS1_ORDER = [
@@ -1168,7 +1201,8 @@ def main():
     two_pass = (not explicit
                 and os.environ.get("BENCH_TWO_PASS", "1") == "1")
     if two_pass:
-        p1_names = [n for n in PASS1_ORDER if n in WORKLOADS]
+        p1_names = ([n for n in PASS1_ORDER if n in WORKLOADS]
+                    if not _FAKE_SPEC else list(WORKLOADS))
         p1_end = t0 + budget * float(
             os.environ.get("BENCH_PASS1_FRAC", 0.55)
         )
