@@ -14,6 +14,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# persistent compile cache (shared with bench.py): a restarted quality
+# attempt must not pay the minutes-long 512^3 remote recompiles again
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import jax.tree_util as tu
 import numpy as np
