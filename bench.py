@@ -135,8 +135,13 @@ def slope_timed(run, lo=10, hi=60, repeats=3):
     if SMOKE:
         lo, hi, repeats = 1, 2, 1
     elif CHEAP:
-        lo = max(2, lo // 3)
-        hi = max(lo + 3, hi // 4)
+        # keep lo/hi (the scan lengths are STATIC program parameters):
+        # cheap runs then compile the SAME programs as the precise
+        # pass, so pass 1 and pass 2 share compile-cache entries. The
+        # first two-pass hardware run proved the alternative wrong —
+        # reduced lo/hi meant every pass-1 workload compiled cold
+        # through the axon relay and timed out at its cap
+        # (measurements/r5/bench_full_r5.log pass1 rows).
         repeats = 1
     run(lo)
     run(hi)
